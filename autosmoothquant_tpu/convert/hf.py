@@ -1,0 +1,123 @@
+"""HuggingFace checkpoint import -> functional params pytrees.
+
+Replaces the reference's reliance on HF ``from_pretrained`` module loading
+(ref: utils/utils.py:41-45 build_model_and_tokenizer). Weights come from a
+torch state_dict (CPU) or safetensors files; they are transposed to the
+[in, out] layout and stacked along the layer axis for ``lax.scan``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, Optional
+
+import numpy as np
+import jax.numpy as jnp
+
+
+def _to_np(t) -> np.ndarray:
+    """torch tensor / np array -> float32 numpy (bf16-safe)."""
+    if isinstance(t, np.ndarray):
+        return t.astype(np.float32)
+    # torch tensor
+    return t.detach().to(dtype=__import__("torch").float32).cpu().numpy()
+
+
+def hf_config_dict(model_path: str) -> Dict[str, Any]:
+    """Read config.json (the functional analog of get_config,
+    ref: utils/utils.py:13-33; trust_remote_code has no meaning here since
+    models are re-implemented natively)."""
+    with open(os.path.join(model_path, "config.json"), "r", encoding="utf-8") as f:
+        return json.load(f)
+
+
+def _stack(sd, pattern: str, num_layers: int, transpose: bool) -> jnp.ndarray:
+    arrs = []
+    for i in range(num_layers):
+        a = _to_np(sd[pattern.format(i=i)])
+        arrs.append(a.T if transpose else a)
+    return jnp.asarray(np.stack(arrs))
+
+
+def llama_params_from_state_dict(sd: Dict[str, Any], num_layers: int,
+                                 dtype=jnp.float32) -> Dict[str, Any]:
+    """Map HF Llama names -> this package's stacked layout."""
+    def cast(x):
+        return x.astype(dtype)
+
+    p = {
+        "embed": {"w": cast(jnp.asarray(_to_np(sd["model.embed_tokens.weight"])))},
+        "layers": {
+            "ln1": {"w": cast(_stack(sd, "model.layers.{i}.input_layernorm.weight",
+                                     num_layers, False))},
+            "attn": {
+                "q": {"w": cast(_stack(sd, "model.layers.{i}.self_attn.q_proj.weight",
+                                       num_layers, True))},
+                "k": {"w": cast(_stack(sd, "model.layers.{i}.self_attn.k_proj.weight",
+                                       num_layers, True))},
+                "v": {"w": cast(_stack(sd, "model.layers.{i}.self_attn.v_proj.weight",
+                                       num_layers, True))},
+                "o": {"w": cast(_stack(sd, "model.layers.{i}.self_attn.o_proj.weight",
+                                       num_layers, True))},
+            },
+            "ln2": {"w": cast(_stack(
+                sd, "model.layers.{i}.post_attention_layernorm.weight",
+                num_layers, False))},
+            "mlp": {
+                "gate": {"w": cast(_stack(sd, "model.layers.{i}.mlp.gate_proj.weight",
+                                          num_layers, True))},
+                "up": {"w": cast(_stack(sd, "model.layers.{i}.mlp.up_proj.weight",
+                                        num_layers, True))},
+                "down": {"w": cast(_stack(sd, "model.layers.{i}.mlp.down_proj.weight",
+                                          num_layers, True))},
+            },
+        },
+        "final_norm": {"w": cast(jnp.asarray(_to_np(sd["model.norm.weight"])))},
+    }
+    if "lm_head.weight" in sd:
+        p["lm_head"] = {"w": cast(jnp.asarray(_to_np(sd["lm_head.weight"]).T))}
+    else:  # tied embeddings
+        p["lm_head"] = {"w": cast(jnp.asarray(np.asarray(p["embed"]["w"]).T))}
+    return p
+
+
+_LOADERS = {"llama": llama_params_from_state_dict}
+
+
+def register_loader(family: str, fn) -> None:
+    _LOADERS[family] = fn
+
+
+def load_hf_params(model_path_or_sd, family: str, num_layers: int,
+                   dtype=jnp.float32, model_path: Optional[str] = None):
+    """Load params from a state_dict (dict) or a checkpoint directory."""
+    if isinstance(model_path_or_sd, dict):
+        sd = model_path_or_sd
+    else:
+        sd = load_state_dict(model_path_or_sd)
+    return _LOADERS[family](sd, num_layers, dtype=dtype)
+
+
+def load_state_dict(model_path: str) -> Dict[str, Any]:
+    """Read all safetensors/bin shards in an HF checkpoint directory."""
+    sd: Dict[str, Any] = {}
+    entries = sorted(os.listdir(model_path))
+    st_files = [e for e in entries if e.endswith(".safetensors")]
+    bin_files = [e for e in entries if e.endswith(".bin") and "pytorch_model" in e]
+    if st_files:
+        from safetensors import safe_open
+
+        for fname in st_files:
+            with safe_open(os.path.join(model_path, fname), framework="np") as f:
+                for key in f.keys():
+                    sd[key] = f.get_tensor(key)
+    elif bin_files:
+        import torch
+
+        for fname in bin_files:
+            sd.update(torch.load(os.path.join(model_path, fname),
+                                 map_location="cpu", weights_only=True))
+    else:
+        raise FileNotFoundError(f"no model weights found under {model_path}")
+    return sd

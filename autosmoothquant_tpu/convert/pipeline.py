@@ -1,0 +1,150 @@
+"""Offline quantization pipeline: calibrate -> smooth -> (re-calibrate) ->
+quantize -> save.
+
+Functional analog of the reference CLI flow
+(ref: examples/smoothquant_model.py:40-99, call stack SURVEY.md §3.1):
+  1. first calibration pass on the fp model  -> per-channel act scales
+  2. smooth_lm(alpha)                        -> migrated weights
+  3. second calibration pass (smoothed)      -> static per-layer scalar scales
+     (the reference's get_static_decoder_layer_scales runs post-smooth)
+  4. from_float_to_int8/fp8                  -> quantized params + folds
+  5. save quantized checkpoint + quant_config.json (identical contract)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..calibrate.calibrate import calibrate
+from ..quant.config import QuantConfig, save_quant_config
+
+
+def calibrate_smooth_quantize(model_mod, params, cfg, qcfg: QuantConfig,
+                              batches_fn, alpha: float = 0.5,
+                              compute_dtype=jnp.float32):
+    """batches_fn: zero-arg callable returning a fresh iterable of input_ids
+    batches (two passes are needed). Returns (quantized_params, artifacts)
+    where artifacts carries the intermediate scale pytrees for
+    inspection/saving (the analog of the act_scales .pt file,
+    smoothquant_model.py:54-58)."""
+    stats_fp = calibrate(model_mod, params, cfg, batches_fn(),
+                         compute_dtype=compute_dtype)
+    smoothed = model_mod.smooth(params, stats_fp, alpha)
+
+    needs_static = qcfg.is_int8 or (
+        qcfg.type == "fp8_e4m3" and qcfg.activation_scheme == "static"
+    )
+    scales = None
+    stats_sm = None
+    if needs_static:
+        stats_sm = calibrate(model_mod, smoothed, cfg, batches_fn(),
+                             compute_dtype=compute_dtype)
+        scales = model_mod.layer_scales(stats_sm)
+
+    qparams = model_mod.quantize(smoothed, qcfg, scales)
+    artifacts = {
+        "act_stats_fp": stats_fp,
+        "act_stats_smoothed": stats_sm,
+        "layer_scales": scales,
+        "alpha": alpha,
+    }
+    return qparams, artifacts
+
+
+# ---------------------------------------------------------------------------
+# Quantized-checkpoint serialization
+#
+# The analog of save_pretrained + quant_config.json copy
+# (ref: smoothquant_model.py:96-99, test_model.py:35-41 load side). Arrays are
+# stored in an .npz keyed by pytree path; fp8 dtypes (absent from vanilla
+# numpy) round-trip through ml_dtypes views recorded in a manifest — the
+# TPU-side replacement for the reference's dtype_byte_size monkeypatch
+# (functional/quantization.py:126-136).
+# ---------------------------------------------------------------------------
+
+_MANIFEST = "asq_manifest.json"
+_WEIGHTS = "asq_weights.npz"
+
+
+def _flatten(tree, prefix=()) -> Dict[str, Any]:
+    out = {}
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            out.update(_flatten(v, prefix + (str(k),)))
+    elif tree is None:
+        pass
+    else:
+        out["/".join(prefix)] = tree
+    return out
+
+
+def _unflatten(flat: Dict[str, Any]) -> Dict[str, Any]:
+    root: Dict[str, Any] = {}
+    for key, v in flat.items():
+        node = root
+        parts = key.split("/")
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = v
+    return root
+
+
+def save_quantized(path: str, params, qcfg: QuantConfig,
+                   config_dict: Optional[dict] = None,
+                   artifacts: Optional[dict] = None) -> None:
+    os.makedirs(path, exist_ok=True)
+    flat = _flatten(jax.device_get(params))
+    arrays = {}
+    dtypes = {}
+    for k, v in flat.items():
+        a = np.asarray(v)
+        name = a.dtype.name
+        if name.startswith("float8") or name == "bfloat16":
+            dtypes[k] = name
+            a = a.view(np.uint8) if name.startswith("float8") else a.view(np.uint16)
+        arrays[k] = a
+    np.savez(os.path.join(path, _WEIGHTS), **arrays)
+    manifest = {"dtypes": dtypes, "version": 1}
+    with open(os.path.join(path, _MANIFEST), "w", encoding="utf-8") as f:
+        json.dump(manifest, f)
+    save_quant_config(qcfg, os.path.join(path, "quant_config.json"))
+    if config_dict is not None:
+        with open(os.path.join(path, "config.json"), "w", encoding="utf-8") as f:
+            json.dump(config_dict, f, indent=2)
+    if artifacts is not None and artifacts.get("layer_scales") is not None:
+        scales = {k: np.asarray(v).tolist()
+                  for k, v in artifacts["layer_scales"].items()}
+        with open(os.path.join(path, "layer_scales.json"), "w", encoding="utf-8") as f:
+            json.dump(scales, f)
+
+
+def load_quantized(path: str):
+    """Returns (params, QuantConfig, config_dict-or-None)."""
+    import ml_dtypes
+
+    with open(os.path.join(path, _MANIFEST), "r", encoding="utf-8") as f:
+        manifest = json.load(f)
+    data = np.load(os.path.join(path, _WEIGHTS))
+    flat = {}
+    for k in data.files:
+        a = data[k]
+        name = manifest["dtypes"].get(k)
+        if name:
+            a = a.view(getattr(ml_dtypes, name))
+        flat[k] = jnp.asarray(a)
+    params = _unflatten(flat)
+    from ..quant.config import parse_quant_config
+
+    qcfg = parse_quant_config(os.path.join(path, "quant_config.json"))
+    cfg_path = os.path.join(path, "config.json")
+    config_dict = None
+    if os.path.exists(cfg_path):
+        with open(cfg_path, "r", encoding="utf-8") as f:
+            config_dict = json.load(f)
+    return params, qcfg, config_dict

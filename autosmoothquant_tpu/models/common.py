@@ -1,0 +1,218 @@
+"""Shared functional building blocks for the model zoo.
+
+TPU-first design notes (vs the reference's torch module surgery,
+autosmoothquant/models/*.py):
+  - models are pure functions over a params pytree; quantization changes the
+    *params* (int8 leaves + scale leaves), and the apply function branches on
+    the static QuantConfig — everything stays jit-traceable with static shapes
+  - per-tensor activation scales live in norm weights (the reference's
+    fold-into-norm trick, models/llama.py:27-37) or in a `quant_scale` leaf
+    (the WithQuantScale layers, layers/nn/linear.py:248-329); they are
+    trace-time constants on device, never host scalars
+  - norms run in f32 (TPU VPU native), matmuls in int8/bf16 on the MXU
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..kernels.gemm import fp8_matmul, int8_matmul
+from ..quant import math as qmath
+from ..quant.config import PER_TENSOR, PER_TOKEN, QuantConfig
+
+# ---------------------------------------------------------------------------
+# Norms
+# ---------------------------------------------------------------------------
+
+
+def rms_norm(x: jnp.ndarray, weight: jnp.ndarray, eps: float) -> jnp.ndarray:
+    """RMSNorm in f32. When the consumer is per-tensor int8, ``weight``
+    already includes the folded 1/input_scale (ref: models/llama.py:27-37) —
+    the output is then directly in int8 units."""
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    normed = xf * jax.lax.rsqrt(var + eps)
+    return normed * weight.astype(jnp.float32)
+
+
+def layer_norm(x: jnp.ndarray, weight: jnp.ndarray, bias: jnp.ndarray,
+               eps: float) -> jnp.ndarray:
+    """LayerNorm in f32 (OPT family; fold applies to weight AND bias,
+    ref: models/opt.py:20-29)."""
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.var(xf, axis=-1, keepdims=True)
+    normed = (xf - mean) * jax.lax.rsqrt(var + eps)
+    return normed * weight.astype(jnp.float32) + bias.astype(jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# Rotary position embeddings (HF llama convention: rotate-half)
+# ---------------------------------------------------------------------------
+
+
+def rope_cos_sin(positions: jnp.ndarray, head_dim: int, theta: float,
+                 dtype=jnp.float32):
+    """positions: int32 [...]; returns cos/sin [..., head_dim].
+
+    inv_freq is a trace-time host constant computed in float64: an f32 pow
+    here costs ~1e-5 in cos/sin which amplifies to ~1e-3 in logits."""
+    import numpy as np
+
+    inv_freq = jnp.asarray(
+        (1.0 / (theta ** (np.arange(0, head_dim, 2, dtype=np.float64) / head_dim))
+         ).astype(np.float32)
+    )
+    freqs = positions.astype(jnp.float32)[..., None] * inv_freq  # [..., hd/2]
+    emb = jnp.concatenate([freqs, freqs], axis=-1)
+    return jnp.cos(emb).astype(dtype), jnp.sin(emb).astype(dtype)
+
+
+def apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarray:
+    """x: [B, T, H, Dh]; cos/sin: [B, T, Dh] (broadcast over heads)."""
+    half = x.shape[-1] // 2
+    x1, x2 = x[..., :half], x[..., half:]
+    rotated = jnp.concatenate([-x2, x1], axis=-1)
+    c = cos[:, :, None, :]
+    s = sin[:, :, None, :]
+    return (x * c + rotated * s).astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Quantized linear apply — the functional analog of the reference's
+# W8A8BFP32OFP32Linear family (layers/nn/linear.py:35-329) and FP8 linears
+# (linear.py:373-643)
+# ---------------------------------------------------------------------------
+
+
+class LinearKind:
+    """Which runtime quantization recipe a projection uses.
+
+    POST_NORM: input comes straight from a norm; per-tensor scale was folded
+               into the norm weight, so per-tensor quant is just round+clamp
+               (W8A8BFP32OFP32Linear, linear.py:84-106).
+    SCALED:    input is an attention/MLP interior activation; carries an
+               explicit quant_scale (W8A8BFP32OFP32LinearWithQuantScale,
+               linear.py:278-302).
+    """
+
+    POST_NORM = "post_norm"
+    SCALED = "scaled"
+
+
+def quant_linear(x: jnp.ndarray, p: dict, cfg: QuantConfig, granularity: str,
+                 kind: str = LinearKind.POST_NORM, out_dtype=None) -> jnp.ndarray:
+    """Apply one quantized projection. ``x``: [..., in]; ``p`` holds
+    quantized weight + scales produced by convert/quantize.py.
+
+    int8 leaves: w int8 [in,out]; dequant_scale f32 scalar (weight_scale, or
+    input_scale*weight_scale for per-tensor); quant_scale f32 scalar (SCALED
+    per-tensor only); bias f32 [out] optional.
+    fp8 leaves:  w fp8 [in,out]; w_scale f32; input_scale/output_scale for
+    static scheme; bias f32 [out] optional.
+    """
+    if out_dtype is None:
+        out_dtype = x.dtype
+    lead = x.shape[:-1]
+    x2 = x.reshape(-1, x.shape[-1])
+    bias = p.get("bias")
+
+    if cfg.type == "int8":
+        w = p["w"]
+        if granularity == PER_TOKEN:
+            q, tok_scale = qmath.quantize_act_per_token(x2)
+            out = int8_matmul(
+                q, w, row_scale=tok_scale, col_scale=p["dequant_scale"],
+                bias=bias, out_dtype=out_dtype,
+            )
+        else:  # per-tensor
+            if kind == LinearKind.SCALED:
+                q = qmath.quantize_act_static(x2, p["quant_scale"])
+            else:
+                q = qmath.quantize_act_prescaled(x2)
+            out = int8_matmul(
+                q, w, col_scale=p["dequant_scale"], bias=bias, out_dtype=out_dtype,
+            )
+        return out.reshape(*lead, -1)
+
+    if cfg.type == "fp8_e4m3":
+        fdt = jnp.float8_e4m3fn
+        if cfg.activation_scheme == "static":
+            # frozen input scale from the observer pass (FP8LinearStatic,
+            # linear.py:503-580)
+            q = qmath.quantize_fp8_static(x2, p["input_scale"], fdt)
+            out = fp8_matmul(q, p["w"], row_scale=p["input_scale"],
+                             col_scale=p["w_scale"], bias=bias, out_dtype=out_dtype)
+        else:
+            if granularity == PER_TOKEN:
+                q, s = qmath.quantize_fp8_per_token(x2, fdt)
+            else:
+                q, s = qmath.quantize_fp8_per_tensor(x2, fdt)
+            out = fp8_matmul(q, p["w"], row_scale=s, col_scale=p["w_scale"],
+                             bias=bias, out_dtype=out_dtype)
+        return out.reshape(*lead, -1)
+
+    if cfg.type == "fp8_e5m2":
+        # scale-free cast of act and weight (FP8E5M2Linear, linear.py:583-643)
+        q = x2.astype(jnp.float8_e5m2)
+        out = fp8_matmul(q, p["w"], bias=bias, out_dtype=out_dtype)
+        return out.reshape(*lead, -1)
+
+    raise ValueError(f"unknown quant type {cfg.type}")
+
+
+def float_linear(x: jnp.ndarray, p: dict, out_dtype=None) -> jnp.ndarray:
+    """Unquantized projection (float model path + lm_head, which the
+    reference deliberately keeps fp, models/llama.py:409-410)."""
+    if out_dtype is None:
+        out_dtype = x.dtype
+    out = jnp.dot(x, p["w"], preferred_element_type=jnp.float32)
+    if p.get("bias") is not None:
+        out = out + p["bias"].astype(jnp.float32)
+    return out.astype(out_dtype)
+
+
+_QUANT_DTYPES = (jnp.int8, jnp.float8_e4m3fn, jnp.float8_e5m2)
+
+
+def linear(x, p, cfg: Optional[QuantConfig], granularity=PER_TENSOR,
+           kind=LinearKind.POST_NORM, out_dtype=None):
+    """Dispatch float vs quantized on the weight leaf's dtype."""
+    if cfg is None or p["w"].dtype not in _QUANT_DTYPES:
+        return float_linear(x, p, out_dtype)
+    return quant_linear(x, p, cfg, granularity, kind, out_dtype)
+
+
+# ---------------------------------------------------------------------------
+# Attention (eager math, matching the reference's attn_implementation="eager";
+# Pallas flash attention slots in behind the same signature)
+# ---------------------------------------------------------------------------
+
+
+class KVCacheLayer(NamedTuple):
+    k: jnp.ndarray  # [B, S_max, H_kv, Dh]
+    v: jnp.ndarray  # [B, S_max, H_kv, Dh]
+
+
+def attend(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+           mask: jnp.ndarray, scale: float,
+           alibi_bias: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """q: [B, Tq, H, Dh]; k/v: [B, Tk, H_kv, Dh]; mask: bool [B, 1, Tq, Tk]
+    (True = attend). GQA via head-group reshape. Softmax in f32."""
+    b, tq, h, dh = q.shape
+    _, tk, h_kv, _ = k.shape
+    groups = h // h_kv
+    qf = q.astype(jnp.float32).reshape(b, tq, h_kv, groups, dh)
+    kf = k.astype(jnp.float32)
+    scores = jnp.einsum("bqkgd,bskd->bkgqs", qf, kf) * scale  # [B,Hkv,G,Tq,Tk]
+    if alibi_bias is not None:
+        # alibi_bias: [H, Tq, Tk], H = h_kv * groups (Baichuan-13B)
+        scores = scores + alibi_bias.reshape(1, h_kv, groups, tq, tk)
+    # mask: bool [B, 1, Tq, Tk] -> broadcast over (Hkv, G)
+    scores = jnp.where(mask[:, :, None, :, :], scores, -1e30)
+    probs = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("bkgqs,bskd->bqkgd", probs, v.astype(jnp.float32))
+    return out.reshape(b, tq, h, dh).astype(q.dtype)

@@ -1,0 +1,447 @@
+"""Llama family (Llama/Llama-2/TinyLlama/CodeLlama, GQA-aware).
+
+Functional TPU-native re-design of the reference's module-surgery model
+(ref: autosmoothquant/models/llama.py). The model is a pure function over a
+params pytree whose decoder layers are STACKED along a leading [L] axis and
+executed with ``lax.scan`` — one trace regardless of depth, weights streamed
+layer-by-layer from HBM.
+
+Params layout (float; [in, out] weight convention):
+    {"embed":      {"w": [V, D]},
+     "layers":     {"ln1": {"w": [L, D]},
+                    "attn": {"q": {"w": [L, D, H*Dh]}, "k": ..., "v": ...,
+                             "o": {"w": [L, H*Dh, D]}},
+                    "ln2": {"w": [L, D]},
+                    "mlp": {"gate": {"w": [L, D, I]}, "up": ...,
+                            "down": {"w": [L, I, D]}}},
+     "final_norm": {"w": [D]},
+     "lm_head":    {"w": [D, V]}}     # kept fp (ref: llama.py:409-410)
+
+After quantization each projection dict gains int8 "w" + "dequant_scale" [L]
+(+ "quant_scale" [L] for o/down per-tensor), per QuantConfig.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import math
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..quant import math as qmath
+from ..quant.config import PER_TENSOR, QuantConfig
+from .common import (
+    KVCacheLayer,
+    LinearKind,
+    apply_rope,
+    attend,
+    linear,
+    rms_norm,
+    rope_cos_sin,
+)
+from .registry import register_model
+
+FAMILY = "llama"
+
+
+@dataclasses.dataclass(frozen=True)
+class LlamaConfig:
+    vocab_size: int = 32000
+    hidden_size: int = 4096
+    intermediate_size: int = 11008
+    num_hidden_layers: int = 32
+    num_attention_heads: int = 32
+    num_key_value_heads: int = 32
+    max_position_embeddings: int = 2048
+    rms_norm_eps: float = 1e-6
+    rope_theta: float = 10000.0
+    tie_word_embeddings: bool = False
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_attention_heads
+
+    @classmethod
+    def from_hf(cls, hf_config) -> "LlamaConfig":
+        g = (lambda k, d=None: getattr(hf_config, k, d)) if not isinstance(hf_config, dict) \
+            else (lambda k, d=None: hf_config.get(k, d))
+        return cls(
+            vocab_size=g("vocab_size"),
+            hidden_size=g("hidden_size"),
+            intermediate_size=g("intermediate_size"),
+            num_hidden_layers=g("num_hidden_layers"),
+            num_attention_heads=g("num_attention_heads"),
+            num_key_value_heads=g("num_key_value_heads", g("num_attention_heads")),
+            max_position_embeddings=g("max_position_embeddings", 2048),
+            rms_norm_eps=g("rms_norm_eps", 1e-6),
+            rope_theta=g("rope_theta", 10000.0),
+            tie_word_embeddings=bool(g("tie_word_embeddings", False)),
+        )
+
+
+# ---------------------------------------------------------------------------
+# Init (random weights — tiny-model tests and benchmarks)
+# ---------------------------------------------------------------------------
+
+
+def init_params(cfg: LlamaConfig, key, dtype=jnp.float32) -> Dict[str, Any]:
+    keys = iter(jax.random.split(key, 16))
+    L, D, I, V = (cfg.num_hidden_layers, cfg.hidden_size, cfg.intermediate_size,
+                  cfg.vocab_size)
+    HD = cfg.num_attention_heads * cfg.head_dim
+    KVD = cfg.num_key_value_heads * cfg.head_dim
+
+    def w(k, *shape, scale=None):
+        s = scale if scale is not None else 1.0 / math.sqrt(shape[-2])
+        return (jax.random.normal(k, shape, jnp.float32) * s).astype(dtype)
+
+    return {
+        "embed": {"w": w(next(keys), V, D, scale=0.02)},
+        "layers": {
+            "ln1": {"w": jnp.ones((L, D), dtype)},
+            "attn": {
+                "q": {"w": w(next(keys), L, D, HD)},
+                "k": {"w": w(next(keys), L, D, KVD)},
+                "v": {"w": w(next(keys), L, D, KVD)},
+                "o": {"w": w(next(keys), L, HD, D)},
+            },
+            "ln2": {"w": jnp.ones((L, D), dtype)},
+            "mlp": {
+                "gate": {"w": w(next(keys), L, D, I)},
+                "up": {"w": w(next(keys), L, D, I)},
+                "down": {"w": w(next(keys), L, I, D)},
+            },
+        },
+        "final_norm": {"w": jnp.ones((D,), dtype)},
+        "lm_head": {"w": w(next(keys), D, V, scale=0.02)},
+    }
+
+
+# ---------------------------------------------------------------------------
+# Forward
+# ---------------------------------------------------------------------------
+
+
+def _layer_forward(h, lp, cfg: LlamaConfig, qcfg: Optional[QuantConfig],
+                   cos, sin, mask, cache: Optional[KVCacheLayer],
+                   cache_index, capture: bool, compute_dtype):
+    """One decoder layer. h: [B, T, D] compute_dtype. Returns (h', cache',
+    stats)."""
+    b, t, d = h.shape
+    hd = cfg.head_dim
+    n_q, n_kv = cfg.num_attention_heads, cfg.num_key_value_heads
+    stats = {}
+
+    # --- attention ---------------------------------------------------------
+    x = rms_norm(h, lp["ln1"]["w"], cfg.rms_norm_eps)  # f32
+    if capture:
+        stats["qkv_in_ch_absmax"] = jnp.max(jnp.abs(x.reshape(-1, d)), axis=0)
+    q = linear(x, lp["attn"]["q"], qcfg, qcfg.qkv if qcfg else PER_TENSOR,
+               LinearKind.POST_NORM, out_dtype=compute_dtype)
+    k = linear(x, lp["attn"]["k"], qcfg, qcfg.qkv if qcfg else PER_TENSOR,
+               LinearKind.POST_NORM, out_dtype=compute_dtype)
+    v = linear(x, lp["attn"]["v"], qcfg, qcfg.qkv if qcfg else PER_TENSOR,
+               LinearKind.POST_NORM, out_dtype=compute_dtype)
+    if capture:
+        stats["q_out_absmax"] = jnp.max(jnp.abs(q))
+        stats["k_out_absmax"] = jnp.max(jnp.abs(k))
+        stats["v_out_absmax"] = jnp.max(jnp.abs(v))
+
+    q = q.reshape(b, t, n_q, hd)
+    k = k.reshape(b, t, n_kv, hd)
+    v = v.reshape(b, t, n_kv, hd)
+    q = apply_rope(q, cos, sin)
+    k = apply_rope(k, cos, sin)
+
+    if cache is not None:
+        k_all = jax.lax.dynamic_update_slice(cache.k, k.astype(cache.k.dtype),
+                                             (0, cache_index, 0, 0))
+        v_all = jax.lax.dynamic_update_slice(cache.v, v.astype(cache.v.dtype),
+                                             (0, cache_index, 0, 0))
+        new_cache = KVCacheLayer(k=k_all, v=v_all)
+        k_att, v_att = k_all.astype(compute_dtype), v_all.astype(compute_dtype)
+    else:
+        new_cache = None
+        k_att, v_att = k, v
+
+    ctx = attend(q, k_att, v_att, mask, 1.0 / math.sqrt(hd))
+    ctx = ctx.reshape(b, t, n_q * hd)
+    if capture:
+        stats["o_in_ch_absmax"] = jnp.max(jnp.abs(ctx.reshape(-1, n_q * hd)), axis=0)
+    attn_out = linear(ctx, lp["attn"]["o"], qcfg, qcfg.out if qcfg else PER_TENSOR,
+                      LinearKind.SCALED, out_dtype=compute_dtype)
+    h = h + attn_out
+
+    # --- mlp ---------------------------------------------------------------
+    x2 = rms_norm(h, lp["ln2"]["w"], cfg.rms_norm_eps)
+    if capture:
+        stats["gate_in_ch_absmax"] = jnp.max(jnp.abs(x2.reshape(-1, d)), axis=0)
+    gate = linear(x2, lp["mlp"]["gate"], qcfg, qcfg.fc1 if qcfg else PER_TENSOR,
+                  LinearKind.POST_NORM, out_dtype=compute_dtype)
+    up = linear(x2, lp["mlp"]["up"], qcfg, qcfg.fc1 if qcfg else PER_TENSOR,
+                LinearKind.POST_NORM, out_dtype=compute_dtype)
+    act = (jax.nn.silu(gate.astype(jnp.float32)) * up.astype(jnp.float32)).astype(compute_dtype)
+    if capture:
+        stats["down_in_ch_absmax"] = jnp.max(
+            jnp.abs(act.reshape(-1, cfg.intermediate_size)), axis=0)
+    down = linear(act, lp["mlp"]["down"], qcfg, qcfg.fc2 if qcfg else PER_TENSOR,
+                  LinearKind.SCALED, out_dtype=compute_dtype)
+    h = h + down
+    return h, new_cache, stats
+
+
+def forward(params, input_ids: jnp.ndarray, cfg: LlamaConfig,
+            quant_config: Optional[QuantConfig] = None, *,
+            kv_cache=None, cache_index=None,
+            attention_mask: Optional[jnp.ndarray] = None,
+            capture_stats: bool = False,
+            compute_dtype=jnp.float32) -> Tuple[jnp.ndarray, Any, Any]:
+    """Run the decoder stack. input_ids: int32 [B, T].
+
+    kv_cache: None, or KVCacheLayer with leaves stacked [L, B, S_max, ...]
+    plus int32 ``cache_index`` (current fill length; tokens are written at
+    [cache_index, cache_index+T)).
+
+    Returns (hidden [B, T, D], new_kv_cache, stats-or-None).
+    Mirrors the call structure of QuantizedLlamaModel.forward
+    (= HF LlamaModel.forward, ref: models/llama.py:375).
+    """
+    b, t = input_ids.shape
+    h = params["embed"]["w"][input_ids].astype(compute_dtype)
+
+    if kv_cache is not None:
+        assert cache_index is not None
+        s_max = kv_cache.k.shape[2]
+        positions = cache_index + jnp.arange(t, dtype=jnp.int32)[None, :]
+        positions = jnp.broadcast_to(positions, (b, t))
+        # attend to s iff s <= cache_index + t_local (contiguous fill)
+        col = jnp.arange(s_max, dtype=jnp.int32)[None, None, None, :]
+        row_pos = positions[:, None, :, None]
+        mask = col <= row_pos
+    else:
+        positions = jnp.broadcast_to(jnp.arange(t, dtype=jnp.int32)[None, :], (b, t))
+        col = jnp.arange(t, dtype=jnp.int32)[None, None, None, :]
+        row = jnp.arange(t, dtype=jnp.int32)[None, None, :, None]
+        mask = col <= row
+        if attention_mask is not None:
+            mask = mask & attention_mask[:, None, None, :].astype(bool)
+
+    cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta)
+
+    def step(carry, layer_in):
+        hh = carry
+        lp, layer_cache = layer_in
+        hh, new_cache, stats = _layer_forward(
+            hh, lp, cfg, quant_config, cos, sin, mask, layer_cache,
+            cache_index, capture_stats, compute_dtype,
+        )
+        ys = (new_cache, stats) if capture_stats else (new_cache, None)
+        return hh, ys
+
+    layer_caches = kv_cache if kv_cache is not None else None
+    if layer_caches is None:
+        # scan needs a pytree with a leading L axis; use a dummy per-layer None
+        h, (new_caches, stats) = jax.lax.scan(
+            lambda c, lp: step(c, (lp, None)), h, params["layers"]
+        )
+        new_kv = None
+    else:
+        h, (new_caches, stats) = jax.lax.scan(
+            step, h, (params["layers"], layer_caches)
+        )
+        new_kv = new_caches
+
+    h = rms_norm(h, params["final_norm"]["w"], cfg.rms_norm_eps).astype(compute_dtype)
+    return h, new_kv, (stats if capture_stats else None)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "quant_config", "capture_stats", "compute_dtype"),
+)
+def forward_jit(params, input_ids, cfg: LlamaConfig,
+                quant_config: Optional[QuantConfig] = None,
+                capture_stats: bool = False, compute_dtype=jnp.float32):
+    """Jitted cacheless forward (calibration / perplexity / parity tests).
+    Un-jitted op-by-op dispatch is ~100x slower in this runtime — always go
+    through jit."""
+    return forward(params, input_ids, cfg, quant_config,
+                   capture_stats=capture_stats, compute_dtype=compute_dtype)
+
+
+def logits(params, hidden: jnp.ndarray) -> jnp.ndarray:
+    """lm_head (kept fp, ref: llama.py:409-410). Returns f32 [B, T, V]."""
+    return jnp.dot(hidden.astype(jnp.float32), params["lm_head"]["w"].astype(jnp.float32),
+                   preferred_element_type=jnp.float32)
+
+
+def init_kv_cache(cfg: LlamaConfig, batch: int, max_len: int,
+                  dtype=jnp.bfloat16) -> KVCacheLayer:
+    shape = (cfg.num_hidden_layers, batch, max_len, cfg.num_key_value_heads,
+             cfg.head_dim)
+    return KVCacheLayer(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype))
+
+
+# ---------------------------------------------------------------------------
+# Calibration-statistics contract
+# ---------------------------------------------------------------------------
+
+# Keys of the per-layer stats emitted by forward(capture_stats=True), and how
+# they aggregate across calibration batches (elementwise max).
+STAT_KEYS = (
+    "qkv_in_ch_absmax", "q_out_absmax", "k_out_absmax", "v_out_absmax",
+    "o_in_ch_absmax", "gate_in_ch_absmax", "down_in_ch_absmax",
+)
+
+
+def act_scales_dict(stats: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
+    """Convert stacked stats -> the reference's act_scales dict keyed by HF
+    module names (ref: calibration.py:44-88 keys smooth_lm consumes,
+    smooth.py:60-67). Per-channel input absmax per projection."""
+    out = {}
+    L = stats["qkv_in_ch_absmax"].shape[0]
+    for i in range(L):
+        base = f"model.layers.{i}"
+        out[f"{base}.self_attn.q_proj"] = stats["qkv_in_ch_absmax"][i]
+        out[f"{base}.self_attn.k_proj"] = stats["qkv_in_ch_absmax"][i]
+        out[f"{base}.self_attn.v_proj"] = stats["qkv_in_ch_absmax"][i]
+        out[f"{base}.self_attn.o_proj"] = stats["o_in_ch_absmax"][i]
+        out[f"{base}.mlp.gate_proj"] = stats["gate_in_ch_absmax"][i]
+        out[f"{base}.mlp.up_proj"] = stats["gate_in_ch_absmax"][i]
+        out[f"{base}.mlp.down_proj"] = stats["down_in_ch_absmax"][i]
+    return out
+
+
+def layer_scales(stats: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
+    """Stacked analog of collect_llama_layer_scales
+    (ref: calibration.py:115-136): scalar absmax / 127 per layer, shape [L]."""
+    return {
+        "attn_input_scale": jnp.max(stats["qkv_in_ch_absmax"], axis=-1) / 127.0,
+        "q_output_scale": stats["q_out_absmax"] / 127.0,
+        "k_output_scale": stats["k_out_absmax"] / 127.0,
+        "v_output_scale": stats["v_out_absmax"] / 127.0,
+        "out_input_scale": jnp.max(stats["o_in_ch_absmax"], axis=-1) / 127.0,
+        "gate_input_scale": jnp.max(stats["gate_in_ch_absmax"], axis=-1) / 127.0,
+        "down_input_scale": jnp.max(stats["down_in_ch_absmax"], axis=-1) / 127.0,
+    }
+
+
+# ---------------------------------------------------------------------------
+# Smooth (vmapped over stacked layers)
+# ---------------------------------------------------------------------------
+
+
+def smooth(params, stats: Dict[str, jnp.ndarray], alpha: float = 0.5):
+    """SmoothQuant migration for every layer at once. Functional analog of
+    smooth_lm's LlamaDecoderLayer branch (ref: smooth.py:56-67): ln1 -> q/k/v
+    with qkv input scales; ln2 -> gate/up with gate input scales."""
+    from ..quant.smooth import smooth_norm_fcs
+
+    def one(ln1, q, k, v, ln2, gate, up, qkv_scales, gate_scales):
+        ln1_new, (q2, k2, v2), _ = smooth_norm_fcs(ln1, [q, k, v], qkv_scales, alpha)
+        ln2_new, (g2, u2), _ = smooth_norm_fcs(ln2, [gate, up], gate_scales, alpha)
+        return ln1_new, q2, k2, v2, ln2_new, g2, u2
+
+    lay = params["layers"]
+    ln1_new, q2, k2, v2, ln2_new, g2, u2 = jax.vmap(one)(
+        lay["ln1"]["w"], lay["attn"]["q"]["w"], lay["attn"]["k"]["w"],
+        lay["attn"]["v"]["w"], lay["ln2"]["w"], lay["mlp"]["gate"]["w"],
+        lay["mlp"]["up"]["w"], stats["qkv_in_ch_absmax"], stats["gate_in_ch_absmax"],
+    )
+    new_layers = {
+        "ln1": {"w": ln1_new},
+        "attn": {**lay["attn"], "q": {"w": q2}, "k": {"w": k2}, "v": {"w": v2}},
+        "ln2": {"w": ln2_new},
+        "mlp": {**lay["mlp"], "gate": {"w": g2}, "up": {"w": u2}},
+    }
+    return {**params, "layers": new_layers}
+
+
+# ---------------------------------------------------------------------------
+# Quantize (convert float params -> quantized params)
+# ---------------------------------------------------------------------------
+
+
+def quantize(params, qcfg: QuantConfig, scales: Optional[Dict[str, jnp.ndarray]] = None):
+    """Produce the quantized params pytree. Functional analog of
+    QuantizedLlamaForCausalLM.from_float_to_int8 / _to_fp8
+    (ref: models/llama.py:424-440). ``scales``: stacked layer_scales() output
+    (required for int8 and fp8-static)."""
+    lay = params["layers"]
+
+    if qcfg.is_int8:
+        assert scales is not None
+
+        def quant_proj(w):
+            return jax.vmap(qmath.quantize_weight_per_tensor_absmax)(w)
+
+        def pack(w, input_scale, gran, kind):
+            qw, w_scale = quant_proj(w)
+            p = {"w": qw}
+            if gran == PER_TENSOR:
+                p["dequant_scale"] = w_scale * input_scale
+                if kind == LinearKind.SCALED:
+                    p["quant_scale"] = input_scale
+            else:
+                p["dequant_scale"] = w_scale
+            return p
+
+        attn_in = scales["attn_input_scale"]
+        out_in = scales["out_input_scale"]
+        gate_in = scales["gate_input_scale"]
+        down_in = scales["down_input_scale"]
+        new_layers = {
+            "ln1": {"w": lay["ln1"]["w"] / attn_in[:, None]
+                    if qcfg.qkv == PER_TENSOR else lay["ln1"]["w"]},
+            "attn": {
+                "q": pack(lay["attn"]["q"]["w"], attn_in, qcfg.qkv, LinearKind.POST_NORM),
+                "k": pack(lay["attn"]["k"]["w"], attn_in, qcfg.qkv, LinearKind.POST_NORM),
+                "v": pack(lay["attn"]["v"]["w"], attn_in, qcfg.qkv, LinearKind.POST_NORM),
+                "o": pack(lay["attn"]["o"]["w"], out_in, qcfg.out, LinearKind.SCALED),
+            },
+            "ln2": {"w": lay["ln2"]["w"] / gate_in[:, None]
+                    if qcfg.fc1 == PER_TENSOR else lay["ln2"]["w"]},
+            "mlp": {
+                "gate": pack(lay["mlp"]["gate"]["w"], gate_in, qcfg.fc1, LinearKind.POST_NORM),
+                "up": pack(lay["mlp"]["up"]["w"], gate_in, qcfg.fc1, LinearKind.POST_NORM),
+                "down": pack(lay["mlp"]["down"]["w"], down_in, qcfg.fc2, LinearKind.SCALED),
+            },
+        }
+        return {**params, "layers": new_layers}
+
+    # fp8 variants (ref: llama.py from_float_to_fp8 paths)
+    fdt = qcfg.fp8_dtype
+
+    def pack_fp8(w):
+        qw, w_scale = jax.vmap(lambda ww: qmath.quantize_fp8_per_tensor(ww, fdt))(w)
+        if qcfg.type == "fp8_e5m2":
+            # scale-free: bake the scale back in? No — e5m2 casts weights
+            # directly (linear.py:607-614); keep the raw cast.
+            return {"w": w.astype(fdt)}
+        return {"w": qw, "w_scale": w_scale}
+
+    new_layers = {
+        "ln1": dict(lay["ln1"]),
+        "attn": {k: pack_fp8(v["w"]) for k, v in lay["attn"].items()},
+        "ln2": dict(lay["ln2"]),
+        "mlp": {k: pack_fp8(v["w"]) for k, v in lay["mlp"].items()},
+    }
+    if qcfg.type == "fp8_e4m3" and qcfg.activation_scheme == "static":
+        assert scales is not None, "fp8 static needs observer scales"
+        # input scales per projection group (FP8StaticLinearQuantizer output)
+        for name, key in (("q", "attn_input_scale"), ("k", "attn_input_scale"),
+                          ("v", "attn_input_scale"), ("o", "out_input_scale")):
+            new_layers["attn"][name]["input_scale"] = scales[key] * 127.0 / qmath.FP8_E4M3_MAX
+        for name, key in (("gate", "gate_input_scale"), ("up", "gate_input_scale"),
+                          ("down", "down_input_scale")):
+            new_layers["mlp"][name]["input_scale"] = scales[key] * 127.0 / qmath.FP8_E4M3_MAX
+    return {**params, "layers": new_layers}
+
+
+import sys as _sys  # noqa: E402
+
+register_model("LlamaForCausalLM", FAMILY, _sys.modules[__name__])
+register_model("LLaMAForCausalLM", FAMILY, _sys.modules[__name__])

@@ -1,0 +1,187 @@
+"""Pure quantization math over jnp arrays.
+
+TPU-native re-design of the reference's quant/dequant helpers
+(ref: autosmoothquant/layers/functional/quantization.py:9-211). Everything is
+functional (no in-place mutation), jit-friendly (no host scalars), and keeps
+the reference's numeric conventions exactly:
+
+  - symmetric absmax int8: scale = absmax / 127, q = round(x / scale)
+  - activation scales clamped at 1e-8 before the /127 divide
+  - runtime activation quantization rounds then clamps to [-128, 127]
+  - fp8 e4m3: scale = absmax / finfo.max, saturating clamp before the cast
+
+Rounding: the reference relies on torch round (round-half-to-even);
+``jnp.round`` is also round-half-to-even, so quantized values match bit-for-bit
+on shared inputs.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+INT8_MAX = 127.0
+INT8_MIN = -128.0
+# jnp.finfo(float8_e4m3fn).max == 448.0, e5m2 max == 57344.0
+FP8_E4M3_MAX = float(jnp.finfo(jnp.float8_e4m3fn).max)
+FP8_E5M2_MAX = float(jnp.finfo(jnp.float8_e5m2).max)
+
+# ---------------------------------------------------------------------------
+# INT8 weight quantization (offline, done once at convert time)
+# ---------------------------------------------------------------------------
+
+
+def quantize_weight_per_tensor_absmax(w: jnp.ndarray):
+    """Symmetric per-tensor absmax int8 weight quant.
+
+    ref: functional/quantization.py:10-18 (quantize_per_tensor_absmax).
+    Returns (int8 values, f32 scalar scale).
+    """
+    scale = jnp.max(jnp.abs(w)).astype(jnp.float32) / INT8_MAX
+    q = jnp.clip(jnp.round(w.astype(jnp.float32) / scale), INT8_MIN, INT8_MAX)
+    return q.astype(jnp.int8), scale
+
+
+def quantize_weight_fused_absmax(ws):
+    """Quantize a list of same-shaped weights with one shared scale
+    (used for fused QKV / W_pack where one GEMM serves several logical
+    projections). ref: functional/quantization.py:21-36."""
+    scale = jnp.float32(0.0)
+    for w in ws:
+        scale = jnp.maximum(scale, jnp.max(jnp.abs(w)).astype(jnp.float32) / INT8_MAX)
+    qs = [
+        jnp.clip(jnp.round(w.astype(jnp.float32) / scale), INT8_MIN, INT8_MAX).astype(jnp.int8)
+        for w in ws
+    ]
+    return qs, scale
+
+
+def quantize_weight_per_channel_absmax(w: jnp.ndarray, axis: int = 0):
+    """Per-output-channel absmax int8 weight quant; reduces over ``axis``
+    (the *input* dim) so each output channel gets its own scale.
+
+    ref: functional/quantization.py:38-48 (there w is [out, in], reduce dim=1;
+    here weights are stored [in, out] so the default reduces axis 0).
+    Returns (int8 [..], f32 scales broadcastable against w).
+    """
+    scales = jnp.max(jnp.abs(w), axis=axis, keepdims=True).astype(jnp.float32) / INT8_MAX
+    q = jnp.clip(jnp.round(w.astype(jnp.float32) / scales), INT8_MIN, INT8_MAX)
+    return q.astype(jnp.int8), scales
+
+
+# ---------------------------------------------------------------------------
+# INT8 activation quantization (runtime, traced under jit)
+# ---------------------------------------------------------------------------
+
+
+def quantize_act_per_token(x: jnp.ndarray):
+    """Dynamic per-token absmax quant over the last dim.
+
+    ref: functional/quantization.py:77-84. Returns (int8 x, f32 scales
+    [..., 1]) — scales stay on-device (the reference's ``.item()`` host syncs
+    are deliberately NOT reproduced, see SURVEY.md §3.2 hot-loop hazards).
+    """
+    absmax = jnp.max(jnp.abs(x), axis=-1, keepdims=True)
+    scale = jnp.maximum(absmax.astype(jnp.float32), 1e-8) / INT8_MAX
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), INT8_MIN, INT8_MAX)
+    return q.astype(jnp.int8), scale
+
+
+def quantize_act_per_tensor_dynamic(x: jnp.ndarray):
+    """Dynamic per-tensor absmax quant. ref: functional/quantization.py:70-74."""
+    absmax = jnp.max(jnp.abs(x))
+    scale = jnp.maximum(absmax.astype(jnp.float32), 1e-8) / INT8_MAX
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), INT8_MIN, INT8_MAX)
+    return q.astype(jnp.int8), scale
+
+
+def quantize_act_static(x: jnp.ndarray, quant_scale) -> jnp.ndarray:
+    """Static per-tensor quant with a known scale (the WithQuantScale path:
+    o_proj/down_proj/fc2 whose input is not a norm output).
+    ref: layers/nn/linear.py:292-294."""
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / quant_scale), INT8_MIN, INT8_MAX)
+    return q.astype(jnp.int8)
+
+
+def quantize_act_prescaled(x: jnp.ndarray) -> jnp.ndarray:
+    """Per-tensor quant for inputs whose 1/scale was folded into the preceding
+    RMSNorm/LayerNorm weight — runtime cost is just round+clamp.
+    ref: layers/nn/linear.py:95 and models/llama.py:27-37 (the fold)."""
+    q = jnp.clip(jnp.round(x.astype(jnp.float32)), INT8_MIN, INT8_MAX)
+    return q.astype(jnp.int8)
+
+
+def fake_quantize_act_per_token(x: jnp.ndarray) -> jnp.ndarray:
+    """Simulated per-token quant in fp (research path).
+    ref: functional/quantization.py:97-101."""
+    q, scale = quantize_act_per_token(x)
+    return (q.astype(jnp.float32) * scale).astype(x.dtype)
+
+
+def fake_quantize_act_per_tensor(x: jnp.ndarray) -> jnp.ndarray:
+    """ref: functional/quantization.py:87-93."""
+    q, scale = quantize_act_per_tensor_dynamic(x)
+    return (q.astype(jnp.float32) * scale).astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Dequantization
+# ---------------------------------------------------------------------------
+
+
+def dequantize_w_per_channel_a_per_token(q, w_scales, a_scales, dtype=jnp.float32):
+    """out[i,j] = q[i,j] * w_scales[j] * a_scales[i].
+    ref: functional/quantization.py:104-112."""
+    out = q.astype(jnp.float32) * w_scales.reshape(1, -1) * a_scales.reshape(-1, 1)
+    return out.astype(dtype)
+
+
+def dequantize_w_per_channel_a_per_tensor(q, w_scales, a_scale, dtype=jnp.float32):
+    """ref: functional/quantization.py:114-120."""
+    out = q.astype(jnp.float32) * w_scales.reshape(1, -1) * a_scale
+    return out.astype(dtype)
+
+
+# ---------------------------------------------------------------------------
+# FP8 quantization (e4m3 default; e5m2 scale-free variant)
+# ---------------------------------------------------------------------------
+
+
+def quantize_fp8_per_tensor(x: jnp.ndarray, dtype=jnp.float8_e4m3fn):
+    """Per-tensor fp8 with saturating clamp (default casts are unsaturated).
+    ref: functional/quantization.py:144-171. Returns (fp8 values, f32 scale)."""
+    fmax = float(jnp.finfo(dtype).max)
+    amax = jnp.max(jnp.abs(x)).astype(jnp.float32)
+    # Empty-tensor guard (empty MoE experts): the reference substitutes
+    # amax=16.0; with static shapes this only triggers for size-0 arrays.
+    if x.size == 0:
+        amax = jnp.float32(16.0)
+    scale = amax / fmax
+    q = jnp.clip(x.astype(jnp.float32) / scale, -fmax, fmax).astype(dtype)
+    return q, scale
+
+
+def quantize_fp8_per_token(x: jnp.ndarray, dtype=jnp.float8_e4m3fn):
+    """Per-token fp8. ref: functional/quantization.py:174-192."""
+    fmax = float(jnp.finfo(dtype).max)
+    scale = (jnp.max(jnp.abs(x), axis=-1, keepdims=True) / fmax).astype(jnp.float32)
+    q = jnp.clip(x.astype(jnp.float32) / scale, -fmax, fmax).astype(dtype)
+    return q, scale
+
+
+def quantize_fp8_static(x: jnp.ndarray, scale, dtype=jnp.float8_e4m3fn):
+    """Static fp8 with a frozen scale. ref: functional/quantization.py:209-212."""
+    fmax = float(jnp.finfo(dtype).max)
+    q = jnp.clip(x.astype(jnp.float32) / scale, -fmax, fmax).astype(dtype)
+    return q
+
+
+def fake_quantize_fp8_per_tensor(x: jnp.ndarray, dtype=jnp.float8_e4m3fn):
+    """ref: functional/quantization.py:195-199."""
+    q, scale = quantize_fp8_per_tensor(x, dtype)
+    return (q.astype(jnp.float32) * scale).astype(x.dtype)
+
+
+def fake_quantize_fp8_per_token(x: jnp.ndarray, dtype=jnp.float8_e4m3fn):
+    """ref: functional/quantization.py:201-206."""
+    q, scale = quantize_fp8_per_token(x, dtype)
+    return (q.astype(jnp.float32) * scale).astype(x.dtype)

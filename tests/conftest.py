@@ -1,0 +1,16 @@
+"""Test harness: run everything on a virtual 8-device CPU mesh so sharding
+tests work without a pod (SURVEY.md §4's fake-backend strategy). Must set the
+flags before jax initializes a backend, hence module import order matters."""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", False)
