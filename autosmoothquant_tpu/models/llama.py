@@ -196,6 +196,8 @@ def _layer_forward(h, lp, cfg: LlamaConfig, qcfg: Optional[QuantConfig],
 def forward(params, input_ids: jnp.ndarray, cfg: LlamaConfig,
             quant_config: Optional[QuantConfig] = None, *,
             kv_cache=None, cache_index=None,
+            kv_valid: Optional[jnp.ndarray] = None,
+            positions: Optional[jnp.ndarray] = None,
             attention_mask: Optional[jnp.ndarray] = None,
             capture_stats: bool = False,
             compute_dtype=jnp.float32) -> Tuple[jnp.ndarray, Any, Any]:
@@ -215,14 +217,22 @@ def forward(params, input_ids: jnp.ndarray, cfg: LlamaConfig,
     if kv_cache is not None:
         assert cache_index is not None
         s_max = kv_cache.k.shape[2]
-        positions = cache_index + jnp.arange(t, dtype=jnp.int32)[None, :]
-        positions = jnp.broadcast_to(positions, (b, t))
-        # attend to s iff s <= cache_index + t_local (contiguous fill)
+        # cache-slot indices of the tokens being written (contiguous fill)
+        slots = cache_index + jnp.arange(t, dtype=jnp.int32)[None, :]
+        slots = jnp.broadcast_to(slots, (b, t))
+        if positions is None:
+            positions = slots  # no padding: slot == rope position
+        # attend to slot s iff s <= own slot
         col = jnp.arange(s_max, dtype=jnp.int32)[None, None, None, :]
-        row_pos = positions[:, None, :, None]
-        mask = col <= row_pos
+        mask = col <= slots[:, None, :, None]
+        if kv_valid is not None:
+            # kv_valid [B, S_max]: masks out padding slots written into the
+            # cache (left-padded prompts / continuous-batching free slots)
+            mask = mask & kv_valid[:, None, None, :]
     else:
-        positions = jnp.broadcast_to(jnp.arange(t, dtype=jnp.int32)[None, :], (b, t))
+        if positions is None:
+            positions = jnp.broadcast_to(
+                jnp.arange(t, dtype=jnp.int32)[None, :], (b, t))
         col = jnp.arange(t, dtype=jnp.int32)[None, None, None, :]
         row = jnp.arange(t, dtype=jnp.int32)[None, None, :, None]
         mask = col <= row

@@ -1,0 +1,154 @@
+"""Generation engine: jitted prefill + single-jit scan decode.
+
+The reference drives generation through HF GenerationMixin (one Python-level
+forward per token, ref: examples/test_model.py:51). On TPU, per-step host
+dispatch costs ~30-80ms through the runtime, so the whole decode loop runs
+on-device inside ONE jitted ``lax.scan`` — tokens stream back only at the
+end. Left-padding aligns ragged prompts so every sequence's next slot is
+identical; kv_valid masks the pad slots out of attention.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..quant.config import QuantConfig
+
+
+@dataclasses.dataclass(frozen=True)
+class GenerationConfig:
+    max_new_tokens: int = 20
+    temperature: float = 0.0  # 0 => greedy (test_model.py uses greedy)
+    top_k: int = 0            # 0 => no top-k filter
+    eos_token_id: Optional[int] = None
+
+
+def _sample(logits_f32, key, gen_cfg: GenerationConfig):
+    """logits [B, V] -> token ids [B]."""
+    if gen_cfg.temperature == 0.0:
+        return jnp.argmax(logits_f32, axis=-1).astype(jnp.int32)
+    scaled = logits_f32 / gen_cfg.temperature
+    if gen_cfg.top_k > 0:
+        kth = jnp.sort(scaled, axis=-1)[:, -gen_cfg.top_k][:, None]
+        scaled = jnp.where(scaled < kth, -jnp.inf, scaled)
+    return jax.random.categorical(key, scaled, axis=-1).astype(jnp.int32)
+
+
+class Engine:
+    """Single-host generation engine over a functional model family.
+
+    model_mod: models/<family>.py module (forward/logits/init_kv_cache).
+    params: float or quantized pytree; qcfg selects the quantized path.
+    """
+
+    def __init__(self, model_mod, params, cfg, qcfg: Optional[QuantConfig] = None,
+                 *, max_batch: int = 8, max_seq: int = 2048,
+                 kv_dtype=jnp.bfloat16, compute_dtype=jnp.bfloat16,
+                 mesh=None, param_shardings=None):
+        self.model = model_mod
+        self.params = params
+        self.cfg = cfg
+        self.qcfg = qcfg
+        self.max_batch = max_batch
+        self.max_seq = max_seq
+        self.kv_dtype = kv_dtype
+        self.compute_dtype = compute_dtype
+        self.mesh = mesh
+        self._prefill = {}
+        self._decode = {}
+
+    # -- jitted stages ------------------------------------------------------
+
+    def _prefill_fn(self, prompt_len: int):
+        if prompt_len not in self._prefill:
+            model, cfg, qcfg, cdt = self.model, self.cfg, self.qcfg, self.compute_dtype
+
+            @jax.jit
+            def prefill(params, ids, positions, kv_valid, cache):
+                h, cache, _ = model.forward(
+                    params, ids, cfg, qcfg, kv_cache=cache, cache_index=0,
+                    kv_valid=kv_valid, positions=positions, compute_dtype=cdt)
+                logits = model.logits(params, h[:, -1:, :])[:, 0]
+                return logits, cache
+
+            self._prefill[prompt_len] = prefill
+        return self._prefill[prompt_len]
+
+    def _decode_fn(self, num_steps: int):
+        key_cfg = num_steps
+        if key_cfg not in self._decode:
+            model, cfg, qcfg, cdt = self.model, self.cfg, self.qcfg, self.compute_dtype
+
+            @functools.partial(jax.jit, static_argnames=("gen_cfg",))
+            def decode(params, first_logits, cache, kv_valid, start_slot,
+                       pad_lens, rng_key, gen_cfg: GenerationConfig):
+                def step(carry, key):
+                    tok, cache, kv_valid, slot = carry
+                    positions = (slot - pad_lens)[:, None]
+                    kv_valid = kv_valid.at[:, slot].set(True)
+                    h, cache, _ = model.forward(
+                        params, tok[:, None], cfg, qcfg, kv_cache=cache,
+                        cache_index=slot, kv_valid=kv_valid,
+                        positions=positions, compute_dtype=cdt)
+                    logits = model.logits(params, h)[:, 0]
+                    next_tok = _sample(logits, key, gen_cfg)
+                    return (next_tok, cache, kv_valid, slot + 1), next_tok
+
+                key0, key_rest = jax.random.split(rng_key)
+                tok0 = _sample(first_logits, key0, gen_cfg)
+                keys = jax.random.split(key_rest, num_steps)
+                (_, cache, kv_valid, _), ys = jax.lax.scan(
+                    step, (tok0, cache, kv_valid, start_slot), keys)
+                all_toks = jnp.concatenate([tok0[:, None], ys.T], axis=1)
+                return all_toks, cache, kv_valid
+
+            self._decode[key_cfg] = decode
+        return self._decode[key_cfg]
+
+    # -- public API ---------------------------------------------------------
+
+    def generate(self, prompts: Sequence[Sequence[int]],
+                 gen_cfg: Optional[GenerationConfig] = None,
+                 seed: int = 0) -> List[List[int]]:
+        """Greedy/sampled continuation for a batch of ragged prompts.
+        Returns new tokens per prompt (eos-truncated if configured)."""
+        gen_cfg = gen_cfg or GenerationConfig()
+        b = len(prompts)
+        assert b <= self.max_batch
+        max_len = max(len(p) for p in prompts)
+        # left-pad to common length so every sequence's next slot == max_len
+        ids = np.zeros((b, max_len), np.int32)
+        pad_lens = np.zeros((b,), np.int32)
+        valid = np.zeros((b, self.max_seq), bool)
+        for i, p in enumerate(prompts):
+            pad = max_len - len(p)
+            ids[i, pad:] = p
+            pad_lens[i] = pad
+            valid[i, pad:max_len] = True
+        positions = np.maximum(
+            np.arange(max_len, dtype=np.int32)[None, :] - pad_lens[:, None], 0)
+
+        cache = self.model.init_kv_cache(self.cfg, b, self.max_seq, self.kv_dtype)
+        first_logits, cache = self._prefill_fn(max_len)(
+            self.params, jnp.asarray(ids), jnp.asarray(positions),
+            jnp.asarray(valid), cache)
+
+        n = gen_cfg.max_new_tokens
+        toks, _, _ = self._decode_fn(n - 1)(
+            self.params, first_logits, cache, jnp.asarray(valid),
+            jnp.int32(max_len), jnp.asarray(pad_lens),
+            jax.random.PRNGKey(seed), gen_cfg)
+        out = np.asarray(toks)
+        results = []
+        for i in range(b):
+            row = out[i].tolist()
+            if gen_cfg.eos_token_id is not None and gen_cfg.eos_token_id in row:
+                row = row[: row.index(gen_cfg.eos_token_id)]
+            results.append(row)
+        return results
