@@ -82,7 +82,65 @@ def llama_params_from_state_dict(sd: Dict[str, Any], num_layers: int,
     return p
 
 
-_LOADERS = {"llama": llama_params_from_state_dict}
+def opt_params_from_state_dict(sd: Dict[str, Any], num_layers: int,
+                               dtype=jnp.float32) -> Dict[str, Any]:
+    """Map HF OPT names -> stacked layout (bias-ful)."""
+    def cast(x):
+        return x.astype(dtype)
+
+    def stack_wb(wpat, bpat):
+        return {
+            "w": cast(_stack(sd, wpat, num_layers, True)),
+            "b": cast(_stack(sd, bpat, num_layers, False)),
+        }
+
+    base = "model.decoder.layers.{i}"
+    p = {
+        "embed": {"w": cast(jnp.asarray(_to_np(sd["model.decoder.embed_tokens.weight"])))},
+        "embed_pos": {"w": cast(jnp.asarray(_to_np(sd["model.decoder.embed_positions.weight"])))},
+        "layers": {
+            "ln1": stack_wb(f"{base}.self_attn_layer_norm.weight",
+                            f"{base}.self_attn_layer_norm.bias"),
+            "attn": {
+                "q": stack_wb(f"{base}.self_attn.q_proj.weight",
+                              f"{base}.self_attn.q_proj.bias"),
+                "k": stack_wb(f"{base}.self_attn.k_proj.weight",
+                              f"{base}.self_attn.k_proj.bias"),
+                "v": stack_wb(f"{base}.self_attn.v_proj.weight",
+                              f"{base}.self_attn.v_proj.bias"),
+                "o": stack_wb(f"{base}.self_attn.out_proj.weight",
+                              f"{base}.self_attn.out_proj.bias"),
+            },
+            "ln2": stack_wb(f"{base}.final_layer_norm.weight",
+                            f"{base}.final_layer_norm.bias"),
+            "mlp": {
+                "fc1": stack_wb(f"{base}.fc1.weight", f"{base}.fc1.bias"),
+                "fc2": stack_wb(f"{base}.fc2.weight", f"{base}.fc2.bias"),
+            },
+        },
+    }
+    if "model.decoder.final_layer_norm.weight" in sd:
+        p["final_norm"] = {
+            "w": cast(jnp.asarray(_to_np(sd["model.decoder.final_layer_norm.weight"]))),
+            "b": cast(jnp.asarray(_to_np(sd["model.decoder.final_layer_norm.bias"]))),
+        }
+    # the reference drops project_in (opt.py:214-224); both are carried here
+    if "model.decoder.project_in.weight" in sd:
+        p["project_in"] = {"w": cast(jnp.asarray(_to_np(sd["model.decoder.project_in.weight"]).T))}
+    if "model.decoder.project_out.weight" in sd:
+        p["project_out"] = {"w": cast(jnp.asarray(_to_np(sd["model.decoder.project_out.weight"]).T))}
+    if "lm_head.weight" in sd:
+        p["lm_head"] = {"w": cast(jnp.asarray(_to_np(sd["lm_head.weight"]).T))}
+    else:
+        p["lm_head"] = {"w": cast(jnp.asarray(_to_np(sd["model.decoder.embed_tokens.weight"]).T))}
+    return p
+
+
+_LOADERS = {
+    "llama": llama_params_from_state_dict,
+    "transformers": opt_params_from_state_dict,  # the reference's OPT family tag
+    "opt": opt_params_from_state_dict,
+}
 
 
 def register_loader(family: str, fn) -> None:

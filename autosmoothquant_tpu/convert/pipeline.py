@@ -35,7 +35,7 @@ def calibrate_smooth_quantize(model_mod, params, cfg, qcfg: QuantConfig,
     smoothquant_model.py:54-58)."""
     stats_fp = calibrate(model_mod, params, cfg, batches_fn(),
                          compute_dtype=compute_dtype)
-    smoothed = model_mod.smooth(params, stats_fp, alpha)
+    smoothed = model_mod.smooth(params, stats_fp, alpha, cfg=cfg)
 
     needs_static = qcfg.is_int8 or (
         qcfg.type == "fp8_e4m3" and qcfg.activation_scheme == "static"
@@ -47,7 +47,7 @@ def calibrate_smooth_quantize(model_mod, params, cfg, qcfg: QuantConfig,
                              compute_dtype=compute_dtype)
         scales = model_mod.layer_scales(stats_sm)
 
-    qparams = model_mod.quantize(smoothed, qcfg, scales)
+    qparams = model_mod.quantize(smoothed, qcfg, scales, cfg=cfg)
     artifacts = {
         "act_stats_fp": stats_fp,
         "act_stats_smoothed": stats_sm,

@@ -344,7 +344,8 @@ def layer_scales(stats: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
 # ---------------------------------------------------------------------------
 
 
-def smooth(params, stats: Dict[str, jnp.ndarray], alpha: float = 0.5):
+def smooth(params, stats: Dict[str, jnp.ndarray], alpha: float = 0.5,
+           cfg: Optional[LlamaConfig] = None):
     """SmoothQuant migration for every layer at once. Functional analog of
     smooth_lm's LlamaDecoderLayer branch (ref: smooth.py:56-67): ln1 -> q/k/v
     with qkv input scales; ln2 -> gate/up with gate input scales."""
@@ -375,7 +376,9 @@ def smooth(params, stats: Dict[str, jnp.ndarray], alpha: float = 0.5):
 # ---------------------------------------------------------------------------
 
 
-def quantize(params, qcfg: QuantConfig, scales: Optional[Dict[str, jnp.ndarray]] = None):
+def quantize(params, qcfg: QuantConfig,
+             scales: Optional[Dict[str, jnp.ndarray]] = None,
+             cfg: Optional[LlamaConfig] = None):
     """Produce the quantized params pytree. Functional analog of
     QuantizedLlamaForCausalLM.from_float_to_int8 / _to_fp8
     (ref: models/llama.py:424-440). ``scales``: stacked layer_scales() output
@@ -450,6 +453,8 @@ def quantize(params, qcfg: QuantConfig, scales: Optional[Dict[str, jnp.ndarray]]
             new_layers["mlp"][name]["input_scale"] = scales[key] * 127.0 / qmath.FP8_E4M3_MAX
     return {**params, "layers": new_layers}
 
+
+config_from_hf = LlamaConfig.from_hf
 
 import sys as _sys  # noqa: E402
 

@@ -1,0 +1,410 @@
+"""OPT family (int8, bias-ful linears, LayerNorm, learned positions, ReLU).
+
+Functional TPU-native re-design of the reference's Int8OPT* module surgery
+(ref: autosmoothquant/models/opt.py). Same stacked-[L]-and-scan layout as
+llama.py. Covers both pre-LN (do_layer_norm_before=True, most OPTs) and
+post-LN (opt-350m) orderings (ref: opt.py:118,196-201), and the
+word_embed_proj_dim != hidden_size projection pair. Note: the reference's
+Int8OPTDecoder.from_float drops project_in (opt.py:214-224, latent bug noted
+in SURVEY.md §2.3); here both projections are carried.
+
+Params layout ([in, out] weights):
+    {"embed":      {"w": [V, Dw]},
+     "embed_pos":  {"w": [P+2, D]},          # learned, offset-2 like HF
+     "project_in": {"w": [Dw, D]}            # only when Dw != D
+     "project_out":{"w": [D, Dw]}            # only when Dw != D
+     "layers":     {"ln1": {"w","b"}, "attn": {q,k,v,o each {"w","b"}},
+                    "ln2": {"w","b"}, "mlp": {"fc1","fc2" each {"w","b"}}},
+     "final_norm": {"w","b"}                 # only when do_layer_norm_before
+     "lm_head":    {"w": [Dw, V]}}
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import math
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..quant import math as qmath
+from ..quant.config import PER_TENSOR, QuantConfig
+from .common import (
+    KVCacheLayer,
+    LinearKind,
+    attend,
+    layer_norm,
+    linear,
+)
+from .registry import register_model
+
+FAMILY = "transformers"  # the reference's family tag for OPT (models/__init__.py)
+
+POS_OFFSET = 2  # HF OPTLearnedPositionalEmbedding offset
+
+
+@dataclasses.dataclass(frozen=True)
+class OPTConfig:
+    vocab_size: int = 50272
+    hidden_size: int = 768
+    word_embed_proj_dim: int = 768
+    ffn_dim: int = 3072
+    num_hidden_layers: int = 12
+    num_attention_heads: int = 12
+    max_position_embeddings: int = 2048
+    do_layer_norm_before: bool = True
+    enable_bias: bool = True
+    layer_norm_eps: float = 1e-5
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_attention_heads
+
+    @classmethod
+    def from_hf(cls, hf) -> "OPTConfig":
+        g = (lambda k, d=None: hf.get(k, d)) if isinstance(hf, dict) \
+            else (lambda k, d=None: getattr(hf, k, d))
+        return cls(
+            vocab_size=g("vocab_size"),
+            hidden_size=g("hidden_size"),
+            word_embed_proj_dim=g("word_embed_proj_dim", g("hidden_size")),
+            ffn_dim=g("ffn_dim"),
+            num_hidden_layers=g("num_hidden_layers"),
+            num_attention_heads=g("num_attention_heads"),
+            max_position_embeddings=g("max_position_embeddings", 2048),
+            do_layer_norm_before=bool(g("do_layer_norm_before", True)),
+            enable_bias=bool(g("enable_bias", True)),
+        )
+
+
+config_from_hf = OPTConfig.from_hf
+
+
+def init_params(cfg: OPTConfig, key, dtype=jnp.float32) -> Dict[str, Any]:
+    keys = iter(jax.random.split(key, 16))
+    L, D, F, V, Dw = (cfg.num_hidden_layers, cfg.hidden_size, cfg.ffn_dim,
+                      cfg.vocab_size, cfg.word_embed_proj_dim)
+
+    def w(k, *shape, scale=None):
+        s = scale if scale is not None else 1.0 / math.sqrt(shape[-2])
+        return (jax.random.normal(k, shape, jnp.float32) * s).astype(dtype)
+
+    def b(*shape):
+        return jnp.zeros(shape, dtype)
+
+    p = {
+        "embed": {"w": w(next(keys), V, Dw, scale=0.02)},
+        "embed_pos": {"w": w(next(keys), cfg.max_position_embeddings + POS_OFFSET,
+                             D, scale=0.02)},
+        "layers": {
+            "ln1": {"w": jnp.ones((L, D), dtype), "b": b(L, D)},
+            "attn": {
+                "q": {"w": w(next(keys), L, D, D), "b": b(L, D)},
+                "k": {"w": w(next(keys), L, D, D), "b": b(L, D)},
+                "v": {"w": w(next(keys), L, D, D), "b": b(L, D)},
+                "o": {"w": w(next(keys), L, D, D), "b": b(L, D)},
+            },
+            "ln2": {"w": jnp.ones((L, D), dtype), "b": b(L, D)},
+            "mlp": {
+                "fc1": {"w": w(next(keys), L, D, F), "b": b(L, F)},
+                "fc2": {"w": w(next(keys), L, F, D), "b": b(L, D)},
+            },
+        },
+        "final_norm": {"w": jnp.ones((D,), dtype), "b": b(D)},
+        "lm_head": {"w": w(next(keys), Dw, V, scale=0.02)},
+    }
+    if Dw != D:
+        p["project_in"] = {"w": w(next(keys), Dw, D)}
+        p["project_out"] = {"w": w(next(keys), D, Dw)}
+    return p
+
+
+def _layer_forward(h, lp, cfg: OPTConfig, qcfg: Optional[QuantConfig],
+                   mask, cache, cache_index, capture, compute_dtype):
+    b, t, d = h.shape
+    hd = cfg.head_dim
+    n_h = cfg.num_attention_heads
+    stats = {}
+    eps = cfg.layer_norm_eps
+
+    # --- attention (pre- or post-LN, ref opt.py honoring config) -----------
+    residual = h
+    if cfg.do_layer_norm_before:
+        x = layer_norm(h, lp["ln1"]["w"], lp["ln1"]["b"], eps)
+        qkv_kind = LinearKind.POST_NORM
+    else:
+        # post-LN (opt-350m): qkv input is NOT a norm output, so the
+        # per-tensor input scale cannot be folded — it lives in quant_scale
+        x = h.astype(jnp.float32)
+        qkv_kind = LinearKind.SCALED
+    if capture:
+        stats["qkv_in_ch_absmax"] = jnp.max(jnp.abs(x.reshape(-1, d)), axis=0)
+    gran = qcfg.qkv if qcfg else PER_TENSOR
+    q = linear(x, lp["attn"]["q"], qcfg, gran, qkv_kind, compute_dtype)
+    k = linear(x, lp["attn"]["k"], qcfg, gran, qkv_kind, compute_dtype)
+    v = linear(x, lp["attn"]["v"], qcfg, gran, qkv_kind, compute_dtype)
+    if capture:
+        stats["q_out_absmax"] = jnp.max(jnp.abs(q))
+        stats["k_out_absmax"] = jnp.max(jnp.abs(k))
+        stats["v_out_absmax"] = jnp.max(jnp.abs(v))
+    q = q.reshape(b, t, n_h, hd)
+    k = k.reshape(b, t, n_h, hd)
+    v = v.reshape(b, t, n_h, hd)
+
+    if cache is not None:
+        k_all = jax.lax.dynamic_update_slice(cache.k, k.astype(cache.k.dtype),
+                                             (0, cache_index, 0, 0))
+        v_all = jax.lax.dynamic_update_slice(cache.v, v.astype(cache.v.dtype),
+                                             (0, cache_index, 0, 0))
+        new_cache = KVCacheLayer(k=k_all, v=v_all)
+        k_att, v_att = k_all.astype(compute_dtype), v_all.astype(compute_dtype)
+    else:
+        new_cache = None
+        k_att, v_att = k, v
+
+    ctx = attend(q, k_att, v_att, mask, 1.0 / math.sqrt(hd))
+    ctx = ctx.reshape(b, t, d)
+    if capture:
+        stats["o_in_ch_absmax"] = jnp.max(jnp.abs(ctx.reshape(-1, d)), axis=0)
+    attn_out = linear(ctx, lp["attn"]["o"], qcfg, qcfg.out if qcfg else PER_TENSOR,
+                      LinearKind.SCALED, compute_dtype)
+    h = residual + attn_out
+    if not cfg.do_layer_norm_before:  # post-LN (opt-350m)
+        h = layer_norm(h, lp["ln1"]["w"], lp["ln1"]["b"], eps).astype(compute_dtype)
+
+    # --- ffn ----------------------------------------------------------------
+    residual = h
+    if cfg.do_layer_norm_before:
+        x2 = layer_norm(h, lp["ln2"]["w"], lp["ln2"]["b"], eps)
+        fc1_kind = LinearKind.POST_NORM
+    else:
+        x2 = h.astype(jnp.float32)
+        fc1_kind = LinearKind.SCALED
+    if capture:
+        stats["fc1_in_ch_absmax"] = jnp.max(jnp.abs(x2.reshape(-1, d)), axis=0)
+    act = linear(x2, lp["mlp"]["fc1"], qcfg, qcfg.fc1 if qcfg else PER_TENSOR,
+                 fc1_kind, compute_dtype)
+    act = jnp.maximum(act, 0)  # OPT uses ReLU
+    if capture:
+        stats["fc2_in_ch_absmax"] = jnp.max(
+            jnp.abs(act.reshape(-1, cfg.ffn_dim)), axis=0)
+    out = linear(act, lp["mlp"]["fc2"], qcfg, qcfg.fc2 if qcfg else PER_TENSOR,
+                 LinearKind.SCALED, compute_dtype)
+    h = residual + out
+    if not cfg.do_layer_norm_before:
+        h = layer_norm(h, lp["ln2"]["w"], lp["ln2"]["b"], eps).astype(compute_dtype)
+    return h.astype(compute_dtype), new_cache, stats
+
+
+def forward(params, input_ids: jnp.ndarray, cfg: OPTConfig,
+            quant_config: Optional[QuantConfig] = None, *,
+            kv_cache=None, cache_index=None,
+            kv_valid: Optional[jnp.ndarray] = None,
+            positions: Optional[jnp.ndarray] = None,
+            attention_mask: Optional[jnp.ndarray] = None,
+            capture_stats: bool = False,
+            compute_dtype=jnp.float32) -> Tuple[jnp.ndarray, Any, Any]:
+    """Mirrors Int8OPTDecoder.forward (= HF OPTDecoder.forward, ref opt.py)."""
+    b, t = input_ids.shape
+    h = params["embed"]["w"][input_ids].astype(compute_dtype)
+    if "project_in" in params:
+        h = jnp.dot(h, params["project_in"]["w"].astype(compute_dtype))
+
+    if kv_cache is not None:
+        assert cache_index is not None
+        s_max = kv_cache.k.shape[2]
+        slots = cache_index + jnp.arange(t, dtype=jnp.int32)[None, :]
+        slots = jnp.broadcast_to(slots, (b, t))
+        if positions is None:
+            positions = slots
+        col = jnp.arange(s_max, dtype=jnp.int32)[None, None, None, :]
+        mask = col <= slots[:, None, :, None]
+        if kv_valid is not None:
+            mask = mask & kv_valid[:, None, None, :]
+    else:
+        if positions is None:
+            positions = jnp.broadcast_to(
+                jnp.arange(t, dtype=jnp.int32)[None, :], (b, t))
+        col = jnp.arange(t, dtype=jnp.int32)[None, None, None, :]
+        row = jnp.arange(t, dtype=jnp.int32)[None, None, :, None]
+        mask = col <= row
+        if attention_mask is not None:
+            mask = mask & attention_mask[:, None, None, :].astype(bool)
+
+    pos_emb = params["embed_pos"]["w"][positions + POS_OFFSET].astype(compute_dtype)
+    h = h + pos_emb
+
+    def step(carry, layer_in):
+        lp, layer_cache = layer_in
+        hh, new_cache, stats = _layer_forward(
+            carry, lp, cfg, quant_config, mask, layer_cache, cache_index,
+            capture_stats, compute_dtype)
+        return hh, (new_cache, stats if capture_stats else None)
+
+    if kv_cache is None:
+        h, (new_caches, stats) = jax.lax.scan(
+            lambda c, lp: step(c, (lp, None)), h, params["layers"])
+        new_kv = None
+    else:
+        h, (new_caches, stats) = jax.lax.scan(
+            step, h, (params["layers"], kv_cache))
+        new_kv = new_caches
+
+    if cfg.do_layer_norm_before and "final_norm" in params:
+        h = layer_norm(h, params["final_norm"]["w"], params["final_norm"]["b"],
+                       cfg.layer_norm_eps)
+    h = h.astype(compute_dtype)
+    if "project_out" in params:
+        h = jnp.dot(h, params["project_out"]["w"].astype(compute_dtype))
+    return h, new_kv, (stats if capture_stats else None)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "quant_config", "capture_stats", "compute_dtype"),
+)
+def forward_jit(params, input_ids, cfg: OPTConfig,
+                quant_config: Optional[QuantConfig] = None,
+                capture_stats: bool = False, compute_dtype=jnp.float32):
+    return forward(params, input_ids, cfg, quant_config,
+                   capture_stats=capture_stats, compute_dtype=compute_dtype)
+
+
+def logits(params, hidden: jnp.ndarray) -> jnp.ndarray:
+    return jnp.dot(hidden.astype(jnp.float32),
+                   params["lm_head"]["w"].astype(jnp.float32),
+                   preferred_element_type=jnp.float32)
+
+
+def init_kv_cache(cfg: OPTConfig, batch: int, max_len: int,
+                  dtype=jnp.bfloat16) -> KVCacheLayer:
+    shape = (cfg.num_hidden_layers, batch, max_len, cfg.num_attention_heads,
+             cfg.head_dim)
+    return KVCacheLayer(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype))
+
+
+STAT_KEYS = (
+    "qkv_in_ch_absmax", "q_out_absmax", "k_out_absmax", "v_out_absmax",
+    "o_in_ch_absmax", "fc1_in_ch_absmax", "fc2_in_ch_absmax",
+)
+
+
+def act_scales_dict(stats) -> Dict[str, jnp.ndarray]:
+    """ref: calibration.py keys for OPT (model.decoder.layers.{i}....)."""
+    out = {}
+    for i in range(stats["qkv_in_ch_absmax"].shape[0]):
+        base = f"model.decoder.layers.{i}"
+        for proj in ("q_proj", "k_proj", "v_proj"):
+            out[f"{base}.self_attn.{proj}"] = stats["qkv_in_ch_absmax"][i]
+        out[f"{base}.self_attn.out_proj"] = stats["o_in_ch_absmax"][i]
+        out[f"{base}.fc1"] = stats["fc1_in_ch_absmax"][i]
+        out[f"{base}.fc2"] = stats["fc2_in_ch_absmax"][i]
+    return out
+
+
+def layer_scales(stats) -> Dict[str, jnp.ndarray]:
+    """Stacked analog of collect_transformers_layer_scales
+    (ref: calibration.py:91-112)."""
+    return {
+        "attn_input_scale": jnp.max(stats["qkv_in_ch_absmax"], axis=-1) / 127.0,
+        "q_output_scale": stats["q_out_absmax"] / 127.0,
+        "k_output_scale": stats["k_out_absmax"] / 127.0,
+        "v_output_scale": stats["v_out_absmax"] / 127.0,
+        "out_input_scale": jnp.max(stats["o_in_ch_absmax"], axis=-1) / 127.0,
+        "fc1_input_scale": jnp.max(stats["fc1_in_ch_absmax"], axis=-1) / 127.0,
+        "fc2_input_scale": jnp.max(stats["fc2_in_ch_absmax"], axis=-1) / 127.0,
+    }
+
+
+def smooth(params, stats, alpha: float = 0.5, cfg: Optional[OPTConfig] = None):
+    """smooth_lm OPT branch (ref: smooth.py:44-55): attn LN -> q/k/v, final
+    LN -> fc1; LayerNorm bias divided too (smooth.py:36-38).
+
+    Post-LN models (opt-350m) are skipped: the LNs do not feed the
+    projections there, so the migration identity does not hold (the
+    reference applies it anyway — a latent bug we do not reproduce)."""
+    from ..quant.smooth import smooth_norm_fcs
+
+    if cfg is not None and not cfg.do_layer_norm_before:
+        return params
+
+    def one(ln1w, ln1b, qw, kw, vw, ln2w, ln2b, fc1w, qkv_sc, fc1_sc):
+        ln1w2, (q2, k2, v2), ln1b2 = smooth_norm_fcs(
+            ln1w, [qw, kw, vw], qkv_sc, alpha, norm_bias=ln1b)
+        ln2w2, (f2,), ln2b2 = smooth_norm_fcs(
+            ln2w, [fc1w], fc1_sc, alpha, norm_bias=ln2b)
+        return ln1w2, ln1b2, q2, k2, v2, ln2w2, ln2b2, f2
+
+    lay = params["layers"]
+    (ln1w, ln1b, q2, k2, v2, ln2w, ln2b, f2) = jax.vmap(one)(
+        lay["ln1"]["w"], lay["ln1"]["b"], lay["attn"]["q"]["w"],
+        lay["attn"]["k"]["w"], lay["attn"]["v"]["w"], lay["ln2"]["w"],
+        lay["ln2"]["b"], lay["mlp"]["fc1"]["w"],
+        stats["qkv_in_ch_absmax"], stats["fc1_in_ch_absmax"])
+    new_layers = {
+        "ln1": {"w": ln1w, "b": ln1b},
+        "attn": {
+            "q": {**lay["attn"]["q"], "w": q2},
+            "k": {**lay["attn"]["k"], "w": k2},
+            "v": {**lay["attn"]["v"], "w": v2},
+            "o": dict(lay["attn"]["o"]),
+        },
+        "ln2": {"w": ln2w, "b": ln2b},
+        "mlp": {"fc1": {**lay["mlp"]["fc1"], "w": f2},
+                "fc2": dict(lay["mlp"]["fc2"])},
+    }
+    return {**params, "layers": new_layers}
+
+
+def quantize(params, qcfg: QuantConfig, scales=None,
+             cfg: Optional[OPTConfig] = None):
+    """Int8OPTForCausalLM.from_float analog (ref: opt.py:240-277). OPT is
+    int8-only in the reference."""
+    lay = params["layers"]
+    if not qcfg.is_int8:
+        raise NotImplementedError("reference OPT supports int8 only")
+    assert scales is not None
+    pre_ln = cfg.do_layer_norm_before if cfg is not None else True
+
+    def pack(p, input_scale, gran, kind):
+        qw, w_scale = jax.vmap(qmath.quantize_weight_per_tensor_absmax)(p["w"])
+        out = {"w": qw, "bias": p["b"].astype(jnp.float32)}
+        if gran == PER_TENSOR:
+            out["dequant_scale"] = w_scale * input_scale
+            if kind == LinearKind.SCALED:
+                out["quant_scale"] = input_scale
+        else:
+            out["dequant_scale"] = w_scale
+        return out
+
+    attn_in, out_in = scales["attn_input_scale"], scales["out_input_scale"]
+    fc1_in, fc2_in = scales["fc1_input_scale"], scales["fc2_input_scale"]
+
+    def fold(ln, s, enable):
+        if not enable:
+            return dict(ln)
+        return {"w": ln["w"] / s[:, None], "b": ln["b"] / s[:, None]}
+
+    qkv_kind = LinearKind.POST_NORM if pre_ln else LinearKind.SCALED
+    new_layers = {
+        "ln1": fold(lay["ln1"], attn_in, pre_ln and qcfg.qkv == PER_TENSOR),
+        "attn": {
+            "q": pack(lay["attn"]["q"], attn_in, qcfg.qkv, qkv_kind),
+            "k": pack(lay["attn"]["k"], attn_in, qcfg.qkv, qkv_kind),
+            "v": pack(lay["attn"]["v"], attn_in, qcfg.qkv, qkv_kind),
+            "o": pack(lay["attn"]["o"], out_in, qcfg.out, LinearKind.SCALED),
+        },
+        "ln2": fold(lay["ln2"], fc1_in, pre_ln and qcfg.fc1 == PER_TENSOR),
+        "mlp": {
+            "fc1": pack(lay["mlp"]["fc1"], fc1_in, qcfg.fc1, qkv_kind),
+            "fc2": pack(lay["mlp"]["fc2"], fc2_in, qcfg.fc2, LinearKind.SCALED),
+        },
+    }
+    return {**params, "layers": new_layers}
+
+
+import sys as _sys  # noqa: E402
+
+register_model("OPTForCausalLM", FAMILY, _sys.modules[__name__])

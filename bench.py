@@ -1,0 +1,146 @@
+"""Benchmark: W8A8 int8 decode throughput vs BF16 on the real TPU chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "tok/s", "vs_baseline": N}
+
+vs_baseline = int8 tokens/s / bf16 tokens/s on the same model/hardware (the
+BASELINE.md north-star is >=1.5x bf16 at 13B on v5e-8; this harness measures
+the single-chip ratio on a TinyLlama-1.1B-shaped model — BASELINE config 1).
+
+Measurement protocol (this runtime adds ~30-80ms host dispatch per call):
+the whole decode loop runs on-device in one lax.scan jit; timing uses the
+two-point slope method (N_lo vs N_hi decode steps) to cancel fixed dispatch
+latency.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+
+
+def _enable_compile_cache():
+    import jax
+
+    cache_dir = os.environ.get("ASQ_JAX_CACHE", "/tmp/asq_jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
+def build(preset: str):
+    import jax
+    from autosmoothquant_tpu.models import llama as L
+    from autosmoothquant_tpu.quant.config import QuantConfig
+    import jax.numpy as jnp
+
+    if preset == "tiny":
+        cfg = L.LlamaConfig(vocab_size=2048, hidden_size=256,
+                            intermediate_size=512, num_hidden_layers=2,
+                            num_attention_heads=8, num_key_value_heads=4,
+                            max_position_embeddings=512)
+    else:  # tinyllama-1.1b shape (BASELINE config 1)
+        cfg = L.LlamaConfig(vocab_size=32000, hidden_size=2048,
+                            intermediate_size=5632, num_hidden_layers=22,
+                            num_attention_heads=32, num_key_value_heads=4,
+                            max_position_embeddings=2048)
+    params = L.init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
+    qcfg = QuantConfig(type="int8")
+    ones = jnp.ones((cfg.num_hidden_layers,), jnp.float32)
+    scales = {k: ones * 0.05 for k in (
+        "attn_input_scale", "q_output_scale", "k_output_scale",
+        "v_output_scale", "out_input_scale", "gate_input_scale",
+        "down_input_scale")}
+    qparams = L.quantize(params, qcfg, scales)
+    return L, cfg, qcfg, params, qparams
+
+
+def decode_tps(L, cfg, qcfg, params, *, batch, prompt_len, s_max,
+               n_lo=8, n_hi=136, reps=5):
+    """Tokens/s of the fused greedy decode loop via two-point slope."""
+    import jax
+    import jax.numpy as jnp
+
+    ids = jnp.asarray(np.random.default_rng(0).integers(
+        0, cfg.vocab_size, size=(batch, prompt_len)), jnp.int32)
+    cache = L.init_kv_cache(cfg, batch, s_max, jnp.bfloat16)
+
+    @jax.jit
+    def prefill(params, ids, cache):
+        h, cache, _ = L.forward(params, ids, cfg, qcfg, kv_cache=cache,
+                                cache_index=0, compute_dtype=jnp.bfloat16)
+        tok = jnp.argmax(L.logits(params, h[:, -1:, :])[:, 0], -1).astype(jnp.int32)
+        return tok, cache
+
+    # dynamic trip count -> ONE compile serves both slope points
+    @jax.jit
+    def decode_n(params, tok, cache, nsteps):
+        def body(_, carry):
+            tok, cache, slot = carry
+            h, cache, _ = L.forward(params, tok[:, None], cfg, qcfg,
+                                    kv_cache=cache, cache_index=slot,
+                                    compute_dtype=jnp.bfloat16)
+            nxt = jnp.argmax(L.logits(params, h)[:, 0], -1).astype(jnp.int32)
+            return (nxt, cache, slot + 1)
+
+        tok2, _, _ = jax.lax.fori_loop(
+            0, nsteps, body, (tok, cache, jnp.int32(prompt_len)))
+        return tok2
+
+    def make(nsteps):
+        return lambda p, t, c: decode_n(p, t, c, nsteps)
+
+    # NOTE: in this runtime block_until_ready can return before device
+    # execution completes (axon tunnel); device_get of the result is the only
+    # reliable completion barrier, hence the np.asarray(jax.device_get(...)).
+    def run(f):
+        return np.asarray(jax.device_get(f(params, tok, cache)))
+
+    tok, cache = prefill(params, ids, cache)
+    tok = jnp.asarray(np.asarray(jax.device_get(tok)))
+    f_lo, f_hi = make(n_lo), make(n_hi)
+    run(f_lo)
+    run(f_hi)
+    slopes = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        run(f_lo)
+        t_lo = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        run(f_hi)
+        t_hi = time.perf_counter() - t0
+        slopes.append((t_hi - t_lo) / (n_hi - n_lo))
+    per_step = float(np.median(slopes))
+    assert per_step > 0, f"timing noise exceeded signal: {slopes}"
+    return batch / per_step  # tokens/s across the batch
+
+
+def main():
+    _enable_compile_cache()
+    preset = os.environ.get("ASQ_BENCH_PRESET", "tinyllama")
+    batch = int(os.environ.get("ASQ_BENCH_BATCH", "1"))
+    prompt_len = int(os.environ.get("ASQ_BENCH_PROMPT", "128"))
+    s_max = int(os.environ.get("ASQ_BENCH_SMAX", "512"))
+
+    L, cfg, qcfg, params, qparams = build(preset)
+    tps_int8 = decode_tps(L, cfg, qcfg, qparams, batch=batch,
+                          prompt_len=prompt_len, s_max=s_max)
+    tps_bf16 = decode_tps(L, cfg, None, params, batch=batch,
+                          prompt_len=prompt_len, s_max=s_max)
+    result = {
+        "metric": f"decode_tok_per_s_w8a8_int8_{preset}_b{batch}",
+        "value": round(tps_int8, 2),
+        "unit": "tok/s",
+        "vs_baseline": round(tps_int8 / tps_bf16, 4),
+        "bf16_tok_per_s": round(tps_bf16, 2),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

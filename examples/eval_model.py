@@ -1,0 +1,83 @@
+"""Evaluate perplexity / lm-eval tasks on a quantized (or float) model
+(ref: examples/eval_model.py:25-138).
+
+Usage:
+  python examples/eval_model.py --model-path /out/llama-...-int8 \
+      --tokenizer-path /ckpts/llama-2-7b --eval-ppl --max-length 2048
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax.numpy as jnp
+
+
+def parse_args():
+    p = argparse.ArgumentParser()
+    p.add_argument("--model-path", required=True,
+                   help="quantized checkpoint dir, or HF dir with --origin-model")
+    p.add_argument("--tokenizer-path", required=True)
+    p.add_argument("--origin-model", action="store_true",
+                   help="evaluate the fp model from an HF checkpoint instead")
+    p.add_argument("--eval-ppl", action="store_true")
+    p.add_argument("--max-length", type=int, default=2048)
+    p.add_argument("--tasks", default="")
+    p.add_argument("--num-fewshot", type=int, default=0)
+    p.add_argument("--batch-size", type=int, default=1)
+    p.add_argument("--dataset", default="wikitext2")
+    return p.parse_args()
+
+
+def main():
+    from autosmoothquant_tpu.eval.ppl import perplexity_from_tokens
+    from autosmoothquant_tpu.models.registry import get_model_family
+
+    args = parse_args()
+    if args.origin_model:
+        from autosmoothquant_tpu.convert.hf import hf_config_dict, load_hf_params
+
+        config = hf_config_dict(args.model_path)
+        model_mod, family = get_model_family(config)
+        cfg = model_mod.config_from_hf(config)
+        params = load_hf_params(args.model_path, family, cfg.num_hidden_layers)
+        qcfg = None
+    else:
+        from autosmoothquant_tpu.convert.pipeline import load_quantized
+
+        params, qcfg, config = load_quantized(args.model_path)
+        model_mod, family = get_model_family(config)
+        cfg = model_mod.config_from_hf(config)
+
+    from transformers import AutoTokenizer
+
+    tokenizer = AutoTokenizer.from_pretrained(args.tokenizer_path)
+    results = {}
+
+    if args.eval_ppl:
+        from autosmoothquant_tpu.utils.datautils import load_wikitext2, load_ptb
+
+        stream = (load_wikitext2 if args.dataset == "wikitext2" else load_ptb)(
+            tokenizer, "test")
+        ppl = perplexity_from_tokens(
+            model_mod, params, cfg, stream, max_length=args.max_length,
+            qcfg=qcfg, compute_dtype=jnp.bfloat16, progress=True)
+        results[args.dataset] = {"ppl": ppl}
+        print({"results": results})
+
+    if args.tasks and args.tasks != "wikitext2":
+        from autosmoothquant_tpu.eval.lm_eval_adapter import run_lm_eval
+
+        results.update(run_lm_eval(
+            model_mod, params, cfg, qcfg, tokenizer,
+            tasks=args.tasks.split(","), num_fewshot=args.num_fewshot,
+            batch_size=args.batch_size, max_length=args.max_length))
+        print(results)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,56 @@
+"""Generate from a quantized model (the reference's smoke test,
+ref: examples/test_model.py:10-53).
+
+Usage:
+  python examples/test_model.py --quantized-model-path /out/llama-...-int8 \
+      --tokenizer-path /ckpts/llama-2-7b --prompt "Life is beautiful"
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def parse_args():
+    p = argparse.ArgumentParser()
+    p.add_argument("--quantized-model-path", required=True)
+    p.add_argument("--tokenizer-path", required=True)
+    p.add_argument("--prompt", default="Life is beautiful")
+    p.add_argument("--max-new-tokens", type=int, default=20)
+    p.add_argument("--temperature", type=float, default=0.0)
+    p.add_argument("--max-seq", type=int, default=2048)
+    return p.parse_args()
+
+
+def main():
+    from autosmoothquant_tpu.convert.pipeline import load_quantized
+    from autosmoothquant_tpu.models.registry import get_model_family
+    from autosmoothquant_tpu.serve.engine import Engine, GenerationConfig
+
+    args = parse_args()
+    params, qcfg, config = load_quantized(args.quantized_model_path)
+    model_mod, family = get_model_family(config)
+    cfg = model_mod.config_from_hf(config)
+
+    from transformers import AutoTokenizer
+
+    tok = AutoTokenizer.from_pretrained(args.tokenizer_path)
+    ids = tok(args.prompt).input_ids
+
+    eng = Engine(model_mod, params, cfg, qcfg, max_batch=1,
+                 max_seq=args.max_seq)
+    out = eng.generate(
+        [ids],
+        GenerationConfig(max_new_tokens=args.max_new_tokens,
+                         temperature=args.temperature,
+                         eos_token_id=tok.eos_token_id),
+    )[0]
+    print(tok.decode(ids + out))
+
+
+if __name__ == "__main__":
+    main()
