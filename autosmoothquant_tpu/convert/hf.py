@@ -136,10 +136,100 @@ def opt_params_from_state_dict(sd: Dict[str, Any], num_layers: int,
     return p
 
 
+def baichuan_params_from_state_dict(sd: Dict[str, Any], num_layers: int,
+                                    dtype=jnp.float32) -> Dict[str, Any]:
+    """Map Baichuan names -> stacked layout. The NormHead lm_head is
+    L2-row-normalized here, matching inference-mode NormHead
+    (ref: thirdparty/baichuan/modeling_baichuan.py:596-606)."""
+    def cast(x):
+        return x.astype(dtype)
+
+    base = "model.layers.{i}"
+    lm = _to_np(sd["lm_head.weight"])  # [V, D]
+    lm = lm / (np.linalg.norm(lm, axis=1, keepdims=True) + 1e-12)
+    return {
+        "embed": {"w": cast(jnp.asarray(_to_np(sd["model.embed_tokens.weight"])))},
+        "layers": {
+            "ln1": {"w": cast(_stack(sd, f"{base}.input_layernorm.weight",
+                                     num_layers, False))},
+            "attn": {
+                "wpack": {"w": cast(_stack(sd, f"{base}.self_attn.W_pack.weight",
+                                           num_layers, True))},
+                "o": {"w": cast(_stack(sd, f"{base}.self_attn.o_proj.weight",
+                                       num_layers, True))},
+            },
+            "ln2": {"w": cast(_stack(
+                sd, f"{base}.post_attention_layernorm.weight", num_layers, False))},
+            "mlp": {
+                "gate": {"w": cast(_stack(sd, f"{base}.mlp.gate_proj.weight",
+                                          num_layers, True))},
+                "up": {"w": cast(_stack(sd, f"{base}.mlp.up_proj.weight",
+                                        num_layers, True))},
+                "down": {"w": cast(_stack(sd, f"{base}.mlp.down_proj.weight",
+                                          num_layers, True))},
+            },
+        },
+        "final_norm": {"w": cast(jnp.asarray(_to_np(sd["model.norm.weight"])))},
+        "lm_head": {"w": cast(jnp.asarray(lm.T))},
+    }
+
+
+def mixtral_params_from_state_dict(sd: Dict[str, Any], num_layers: int,
+                                   dtype=jnp.float32,
+                                   num_experts: int = 8) -> Dict[str, Any]:
+    """Map HF Mixtral names -> stacked layout ([L, E, in, out] experts)."""
+    def cast(x):
+        return x.astype(dtype)
+
+    base = "model.layers.{i}"
+
+    def stack_experts(proj):
+        per_layer = []
+        for i in range(num_layers):
+            per_exp = [
+                _to_np(sd[f"model.layers.{i}.block_sparse_moe.experts.{e}.{proj}.weight"]).T
+                for e in range(num_experts)
+            ]
+            per_layer.append(np.stack(per_exp))
+        return cast(jnp.asarray(np.stack(per_layer)))
+
+    p = {
+        "embed": {"w": cast(jnp.asarray(_to_np(sd["model.embed_tokens.weight"])))},
+        "layers": {
+            "ln1": {"w": cast(_stack(sd, f"{base}.input_layernorm.weight",
+                                     num_layers, False))},
+            "attn": {
+                "q": {"w": cast(_stack(sd, f"{base}.self_attn.q_proj.weight",
+                                       num_layers, True))},
+                "k": {"w": cast(_stack(sd, f"{base}.self_attn.k_proj.weight",
+                                       num_layers, True))},
+                "v": {"w": cast(_stack(sd, f"{base}.self_attn.v_proj.weight",
+                                       num_layers, True))},
+                "o": {"w": cast(_stack(sd, f"{base}.self_attn.o_proj.weight",
+                                       num_layers, True))},
+            },
+            "ln2": {"w": cast(_stack(
+                sd, f"{base}.post_attention_layernorm.weight", num_layers, False))},
+            "moe": {
+                "router": {"w": cast(_stack(
+                    sd, f"{base}.block_sparse_moe.gate.weight", num_layers, True))},
+                "w1": {"w": stack_experts("w1")},
+                "w3": {"w": stack_experts("w3")},
+                "w2": {"w": stack_experts("w2")},
+            },
+        },
+        "final_norm": {"w": cast(jnp.asarray(_to_np(sd["model.norm.weight"])))},
+        "lm_head": {"w": cast(jnp.asarray(_to_np(sd["lm_head.weight"]).T))},
+    }
+    return p
+
+
 _LOADERS = {
     "llama": llama_params_from_state_dict,
     "transformers": opt_params_from_state_dict,  # the reference's OPT family tag
     "opt": opt_params_from_state_dict,
+    "baichuan": baichuan_params_from_state_dict,
+    "mixtral": mixtral_params_from_state_dict,
 }
 
 

@@ -53,6 +53,8 @@ class BaichuanConfig:
     model_max_length: int = 4096
     rms_norm_eps: float = 1e-6
     rope_theta: float = 10000.0
+    # override for tests/small models; None -> infer from hidden_size
+    force_position_embedding: Optional[str] = None
 
     @property
     def head_dim(self) -> int:
@@ -61,6 +63,8 @@ class BaichuanConfig:
     @property
     def position_embedding(self) -> str:
         # ref: baichuan.py:542-545 — 7B (4096) uses RoPE, 13B ALiBi
+        if self.force_position_embedding is not None:
+            return self.force_position_embedding
         return "ROPE" if self.hidden_size == 4096 else "ALIBI"
 
     # engine/ppl plumbing treats max_position_embeddings uniformly

@@ -1,0 +1,447 @@
+"""Mixtral family (top-2 sparse MoE, GQA attention, fp router).
+
+Functional TPU-native re-design of the reference's Int8Mixtral* surgery
+(ref: autosmoothquant/models/mixtral.py). Reference semantics kept:
+  - router ``gate`` stays fp deliberately (mixtral.py:139-140)
+  - experts share one moe_input_scale (w1/w3, foldable into ln2) and carry
+    PER-EXPERT down_input_scales for w2 (mixtral.py:147-159, fed by
+    calibration.py:176-180)
+  - calibration runs with top_k = num_experts so every expert sees tokens
+    (the reference's _model_preprocess hack, calibration.py:23-42 — here a
+    ``calibrate_all_experts`` forward flag, no model mutation)
+  - routing: softmax over all E router logits, top-k, renormalize (HF
+    MixtralSparseMoeBlock convention)
+
+Compute strategy: experts evaluated densely (vmap over E, weighted sum).
+Correct everywhere and compiles on any backend; capacity-based ragged
+dispatch over an ``expert`` mesh axis is the serving-scale optimization
+(SURVEY.md §2.6 EP plan) layered on later without changing this contract.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import math
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..quant import math as qmath
+from ..quant.config import PER_TENSOR, PER_TOKEN, QuantConfig
+from .common import (
+    KVCacheLayer,
+    LinearKind,
+    apply_rope,
+    attend,
+    linear,
+    rms_norm,
+    rope_cos_sin,
+)
+from .registry import register_model
+
+FAMILY = "mixtral"
+
+# pipeline/calibrate read this to enable the all-experts trick
+CALIBRATION_FORWARD_KWARGS = {"calibrate_all_experts": True}
+
+
+@dataclasses.dataclass(frozen=True)
+class MixtralConfig:
+    vocab_size: int = 32000
+    hidden_size: int = 4096
+    intermediate_size: int = 14336
+    num_hidden_layers: int = 32
+    num_attention_heads: int = 32
+    num_key_value_heads: int = 8
+    num_local_experts: int = 8
+    num_experts_per_tok: int = 2
+    max_position_embeddings: int = 32768
+    rms_norm_eps: float = 1e-5
+    rope_theta: float = 1e6
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_attention_heads
+
+    @classmethod
+    def from_hf(cls, hf) -> "MixtralConfig":
+        g = (lambda k, d=None: hf.get(k, d)) if isinstance(hf, dict) \
+            else (lambda k, d=None: getattr(hf, k, d))
+        return cls(
+            vocab_size=g("vocab_size"),
+            hidden_size=g("hidden_size"),
+            intermediate_size=g("intermediate_size"),
+            num_hidden_layers=g("num_hidden_layers"),
+            num_attention_heads=g("num_attention_heads"),
+            num_key_value_heads=g("num_key_value_heads"),
+            num_local_experts=g("num_local_experts", 8),
+            num_experts_per_tok=g("num_experts_per_tok", 2),
+            max_position_embeddings=g("max_position_embeddings", 32768),
+            rms_norm_eps=g("rms_norm_eps", 1e-5),
+            rope_theta=g("rope_theta", 1e6),
+        )
+
+
+config_from_hf = MixtralConfig.from_hf
+
+
+def init_params(cfg: MixtralConfig, key, dtype=jnp.float32) -> Dict[str, Any]:
+    keys = iter(jax.random.split(key, 16))
+    L, D, I, V, E = (cfg.num_hidden_layers, cfg.hidden_size,
+                     cfg.intermediate_size, cfg.vocab_size,
+                     cfg.num_local_experts)
+    HD = cfg.num_attention_heads * cfg.head_dim
+    KVD = cfg.num_key_value_heads * cfg.head_dim
+
+    def w(k, *shape, scale=None):
+        s = scale if scale is not None else 1.0 / math.sqrt(shape[-2])
+        return (jax.random.normal(k, shape, jnp.float32) * s).astype(dtype)
+
+    return {
+        "embed": {"w": w(next(keys), V, D, scale=0.02)},
+        "layers": {
+            "ln1": {"w": jnp.ones((L, D), dtype)},
+            "attn": {
+                "q": {"w": w(next(keys), L, D, HD)},
+                "k": {"w": w(next(keys), L, D, KVD)},
+                "v": {"w": w(next(keys), L, D, KVD)},
+                "o": {"w": w(next(keys), L, HD, D)},
+            },
+            "ln2": {"w": jnp.ones((L, D), dtype)},
+            "moe": {
+                "router": {"w": w(next(keys), L, D, E)},
+                "w1": {"w": w(next(keys), L, E, D, I)},
+                "w3": {"w": w(next(keys), L, E, D, I)},
+                "w2": {"w": w(next(keys), L, E, I, D)},
+            },
+        },
+        "final_norm": {"w": jnp.ones((D,), dtype)},
+        "lm_head": {"w": w(next(keys), D, V, scale=0.02)},
+    }
+
+
+def _expert_linear(x2, p, e_idx, qcfg, gran, kind, compute_dtype):
+    """Apply expert e's projection; p leaves have a leading [E] dim."""
+    pe = jax.tree.map(lambda a: a[e_idx], p)
+    return linear(x2, pe, qcfg, gran, kind, compute_dtype)
+
+
+def _moe_block(x, mp, cfg: MixtralConfig, qcfg, capture, all_experts,
+               compute_dtype):
+    """x: f32 [T, D] (ln2 output). Returns ([T, D], stats)."""
+    T, D = x.shape
+    E, K = cfg.num_local_experts, cfg.num_experts_per_tok
+    stats = {}
+
+    router_logits = jnp.dot(x.astype(jnp.float32), mp["router"]["w"].astype(jnp.float32))
+    probs = jax.nn.softmax(router_logits, axis=-1)  # [T, E]
+    k_eff = E if all_experts else K
+    top_w, top_idx = jax.lax.top_k(probs, k_eff)
+    top_w = top_w / jnp.sum(top_w, axis=-1, keepdims=True)
+    # dense weights: [T, E]
+    weights = jnp.zeros((T, E), jnp.float32)
+    weights = weights.at[jnp.arange(T)[:, None], top_idx].set(top_w)
+
+    gran1 = qcfg.fc1 if qcfg else PER_TENSOR
+    gran2 = qcfg.fc2 if qcfg else PER_TENSOR
+
+    def one_expert(e):
+        g = _expert_linear(x, mp["w1"], e, qcfg, gran1, LinearKind.POST_NORM,
+                           compute_dtype)
+        u = _expert_linear(x, mp["w3"], e, qcfg, gran1, LinearKind.POST_NORM,
+                           compute_dtype)
+        act = (jax.nn.silu(g.astype(jnp.float32)) * u.astype(jnp.float32)
+               ).astype(compute_dtype)
+        down = _expert_linear(act, mp["w2"], e, qcfg, gran2, LinearKind.SCALED,
+                              compute_dtype)
+        return down, jnp.max(jnp.abs(act.astype(jnp.float32)), axis=0)
+
+    # static unrolled loop over experts (E small) — masked tokens get weight 0
+    outs = []
+    down_in_stats = []
+    for e in range(E):
+        down, din = one_expert(e)
+        outs.append(down)
+        down_in_stats.append(din)
+    expert_out = jnp.stack(outs)          # [E, T, D]
+    out = jnp.einsum("etd,te->td", expert_out.astype(jnp.float32), weights)
+    if capture:
+        stats["moe_in_ch_absmax"] = jnp.max(jnp.abs(x), axis=0)
+        stats["down_in_ch_absmax_per_expert"] = jnp.stack(down_in_stats)  # [E, I]
+    return out.astype(compute_dtype), stats
+
+
+def _layer_forward(h, lp, cfg, qcfg, cos, sin, mask, cache, cache_index,
+                   capture, all_experts, compute_dtype):
+    b, t, d = h.shape
+    hd = cfg.head_dim
+    n_q, n_kv = cfg.num_attention_heads, cfg.num_key_value_heads
+    stats = {}
+
+    x = rms_norm(h, lp["ln1"]["w"], cfg.rms_norm_eps)
+    if capture:
+        stats["qkv_in_ch_absmax"] = jnp.max(jnp.abs(x.reshape(-1, d)), axis=0)
+    gran = qcfg.qkv if qcfg else PER_TENSOR
+    q = linear(x, lp["attn"]["q"], qcfg, gran, LinearKind.POST_NORM, compute_dtype)
+    k = linear(x, lp["attn"]["k"], qcfg, gran, LinearKind.POST_NORM, compute_dtype)
+    v = linear(x, lp["attn"]["v"], qcfg, gran, LinearKind.POST_NORM, compute_dtype)
+    if capture:
+        stats["q_out_absmax"] = jnp.max(jnp.abs(q))
+        stats["k_out_absmax"] = jnp.max(jnp.abs(k))
+        stats["v_out_absmax"] = jnp.max(jnp.abs(v))
+    q = q.reshape(b, t, n_q, hd)
+    k = k.reshape(b, t, n_kv, hd)
+    v = v.reshape(b, t, n_kv, hd)
+    q = apply_rope(q, cos, sin)
+    k = apply_rope(k, cos, sin)
+
+    if cache is not None:
+        k_all = jax.lax.dynamic_update_slice(cache.k, k.astype(cache.k.dtype),
+                                             (0, cache_index, 0, 0))
+        v_all = jax.lax.dynamic_update_slice(cache.v, v.astype(cache.v.dtype),
+                                             (0, cache_index, 0, 0))
+        new_cache = KVCacheLayer(k=k_all, v=v_all)
+        k_att, v_att = k_all.astype(compute_dtype), v_all.astype(compute_dtype)
+    else:
+        new_cache = None
+        k_att, v_att = k, v
+
+    ctx = attend(q, k_att, v_att, mask, 1.0 / math.sqrt(hd))
+    ctx = ctx.reshape(b, t, n_q * hd)
+    if capture:
+        stats["o_in_ch_absmax"] = jnp.max(jnp.abs(ctx.reshape(-1, n_q * hd)), axis=0)
+    attn_out = linear(ctx, lp["attn"]["o"], qcfg, qcfg.out if qcfg else PER_TENSOR,
+                      LinearKind.SCALED, compute_dtype)
+    h = h + attn_out
+
+    x2 = rms_norm(h, lp["ln2"]["w"], cfg.rms_norm_eps)
+    moe_out, moe_stats = _moe_block(
+        x2.reshape(b * t, d), lp["moe"], cfg, qcfg, capture, all_experts,
+        compute_dtype)
+    stats.update(moe_stats)
+    h = h + moe_out.reshape(b, t, d)
+    return h, new_cache, stats
+
+
+def forward(params, input_ids: jnp.ndarray, cfg: MixtralConfig,
+            quant_config: Optional[QuantConfig] = None, *,
+            kv_cache=None, cache_index=None,
+            kv_valid: Optional[jnp.ndarray] = None,
+            positions: Optional[jnp.ndarray] = None,
+            attention_mask: Optional[jnp.ndarray] = None,
+            capture_stats: bool = False,
+            calibrate_all_experts: bool = False,
+            compute_dtype=jnp.float32) -> Tuple[jnp.ndarray, Any, Any]:
+    b, t = input_ids.shape
+    h = params["embed"]["w"][input_ids].astype(compute_dtype)
+
+    if kv_cache is not None:
+        assert cache_index is not None
+        s_max = kv_cache.k.shape[2]
+        slots = cache_index + jnp.arange(t, dtype=jnp.int32)[None, :]
+        slots = jnp.broadcast_to(slots, (b, t))
+        if positions is None:
+            positions = slots
+        col = jnp.arange(s_max, dtype=jnp.int32)[None, None, None, :]
+        mask = col <= slots[:, None, :, None]
+        if kv_valid is not None:
+            mask = mask & kv_valid[:, None, None, :]
+    else:
+        if positions is None:
+            positions = jnp.broadcast_to(
+                jnp.arange(t, dtype=jnp.int32)[None, :], (b, t))
+        col = jnp.arange(t, dtype=jnp.int32)[None, None, None, :]
+        row = jnp.arange(t, dtype=jnp.int32)[None, None, :, None]
+        mask = col <= row
+        if attention_mask is not None:
+            mask = mask & attention_mask[:, None, None, :].astype(bool)
+
+    cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta)
+
+    def step(carry, layer_in):
+        lp, layer_cache = layer_in
+        hh, new_cache, stats = _layer_forward(
+            carry, lp, cfg, quant_config, cos, sin, mask, layer_cache,
+            cache_index, capture_stats, calibrate_all_experts, compute_dtype)
+        return hh, (new_cache, stats if capture_stats else None)
+
+    if kv_cache is None:
+        h, (new_caches, stats) = jax.lax.scan(
+            lambda c, lp: step(c, (lp, None)), h, params["layers"])
+        new_kv = None
+    else:
+        h, (new_caches, stats) = jax.lax.scan(
+            step, h, (params["layers"], kv_cache))
+        new_kv = new_caches
+
+    h = rms_norm(h, params["final_norm"]["w"], cfg.rms_norm_eps).astype(compute_dtype)
+    return h, new_kv, (stats if capture_stats else None)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "quant_config", "capture_stats",
+                     "calibrate_all_experts", "compute_dtype"),
+)
+def forward_jit(params, input_ids, cfg: MixtralConfig,
+                quant_config: Optional[QuantConfig] = None,
+                capture_stats: bool = False,
+                calibrate_all_experts: bool = False,
+                compute_dtype=jnp.float32):
+    return forward(params, input_ids, cfg, quant_config,
+                   capture_stats=capture_stats,
+                   calibrate_all_experts=calibrate_all_experts,
+                   compute_dtype=compute_dtype)
+
+
+def logits(params, hidden: jnp.ndarray) -> jnp.ndarray:
+    return jnp.dot(hidden.astype(jnp.float32),
+                   params["lm_head"]["w"].astype(jnp.float32),
+                   preferred_element_type=jnp.float32)
+
+
+def init_kv_cache(cfg: MixtralConfig, batch: int, max_len: int,
+                  dtype=jnp.bfloat16) -> KVCacheLayer:
+    shape = (cfg.num_hidden_layers, batch, max_len, cfg.num_key_value_heads,
+             cfg.head_dim)
+    return KVCacheLayer(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype))
+
+
+STAT_KEYS = (
+    "qkv_in_ch_absmax", "q_out_absmax", "k_out_absmax", "v_out_absmax",
+    "o_in_ch_absmax", "moe_in_ch_absmax", "down_in_ch_absmax_per_expert",
+)
+
+
+def act_scales_dict(stats) -> Dict[str, jnp.ndarray]:
+    out = {}
+    for i in range(stats["qkv_in_ch_absmax"].shape[0]):
+        base = f"model.layers.{i}"
+        out[f"{base}.self_attn.q_proj"] = stats["qkv_in_ch_absmax"][i]
+        out[f"{base}.self_attn.k_proj"] = stats["qkv_in_ch_absmax"][i]
+        out[f"{base}.self_attn.v_proj"] = stats["qkv_in_ch_absmax"][i]
+        out[f"{base}.self_attn.o_proj"] = stats["o_in_ch_absmax"][i]
+        out[f"{base}.block_sparse_moe.gate"] = stats["moe_in_ch_absmax"][i]
+        for e in range(stats["down_in_ch_absmax_per_expert"].shape[1]):
+            out[f"{base}.block_sparse_moe.experts.{e}.w2"] = \
+                stats["down_in_ch_absmax_per_expert"][i, e]
+    return out
+
+
+def layer_scales(stats) -> Dict[str, jnp.ndarray]:
+    """Stacked analog of collect_mixtral_layer_scales
+    (ref: calibration.py:160-183): shared moe_input_scale + per-expert
+    down_input_scales."""
+    return {
+        "attn_input_scale": jnp.max(stats["qkv_in_ch_absmax"], axis=-1) / 127.0,
+        "q_output_scale": stats["q_out_absmax"] / 127.0,
+        "k_output_scale": stats["k_out_absmax"] / 127.0,
+        "v_output_scale": stats["v_out_absmax"] / 127.0,
+        "out_input_scale": jnp.max(stats["o_in_ch_absmax"], axis=-1) / 127.0,
+        "moe_input_scale": jnp.max(stats["moe_in_ch_absmax"], axis=-1) / 127.0,
+        "down_input_scales": jnp.max(
+            stats["down_in_ch_absmax_per_expert"], axis=-1) / 127.0,  # [L, E]
+    }
+
+
+def smooth(params, stats, alpha: float = 0.5,
+           cfg: Optional[MixtralConfig] = None):
+    """smooth_lm Mixtral branch (ref: smooth.py:81-93): ln1 -> q/k/v;
+    ln2 -> [router gate] + every expert's w1 and w3."""
+    from ..quant.smooth import smooth_norm_fcs
+
+    lay = params["layers"]
+    E = lay["moe"]["w1"]["w"].shape[1]
+
+    def one(ln1, qw, kw, vw, ln2, router, w1, w3, qkv_sc, moe_sc):
+        ln1n, (q2, k2, v2), _ = smooth_norm_fcs(ln1, [qw, kw, vw], qkv_sc, alpha)
+        fcs = [router] + [w1[e] for e in range(E)] + [w3[e] for e in range(E)]
+        ln2n, new_fcs, _ = smooth_norm_fcs(ln2, fcs, moe_sc, alpha)
+        r2 = new_fcs[0]
+        w1n = jnp.stack(new_fcs[1:1 + E])
+        w3n = jnp.stack(new_fcs[1 + E:])
+        return ln1n, q2, k2, v2, ln2n, r2, w1n, w3n
+
+    ln1, q2, k2, v2, ln2, r2, w1n, w3n = jax.vmap(one)(
+        lay["ln1"]["w"], lay["attn"]["q"]["w"], lay["attn"]["k"]["w"],
+        lay["attn"]["v"]["w"], lay["ln2"]["w"], lay["moe"]["router"]["w"],
+        lay["moe"]["w1"]["w"], lay["moe"]["w3"]["w"],
+        stats["qkv_in_ch_absmax"], stats["moe_in_ch_absmax"])
+    new_layers = {
+        "ln1": {"w": ln1},
+        "attn": {**lay["attn"], "q": {"w": q2}, "k": {"w": k2}, "v": {"w": v2}},
+        "ln2": {"w": ln2},
+        "moe": {"router": {"w": r2}, "w1": {"w": w1n}, "w3": {"w": w3n},
+                "w2": dict(lay["moe"]["w2"])},
+    }
+    return {**params, "layers": new_layers}
+
+
+def quantize(params, qcfg: QuantConfig, scales=None,
+             cfg: Optional[MixtralConfig] = None):
+    """Int8MixtralForCausalLM.from_float analog (ref: mixtral.py:240-296):
+    experts quantized with shared moe_input_scale (w1/w3) and per-expert
+    down scales (w2); router left fp."""
+    lay = params["layers"]
+    if not qcfg.is_int8:
+        raise NotImplementedError("reference Mixtral supports int8 only")
+    assert scales is not None
+
+    def pack(w, input_scale, gran, kind):
+        qw, w_scale = jax.vmap(qmath.quantize_weight_per_tensor_absmax)(w)
+        p = {"w": qw}
+        if gran == PER_TENSOR:
+            p["dequant_scale"] = w_scale * input_scale
+            if kind == LinearKind.SCALED:
+                p["quant_scale"] = input_scale
+        else:
+            p["dequant_scale"] = w_scale
+        return p
+
+    def pack_experts(w, input_scale, gran, kind):
+        """w: [L, E, in, out]; input_scale: [L] (shared) or [L, E]."""
+        L, E = w.shape[:2]
+        qw, w_scale = jax.vmap(jax.vmap(qmath.quantize_weight_per_tensor_absmax))(w)
+        p = {"w": qw}
+        isc = input_scale if input_scale.ndim == 2 else input_scale[:, None]
+        if gran == PER_TENSOR:
+            p["dequant_scale"] = w_scale * isc
+            if kind == LinearKind.SCALED:
+                p["quant_scale"] = jnp.broadcast_to(isc, (L, E))
+        else:
+            p["dequant_scale"] = w_scale
+        return p
+
+    attn_in = scales["attn_input_scale"]
+    out_in = scales["out_input_scale"]
+    moe_in = scales["moe_input_scale"]
+    down_in = scales["down_input_scales"]  # [L, E]
+    new_layers = {
+        "ln1": {"w": lay["ln1"]["w"] / attn_in[:, None]
+                if qcfg.qkv == PER_TENSOR else lay["ln1"]["w"]},
+        "attn": {
+            "q": pack(lay["attn"]["q"]["w"], attn_in, qcfg.qkv, LinearKind.POST_NORM),
+            "k": pack(lay["attn"]["k"]["w"], attn_in, qcfg.qkv, LinearKind.POST_NORM),
+            "v": pack(lay["attn"]["v"]["w"], attn_in, qcfg.qkv, LinearKind.POST_NORM),
+            "o": pack(lay["attn"]["o"]["w"], out_in, qcfg.out, LinearKind.SCALED),
+        },
+        "ln2": {"w": lay["ln2"]["w"] / moe_in[:, None]
+                if qcfg.fc1 == PER_TENSOR else lay["ln2"]["w"]},
+        "moe": {
+            "router": dict(lay["moe"]["router"]),  # fp, ref mixtral.py:139-140
+            "w1": pack_experts(lay["moe"]["w1"]["w"], moe_in, qcfg.fc1,
+                               LinearKind.POST_NORM),
+            "w3": pack_experts(lay["moe"]["w3"]["w"], moe_in, qcfg.fc1,
+                               LinearKind.POST_NORM),
+            "w2": pack_experts(lay["moe"]["w2"]["w"], down_in, qcfg.fc2,
+                               LinearKind.SCALED),
+        },
+    }
+    return {**params, "layers": new_layers}
+
+
+import sys as _sys  # noqa: E402
+
+register_model("MixtralForCausalLM", FAMILY, _sys.modules[__name__])
