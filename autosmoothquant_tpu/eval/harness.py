@@ -1,0 +1,92 @@
+"""Minimal native evaluation harness — the TPU analog of the reference's
+vendored lm-eval fork (ref: benchmarks/evaluator.py:23-651 simple_evaluate /
+evaluate, benchmarks/utils.py make_table). Tasks are declarative request
+sets; the harness fans requests out over the LM adapter (optionally sharded
+across hosts) and aggregates with bootstrap stderr.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+import random
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from .lm_adapter import JaxLM, gather_results, shard_requests
+
+
+@dataclasses.dataclass
+class MultipleChoiceTask:
+    """Each doc: context tokens + N choice continuations + gold index.
+    Accuracy = argmax loglikelihood (acc) and length-normalized variant
+    (acc_norm), matching lm-eval conventions."""
+
+    name: str
+    docs: Sequence[Tuple[Sequence[int], Sequence[Sequence[int]], int]]
+
+    def build_requests(self):
+        reqs = []
+        index = []
+        for di, (ctx, choices, _gold) in enumerate(self.docs):
+            for ci, cont in enumerate(choices):
+                reqs.append((list(ctx), list(cont)))
+                index.append((di, ci))
+        return reqs, index
+
+    def aggregate(self, results, index) -> Dict[str, float]:
+        per_doc: Dict[int, Dict[int, Tuple[float, int]]] = {}
+        for (di, ci), (ll, _greedy) in zip(index, results):
+            per_doc.setdefault(di, {})[ci] = ll
+        accs, accs_norm = [], []
+        for di, (ctx, choices, gold) in enumerate(self.docs):
+            lls = [per_doc[di][ci] for ci in range(len(choices))]
+            lls_norm = [ll / max(len(c), 1) for ll, c in zip(lls, choices)]
+            accs.append(float(int(np.argmax(lls)) == gold))
+            accs_norm.append(float(int(np.argmax(lls_norm)) == gold))
+        return {"acc": float(np.mean(accs)),
+                "acc_norm": float(np.mean(accs_norm)),
+                "acc_stderr": bootstrap_stderr(accs)}
+
+
+def bootstrap_stderr(values: Sequence[float], iters: int = 1000,
+                     seed: int = 1234) -> float:
+    """ref: benchmarks/evaluator.py bootstrap aggregation."""
+    if len(values) <= 1:
+        return 0.0
+    rng = random.Random(seed)
+    means = []
+    for _ in range(iters):
+        sample = [values[rng.randrange(len(values))] for _ in values]
+        means.append(sum(sample) / len(sample))
+    mu = sum(means) / len(means)
+    return math.sqrt(sum((m - mu) ** 2 for m in means) / (len(means) - 1))
+
+
+def evaluate(lm: JaxLM, tasks: Sequence[MultipleChoiceTask],
+             rank: int = 0, world_size: int = 1) -> Dict[str, Dict[str, float]]:
+    """simple_evaluate analog (ref: evaluator.py:23-46,233+) with the
+    multi-rank request-shard + gather structure (evaluator.py:335,442-491)."""
+    results: Dict[str, Dict[str, float]] = {}
+    for task in tasks:
+        reqs, index = task.build_requests()
+        local_ids = [i for i in range(len(reqs)) if i % world_size == rank]
+        local = lm.loglikelihood([reqs[i] for i in local_ids])
+        if world_size > 1:
+            flat = gather_results(list(zip(local_ids, local)), world_size)
+            merged = dict(flat)
+            ordered = [merged[i] for i in range(len(reqs))]
+        else:
+            ordered = local
+        results[task.name] = task.aggregate(ordered, index)
+    return results
+
+
+def make_table(results: Dict[str, Dict[str, float]]) -> str:
+    """ref: benchmarks/utils.py make_table / lm_eval.utils.make_table."""
+    lines = ["| task | metric | value |", "|------|--------|-------|"]
+    for task, metrics in sorted(results.items()):
+        for metric, value in sorted(metrics.items()):
+            lines.append(f"| {task} | {metric} | {value:.4f} |")
+    return "\n".join(lines)

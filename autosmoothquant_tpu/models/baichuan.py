@@ -31,6 +31,8 @@ from ..quant import math as qmath
 from ..quant.config import PER_TENSOR, PER_TOKEN, QuantConfig
 from .common import (
     KVCacheLayer,
+    cache_update_and_read,
+    make_kv_cache,
     LinearKind,
     apply_rope,
     attend,
@@ -180,16 +182,8 @@ def _layer_forward(h, lp, cfg, qcfg, cos, sin, mask, alibi, cache,
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
 
-    if cache is not None:
-        k_all = jax.lax.dynamic_update_slice(cache.k, k.astype(cache.k.dtype),
-                                             (0, cache_index, 0, 0))
-        v_all = jax.lax.dynamic_update_slice(cache.v, v.astype(cache.v.dtype),
-                                             (0, cache_index, 0, 0))
-        new_cache = KVCacheLayer(k=k_all, v=v_all)
-        k_att, v_att = k_all.astype(compute_dtype), v_all.astype(compute_dtype)
-    else:
-        new_cache = None
-        k_att, v_att = k, v
+    new_cache, k_att, v_att = cache_update_and_read(
+        cache, k, v, cache_index, compute_dtype)
 
     ctx = attend(q, k_att, v_att, mask, 1.0 / math.sqrt(hd), alibi_bias=alibi)
     ctx = ctx.reshape(b, t, d)
@@ -301,10 +295,11 @@ def logits(params, hidden: jnp.ndarray) -> jnp.ndarray:
 
 
 def init_kv_cache(cfg: BaichuanConfig, batch: int, max_len: int,
-                  dtype=jnp.bfloat16) -> KVCacheLayer:
-    shape = (cfg.num_hidden_layers, batch, max_len, cfg.num_attention_heads,
-             cfg.head_dim)
-    return KVCacheLayer(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype))
+                  dtype=jnp.bfloat16):
+    """dtype=jnp.int8 selects the quantized KV cache (int8 values +
+    per-token-per-head scales); see common.make_kv_cache."""
+    return make_kv_cache(cfg.num_hidden_layers, batch, max_len,
+                         cfg.num_attention_heads, cfg.head_dim, dtype)
 
 
 STAT_KEYS = (

@@ -197,6 +197,68 @@ class KVCacheLayer(NamedTuple):
     v: jnp.ndarray  # [B, S_max, H_kv, Dh]
 
 
+class QuantKVCacheLayer(NamedTuple):
+    """INT8 KV cache with per-token-per-head absmax scales — the capability
+    the reference's vestigial int8 BMM stack promised (SURVEY.md #18/#35,
+    csrc/kernels/bmm.cu) realized TPU-style: cache reads are int8 (half the
+    HBM bandwidth of bf16), dequantized on the fly into the attention math.
+    """
+
+    k: jnp.ndarray        # int8 [B, S_max, H_kv, Dh]
+    v: jnp.ndarray        # int8 [B, S_max, H_kv, Dh]
+    k_scale: jnp.ndarray  # f32  [B, S_max, H_kv]
+    v_scale: jnp.ndarray  # f32  [B, S_max, H_kv]
+
+
+def make_kv_cache(num_layers: int, batch: int, max_len: int, num_kv_heads: int,
+                  head_dim: int, dtype=jnp.bfloat16):
+    """dtype jnp.int8 -> quantized cache; anything else -> plain cache."""
+    shape = (num_layers, batch, max_len, num_kv_heads, head_dim)
+    if dtype == jnp.int8:
+        sshape = shape[:-1]
+        return QuantKVCacheLayer(
+            k=jnp.zeros(shape, jnp.int8), v=jnp.zeros(shape, jnp.int8),
+            k_scale=jnp.ones(sshape, jnp.float32),
+            v_scale=jnp.ones(sshape, jnp.float32))
+    return KVCacheLayer(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype))
+
+
+def _quantize_kv(x: jnp.ndarray):
+    """x: [B, T, H, Dh] -> (int8 values, f32 scales [B, T, H]); symmetric
+    absmax over the head dim, 1e-8 clamp like activation quant."""
+    absmax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1)
+    scale = jnp.maximum(absmax, 1e-8) / 127.0
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale[..., None]),
+                 -128, 127).astype(jnp.int8)
+    return q, scale
+
+
+def cache_update_and_read(cache, k, v, cache_index, compute_dtype):
+    """Write new k/v ([B, T, H, Dh]) at cache_index, return
+    (new_cache, k_all, v_all) with k_all/v_all dequantized to compute_dtype.
+    Handles both plain and int8 caches; cache=None passes through."""
+    if cache is None:
+        return None, k, v
+    if isinstance(cache, QuantKVCacheLayer):
+        kq, ks = _quantize_kv(k)
+        vq, vs = _quantize_kv(v)
+        k_all = jax.lax.dynamic_update_slice(cache.k, kq, (0, cache_index, 0, 0))
+        v_all = jax.lax.dynamic_update_slice(cache.v, vq, (0, cache_index, 0, 0))
+        ks_all = jax.lax.dynamic_update_slice(cache.k_scale, ks, (0, cache_index, 0))
+        vs_all = jax.lax.dynamic_update_slice(cache.v_scale, vs, (0, cache_index, 0))
+        new_cache = QuantKVCacheLayer(k=k_all, v=v_all, k_scale=ks_all,
+                                      v_scale=vs_all)
+        k_de = (k_all.astype(jnp.float32) * ks_all[..., None]).astype(compute_dtype)
+        v_de = (v_all.astype(jnp.float32) * vs_all[..., None]).astype(compute_dtype)
+        return new_cache, k_de, v_de
+    k_all = jax.lax.dynamic_update_slice(cache.k, k.astype(cache.k.dtype),
+                                         (0, cache_index, 0, 0))
+    v_all = jax.lax.dynamic_update_slice(cache.v, v.astype(cache.v.dtype),
+                                         (0, cache_index, 0, 0))
+    return (KVCacheLayer(k=k_all, v=v_all),
+            k_all.astype(compute_dtype), v_all.astype(compute_dtype))
+
+
 def attend(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
            mask: jnp.ndarray, scale: float,
            alibi_bias: Optional[jnp.ndarray] = None) -> jnp.ndarray:

@@ -33,6 +33,8 @@ from ..quant import math as qmath
 from ..quant.config import PER_TENSOR, QuantConfig
 from .common import (
     KVCacheLayer,
+    cache_update_and_read,
+    make_kv_cache,
     LinearKind,
     attend,
     layer_norm,
@@ -153,16 +155,8 @@ def _layer_forward(h, lp, cfg: OPTConfig, qcfg: Optional[QuantConfig],
     k = k.reshape(b, t, n_h, hd)
     v = v.reshape(b, t, n_h, hd)
 
-    if cache is not None:
-        k_all = jax.lax.dynamic_update_slice(cache.k, k.astype(cache.k.dtype),
-                                             (0, cache_index, 0, 0))
-        v_all = jax.lax.dynamic_update_slice(cache.v, v.astype(cache.v.dtype),
-                                             (0, cache_index, 0, 0))
-        new_cache = KVCacheLayer(k=k_all, v=v_all)
-        k_att, v_att = k_all.astype(compute_dtype), v_all.astype(compute_dtype)
-    else:
-        new_cache = None
-        k_att, v_att = k, v
+    new_cache, k_att, v_att = cache_update_and_read(
+        cache, k, v, cache_index, compute_dtype)
 
     ctx = attend(q, k_att, v_att, mask, 1.0 / math.sqrt(hd))
     ctx = ctx.reshape(b, t, d)
@@ -279,10 +273,11 @@ def logits(params, hidden: jnp.ndarray) -> jnp.ndarray:
 
 
 def init_kv_cache(cfg: OPTConfig, batch: int, max_len: int,
-                  dtype=jnp.bfloat16) -> KVCacheLayer:
-    shape = (cfg.num_hidden_layers, batch, max_len, cfg.num_attention_heads,
-             cfg.head_dim)
-    return KVCacheLayer(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype))
+                  dtype=jnp.bfloat16):
+    """dtype=jnp.int8 selects the quantized KV cache (int8 values +
+    per-token-per-head scales); see common.make_kv_cache."""
+    return make_kv_cache(cfg.num_hidden_layers, batch, max_len,
+                         cfg.num_attention_heads, cfg.head_dim, dtype)
 
 
 STAT_KEYS = (
