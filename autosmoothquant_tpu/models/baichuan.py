@@ -162,7 +162,8 @@ def _wpack_apply(x, p, qcfg: Optional[QuantConfig], compute_dtype):
 
 
 def _layer_forward(h, lp, cfg, qcfg, cos, sin, mask, alibi, cache,
-                   cache_index, capture, compute_dtype):
+                   cache_index, capture, compute_dtype,
+                   plain_causal: bool = False):
     b, t, d = h.shape
     hd = cfg.head_dim
     n_h = cfg.num_attention_heads
@@ -185,7 +186,8 @@ def _layer_forward(h, lp, cfg, qcfg, cos, sin, mask, alibi, cache,
     new_cache, k_att, v_att = cache_update_and_read(
         cache, k, v, cache_index, compute_dtype)
 
-    ctx = attend(q, k_att, v_att, mask, 1.0 / math.sqrt(hd), alibi_bias=alibi)
+    ctx = attend(q, k_att, v_att, mask, 1.0 / math.sqrt(hd), alibi_bias=alibi,
+                 plain_causal=plain_causal)
     ctx = ctx.reshape(b, t, d)
     if capture:
         stats["o_in_ch_absmax"] = jnp.max(jnp.abs(ctx.reshape(-1, d)), axis=0)
@@ -256,11 +258,14 @@ def forward(params, input_ids: jnp.ndarray, cfg: BaichuanConfig,
         alibi = jnp.broadcast_to(
             alibi, (cfg.num_attention_heads, t, key_pos.shape[0]))
 
+    plain_causal = kv_cache is None and attention_mask is None
+
     def step(carry, layer_in):
         lp, layer_cache = layer_in
         hh, new_cache, stats = _layer_forward(
             carry, lp, cfg, quant_config, cos, sin, mask, alibi, layer_cache,
-            cache_index, capture_stats, compute_dtype)
+            cache_index, capture_stats, compute_dtype,
+            plain_causal=plain_causal)
         return hh, (new_cache, stats if capture_stats else None)
 
     if kv_cache is None:

@@ -261,9 +261,23 @@ def cache_update_and_read(cache, k, v, cache_index, compute_dtype):
 
 def attend(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
            mask: jnp.ndarray, scale: float,
-           alibi_bias: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+           alibi_bias: Optional[jnp.ndarray] = None,
+           plain_causal: bool = False) -> jnp.ndarray:
     """q: [B, Tq, H, Dh]; k/v: [B, Tk, H_kv, Dh]; mask: bool [B, 1, Tq, Tk]
-    (True = attend). GQA via head-group reshape. Softmax in f32."""
+    (True = attend). GQA via head-group reshape. Softmax in f32.
+
+    plain_causal=True (prefill, no padding, no bias) routes to the Pallas
+    flash kernel on TPU when shapes align — the [Tq, Tk] score matrix then
+    never touches HBM."""
+    import os
+
+    if (plain_causal and alibi_bias is None
+            and os.environ.get("ASQ_NO_FLASH") != "1"
+            and jax.default_backend() == "tpu"):
+        from ..kernels.attention import flash_attention, flash_supported
+
+        if flash_supported(q.shape, k.shape):
+            return flash_attention(q, k, v, sm_scale=scale, causal=True)
     b, tq, h, dh = q.shape
     _, tk, h_kv, _ = k.shape
     groups = h // h_kv

@@ -129,7 +129,8 @@ def init_params(cfg: LlamaConfig, key, dtype=jnp.float32) -> Dict[str, Any]:
 
 def _layer_forward(h, lp, cfg: LlamaConfig, qcfg: Optional[QuantConfig],
                    cos, sin, mask, cache: Optional[KVCacheLayer],
-                   cache_index, capture: bool, compute_dtype):
+                   cache_index, capture: bool, compute_dtype,
+                   plain_causal: bool = False):
     """One decoder layer. h: [B, T, D] compute_dtype. Returns (h', cache',
     stats)."""
     b, t, d = h.shape
@@ -161,7 +162,8 @@ def _layer_forward(h, lp, cfg: LlamaConfig, qcfg: Optional[QuantConfig],
     new_cache, k_att, v_att = cache_update_and_read(
         cache, k, v, cache_index, compute_dtype)
 
-    ctx = attend(q, k_att, v_att, mask, 1.0 / math.sqrt(hd))
+    ctx = attend(q, k_att, v_att, mask, 1.0 / math.sqrt(hd),
+                 plain_causal=plain_causal)
     ctx = ctx.reshape(b, t, n_q * hd)
     if capture:
         stats["o_in_ch_absmax"] = jnp.max(jnp.abs(ctx.reshape(-1, n_q * hd)), axis=0)
@@ -235,12 +237,15 @@ def forward(params, input_ids: jnp.ndarray, cfg: LlamaConfig,
 
     cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta)
 
+    plain_causal = kv_cache is None and attention_mask is None
+
     def step(carry, layer_in):
         hh = carry
         lp, layer_cache = layer_in
         hh, new_cache, stats = _layer_forward(
             hh, lp, cfg, quant_config, cos, sin, mask, layer_cache,
             cache_index, capture_stats, compute_dtype,
+            plain_causal=plain_causal,
         )
         ys = (new_cache, stats) if capture_stats else (new_cache, None)
         return hh, ys

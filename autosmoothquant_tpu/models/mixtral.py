@@ -176,7 +176,8 @@ def _moe_block(x, mp, cfg: MixtralConfig, qcfg, capture, all_experts,
 
 
 def _layer_forward(h, lp, cfg, qcfg, cos, sin, mask, cache, cache_index,
-                   capture, all_experts, compute_dtype):
+                   capture, all_experts, compute_dtype,
+                   plain_causal: bool = False):
     b, t, d = h.shape
     hd = cfg.head_dim
     n_q, n_kv = cfg.num_attention_heads, cfg.num_key_value_heads
@@ -202,7 +203,8 @@ def _layer_forward(h, lp, cfg, qcfg, cos, sin, mask, cache, cache_index,
     new_cache, k_att, v_att = cache_update_and_read(
         cache, k, v, cache_index, compute_dtype)
 
-    ctx = attend(q, k_att, v_att, mask, 1.0 / math.sqrt(hd))
+    ctx = attend(q, k_att, v_att, mask, 1.0 / math.sqrt(hd),
+                 plain_causal=plain_causal)
     ctx = ctx.reshape(b, t, n_q * hd)
     if capture:
         stats["o_in_ch_absmax"] = jnp.max(jnp.abs(ctx.reshape(-1, n_q * hd)), axis=0)
@@ -254,11 +256,14 @@ def forward(params, input_ids: jnp.ndarray, cfg: MixtralConfig,
 
     cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta)
 
+    plain_causal = kv_cache is None and attention_mask is None
+
     def step(carry, layer_in):
         lp, layer_cache = layer_in
         hh, new_cache, stats = _layer_forward(
             carry, lp, cfg, quant_config, cos, sin, mask, layer_cache,
-            cache_index, capture_stats, calibrate_all_experts, compute_dtype)
+            cache_index, capture_stats, calibrate_all_experts, compute_dtype,
+            plain_causal=plain_causal)
         return hh, (new_cache, stats if capture_stats else None)
 
     if kv_cache is None:

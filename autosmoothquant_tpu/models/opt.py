@@ -124,7 +124,8 @@ def init_params(cfg: OPTConfig, key, dtype=jnp.float32) -> Dict[str, Any]:
 
 
 def _layer_forward(h, lp, cfg: OPTConfig, qcfg: Optional[QuantConfig],
-                   mask, cache, cache_index, capture, compute_dtype):
+                   mask, cache, cache_index, capture, compute_dtype,
+                   plain_causal: bool = False):
     b, t, d = h.shape
     hd = cfg.head_dim
     n_h = cfg.num_attention_heads
@@ -158,7 +159,8 @@ def _layer_forward(h, lp, cfg: OPTConfig, qcfg: Optional[QuantConfig],
     new_cache, k_att, v_att = cache_update_and_read(
         cache, k, v, cache_index, compute_dtype)
 
-    ctx = attend(q, k_att, v_att, mask, 1.0 / math.sqrt(hd))
+    ctx = attend(q, k_att, v_att, mask, 1.0 / math.sqrt(hd),
+                 plain_causal=plain_causal)
     ctx = ctx.reshape(b, t, d)
     if capture:
         stats["o_in_ch_absmax"] = jnp.max(jnp.abs(ctx.reshape(-1, d)), axis=0)
@@ -230,11 +232,13 @@ def forward(params, input_ids: jnp.ndarray, cfg: OPTConfig,
     pos_emb = params["embed_pos"]["w"][positions + POS_OFFSET].astype(compute_dtype)
     h = h + pos_emb
 
+    plain_causal = kv_cache is None and attention_mask is None
+
     def step(carry, layer_in):
         lp, layer_cache = layer_in
         hh, new_cache, stats = _layer_forward(
             carry, lp, cfg, quant_config, mask, layer_cache, cache_index,
-            capture_stats, compute_dtype)
+            capture_stats, compute_dtype, plain_causal=plain_causal)
         return hh, (new_cache, stats if capture_stats else None)
 
     if kv_cache is None:
