@@ -31,6 +31,7 @@ from ..quant import math as qmath
 from ..quant.config import PER_TENSOR, PER_TOKEN, QuantConfig
 from .common import (
     KVCacheLayer,
+    cache_slots,
     cache_update_and_read,
     make_kv_cache,
     LinearKind,
@@ -227,8 +228,7 @@ def forward(params, input_ids: jnp.ndarray, cfg: BaichuanConfig,
     if kv_cache is not None:
         assert cache_index is not None
         s_max = kv_cache.k.shape[2]
-        slots = cache_index + jnp.arange(t, dtype=jnp.int32)[None, :]
-        slots = jnp.broadcast_to(slots, (b, t))
+        slots = cache_slots(cache_index, b, t)
         if positions is None:
             positions = slots
         col = jnp.arange(s_max, dtype=jnp.int32)

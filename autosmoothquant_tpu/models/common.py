@@ -233,30 +233,56 @@ def _quantize_kv(x: jnp.ndarray):
     return q, scale
 
 
+def _is_vector_index(cache_index) -> bool:
+    return getattr(cache_index, "ndim", 0) == 1
+
+
+def _write(buf, val, cache_index):
+    """Write val [B, T, ...] into buf [B, S, ...] at cache_index — a scalar
+    (same offset for every row, contiguous dynamic_update_slice) or an int32
+    [B] vector (per-row offsets, scatter; the continuous-batching path where
+    each slot fills at its own length)."""
+    if _is_vector_index(cache_index):
+        b, t = val.shape[:2]
+        rows = jnp.arange(b, dtype=jnp.int32)[:, None]
+        slots = cache_index[:, None] + jnp.arange(t, dtype=jnp.int32)[None, :]
+        return buf.at[rows, slots].set(val)
+    zeros = (0,) * (buf.ndim - 2)
+    return jax.lax.dynamic_update_slice(buf, val, (0, cache_index) + zeros)
+
+
 def cache_update_and_read(cache, k, v, cache_index, compute_dtype):
-    """Write new k/v ([B, T, H, Dh]) at cache_index, return
-    (new_cache, k_all, v_all) with k_all/v_all dequantized to compute_dtype.
-    Handles both plain and int8 caches; cache=None passes through."""
+    """Write new k/v ([B, T, H, Dh]) at cache_index (scalar or per-row [B]
+    vector), return (new_cache, k_all, v_all) with k_all/v_all dequantized to
+    compute_dtype. Handles both plain and int8 caches; cache=None passes
+    through."""
     if cache is None:
         return None, k, v
     if isinstance(cache, QuantKVCacheLayer):
         kq, ks = _quantize_kv(k)
         vq, vs = _quantize_kv(v)
-        k_all = jax.lax.dynamic_update_slice(cache.k, kq, (0, cache_index, 0, 0))
-        v_all = jax.lax.dynamic_update_slice(cache.v, vq, (0, cache_index, 0, 0))
-        ks_all = jax.lax.dynamic_update_slice(cache.k_scale, ks, (0, cache_index, 0))
-        vs_all = jax.lax.dynamic_update_slice(cache.v_scale, vs, (0, cache_index, 0))
+        k_all = _write(cache.k, kq, cache_index)
+        v_all = _write(cache.v, vq, cache_index)
+        ks_all = _write(cache.k_scale, ks, cache_index)
+        vs_all = _write(cache.v_scale, vs, cache_index)
         new_cache = QuantKVCacheLayer(k=k_all, v=v_all, k_scale=ks_all,
                                       v_scale=vs_all)
         k_de = (k_all.astype(jnp.float32) * ks_all[..., None]).astype(compute_dtype)
         v_de = (v_all.astype(jnp.float32) * vs_all[..., None]).astype(compute_dtype)
         return new_cache, k_de, v_de
-    k_all = jax.lax.dynamic_update_slice(cache.k, k.astype(cache.k.dtype),
-                                         (0, cache_index, 0, 0))
-    v_all = jax.lax.dynamic_update_slice(cache.v, v.astype(cache.v.dtype),
-                                         (0, cache_index, 0, 0))
+    k_all = _write(cache.k, k.astype(cache.k.dtype), cache_index)
+    v_all = _write(cache.v, v.astype(cache.v.dtype), cache_index)
     return (KVCacheLayer(k=k_all, v=v_all),
             k_all.astype(compute_dtype), v_all.astype(compute_dtype))
+
+
+def cache_slots(cache_index, batch: int, t: int) -> jnp.ndarray:
+    """Absolute cache-slot indices [B, T] of the tokens being written, for a
+    scalar or per-row [B] cache_index."""
+    ar = jnp.arange(t, dtype=jnp.int32)
+    if _is_vector_index(cache_index):
+        return cache_index[:, None] + ar[None, :]
+    return jnp.broadcast_to(cache_index + ar[None, :], (batch, t))
 
 
 def attend(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,

@@ -35,6 +35,7 @@ from ..quant import math as qmath
 from ..quant.config import PER_TENSOR, QuantConfig
 from .common import (
     KVCacheLayer,
+    cache_slots,
     cache_update_and_read,
     make_kv_cache,
     LinearKind,
@@ -214,8 +215,7 @@ def forward(params, input_ids: jnp.ndarray, cfg: LlamaConfig,
         assert cache_index is not None
         s_max = kv_cache.k.shape[2]
         # cache-slot indices of the tokens being written (contiguous fill)
-        slots = cache_index + jnp.arange(t, dtype=jnp.int32)[None, :]
-        slots = jnp.broadcast_to(slots, (b, t))
+        slots = cache_slots(cache_index, b, t)
         if positions is None:
             positions = slots  # no padding: slot == rope position
         # attend to slot s iff s <= own slot

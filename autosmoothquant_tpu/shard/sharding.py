@@ -69,16 +69,154 @@ def llama_param_specs(cfg, mesh: Mesh) -> Dict[str, Any]:
     }
 
 
-def kv_cache_specs(cfg, mesh: Mesh):
-    """KVCacheLayer leaves [L, B, S, H_kv, Dh]."""
-    from ..models.common import KVCacheLayer
+def opt_param_specs(cfg, mesh: Mesh) -> Dict[str, Any]:
+    """OPT: bias-ful projections; LayerNorm + positional embeddings
+    replicated; q/k/v/fc1 column-parallel, o/fc2 row-parallel."""
+    m = mesh.shape.get("model", 1)
 
+    def proj(spec_in, spec_out):
+        return {
+            "w": P(None, spec_in, spec_out),
+            "b": P(None, spec_out),
+            "bias": P(None, spec_out),
+            "dequant_scale": P(None),
+            "quant_scale": P(None),
+        }
+
+    col = _maybe(m, cfg.hidden_size, "model")
+    ffn_col = _maybe(m, cfg.ffn_dim, "model")
+    vocab_col = _maybe(m, cfg.vocab_size, "model")
+    norm = {"w": P(None, None), "b": P(None, None)}
+    return {
+        "embed": {"w": P(None, None)},
+        "embed_pos": {"w": P(None, None)},
+        "project_in": {"w": P(None, None)},
+        "project_out": {"w": P(None, None)},
+        "layers": {
+            "ln1": norm,
+            "attn": {"q": proj(None, col), "k": proj(None, col),
+                     "v": proj(None, col), "o": proj(col, None)},
+            "ln2": norm,
+            "mlp": {"fc1": proj(None, ffn_col), "fc2": proj(ffn_col, None)},
+        },
+        "final_norm": {"w": P(None), "b": P(None)},
+        "lm_head": {"w": P(None, vocab_col)},
+    }
+
+
+def baichuan_param_specs(cfg, mesh: Mesh) -> Dict[str, Any]:
+    """Baichuan: W_pack [L, D, 3D] column-parallel over the fused output dim
+    (each q/k/v section splits evenly when 3D % model == 0); the [3D]
+    dequant vector shards identically so scales follow their columns."""
+    m = mesh.shape.get("model", 1)
+    col3 = _maybe(m, cfg.hidden_size, "model")  # per-section divisibility
+    col = _maybe(m, cfg.hidden_size, "model")
+    ffn_col = _maybe(m, cfg.intermediate_size, "model")
+    vocab_col = _maybe(m, cfg.vocab_size, "model")
+    return {
+        "embed": {"w": P(None, None)},
+        "layers": {
+            "ln1": {"w": P(None, None)},
+            "attn": {
+                "wpack": {"w": P(None, None, col3),
+                          "dequant_scale": P(None, col3),
+                          "quant_scale": P(None)},
+                "o": {"w": P(None, col, None), "dequant_scale": P(None),
+                      "quant_scale": P(None)},
+            },
+            "ln2": {"w": P(None, None)},
+            "mlp": {
+                "gate": {"w": P(None, None, ffn_col), "dequant_scale": P(None),
+                         "quant_scale": P(None)},
+                "up": {"w": P(None, None, ffn_col), "dequant_scale": P(None),
+                       "quant_scale": P(None)},
+                "down": {"w": P(None, ffn_col, None), "dequant_scale": P(None),
+                         "quant_scale": P(None)},
+            },
+        },
+        "final_norm": {"w": P(None)},
+        "lm_head": {"w": P(None, vocab_col)},
+    }
+
+
+def mixtral_param_specs(cfg, mesh: Mesh) -> Dict[str, Any]:
+    """Mixtral: attention TP like Llama; experts [L, E, in, out] sharded
+    over the "expert" axis when the mesh has one (EP), otherwise experts'
+    inner dims are tensor-parallel over "model" (per-expert scales shard
+    with their expert). Router replicated (fp, tiny)."""
+    m = mesh.shape.get("model", 1)
+    e_ax = "expert" if "expert" in mesh.shape and mesh.shape["expert"] > 1 else None
+    exp = _maybe(mesh.shape.get("expert", 1), cfg.num_local_experts, "expert") \
+        if e_ax else None
+
+    def proj(spec_in, spec_out):
+        return {"w": P(None, spec_in, spec_out), "dequant_scale": P(None),
+                "quant_scale": P(None), "bias": P(None, spec_out)}
+
+    def expert_proj(spec_in, spec_out):
+        return {"w": P(None, exp, spec_in, spec_out),
+                "dequant_scale": P(None, exp), "quant_scale": P(None, exp)}
+
+    col = _maybe(m, cfg.num_attention_heads * cfg.head_dim, "model")
+    kv_col = _maybe(m, cfg.num_key_value_heads * cfg.head_dim, "model")
+    ffn_col = _maybe(m, cfg.intermediate_size, "model")
+    vocab_col = _maybe(m, cfg.vocab_size, "model")
+    return {
+        "embed": {"w": P(None, None)},
+        "layers": {
+            "ln1": {"w": P(None, None)},
+            "attn": {"q": proj(None, col), "k": proj(None, kv_col),
+                     "v": proj(None, kv_col), "o": proj(col, None)},
+            "ln2": {"w": P(None, None)},
+            "moe": {
+                "router": {"w": P(None, None, None)},
+                "w1": expert_proj(None, ffn_col),
+                "w3": expert_proj(None, ffn_col),
+                "w2": expert_proj(ffn_col, None),
+            },
+        },
+        "final_norm": {"w": P(None)},
+        "lm_head": {"w": P(None, vocab_col)},
+    }
+
+
+PARAM_SPEC_FNS = {
+    "llama": llama_param_specs,
+    "transformers": opt_param_specs,   # OPT family tag
+    "opt": opt_param_specs,
+    "baichuan": baichuan_param_specs,
+    "mixtral": mixtral_param_specs,
+}
+
+
+def param_specs(family: str, cfg, mesh: Mesh):
+    return PARAM_SPEC_FNS[family](cfg, mesh)
+
+
+def kv_cache_specs(cfg, mesh: Mesh):
+    """KVCacheLayer leaves [L, B, S, H_kv, Dh] (+ [L, B, S, H_kv] scales for
+    the int8 cache)."""
     m = mesh.shape.get("model", 1)
     d = mesh.shape.get("data", 1)
-    head = _maybe(m, cfg.num_key_value_heads, "model")
+    kv_heads = getattr(cfg, "num_key_value_heads", None) or cfg.num_attention_heads
+    head = _maybe(m, kv_heads, "model")
     batch = "data" if d > 1 else None
     spec = P(None, batch, None, head, None)
-    return KVCacheLayer(k=spec, v=spec)
+    return {"kv": spec, "kv_scale": P(None, batch, None, head)}
+
+
+def shard_kv_cache(cache, mesh: Mesh, cfg):
+    from ..models.common import KVCacheLayer, QuantKVCacheLayer
+
+    specs = kv_cache_specs(cfg, mesh)
+    if isinstance(cache, QuantKVCacheLayer):
+        tree_spec = QuantKVCacheLayer(
+            k=specs["kv"], v=specs["kv"],
+            k_scale=specs["kv_scale"], v_scale=specs["kv_scale"])
+    else:
+        tree_spec = KVCacheLayer(k=specs["kv"], v=specs["kv"])
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), cache, tree_spec)
 
 
 def _prune_specs(specs, params):

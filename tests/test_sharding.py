@@ -9,7 +9,7 @@ import pytest
 from autosmoothquant_tpu.models import llama as L
 from autosmoothquant_tpu.quant.config import QuantConfig
 from autosmoothquant_tpu.shard import make_mesh, llama_param_specs, shard_params
-from autosmoothquant_tpu.shard.sharding import kv_cache_specs
+from autosmoothquant_tpu.shard.sharding import shard_kv_cache
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 TINY = dict(
@@ -64,9 +64,7 @@ def test_sharded_decode_step(setup):
     mesh = make_mesh(data=2, model=4)
     sharded = shard_params(params, mesh, llama_param_specs(cfg, mesh))
     cache = L.init_kv_cache(cfg, 4, 32, jnp.float32)
-    cache_sharding = jax.tree.map(
-        lambda s: NamedSharding(mesh, s), kv_cache_specs(cfg, mesh))
-    cache = jax.tree.map(jax.device_put, cache, cache_sharding)
+    cache = shard_kv_cache(cache, mesh, cfg)
 
     step = jax.jit(
         lambda p, i, c, idx: L.forward(p, i, cfg, kv_cache=c, cache_index=idx)[:2])
