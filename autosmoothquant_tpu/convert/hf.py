@@ -254,12 +254,10 @@ def load_state_dict(model_path: str) -> Dict[str, Any]:
     st_files = [e for e in entries if e.endswith(".safetensors")]
     bin_files = [e for e in entries if e.endswith(".bin") and "pytorch_model" in e]
     if st_files:
-        from safetensors import safe_open
+        from .fast_loader import load_safetensors
 
         for fname in st_files:
-            with safe_open(os.path.join(model_path, fname), framework="np") as f:
-                for key in f.keys():
-                    sd[key] = f.get_tensor(key)
+            sd.update(load_safetensors(os.path.join(model_path, fname)))
     elif bin_files:
         import torch
 

@@ -69,7 +69,9 @@ def calibrate_smooth_quantize(model_mod, params, cfg, qcfg: QuantConfig,
 # ---------------------------------------------------------------------------
 
 _MANIFEST = "asq_manifest.json"
-_WEIGHTS = "asq_weights.npz"
+_WEIGHTS = "asq_weights.npz"              # legacy container (still readable)
+_WEIGHTS_ST = "asq_weights.safetensors"   # preferred: fp8/bf16-native,
+                                          # loaded via csrc/asq_io.cc
 
 
 def _flatten(tree, prefix=()) -> Dict[str, Any]:
@@ -98,19 +100,14 @@ def _unflatten(flat: Dict[str, Any]) -> Dict[str, Any]:
 def save_quantized(path: str, params, qcfg: QuantConfig,
                    config_dict: Optional[dict] = None,
                    artifacts: Optional[dict] = None) -> None:
+    from .fast_loader import save_safetensors
+
     os.makedirs(path, exist_ok=True)
     flat = _flatten(jax.device_get(params))
-    arrays = {}
-    dtypes = {}
-    for k, v in flat.items():
-        a = np.asarray(v)
-        name = a.dtype.name
-        if name.startswith("float8") or name == "bfloat16":
-            dtypes[k] = name
-            a = a.view(np.uint8) if name.startswith("float8") else a.view(np.uint16)
-        arrays[k] = a
-    np.savez(os.path.join(path, _WEIGHTS), **arrays)
-    manifest = {"dtypes": dtypes, "version": 1}
+    arrays = {k: np.asarray(v) for k, v in flat.items()}
+    save_safetensors(os.path.join(path, _WEIGHTS_ST), arrays,
+                     metadata={"format": "asq"})
+    manifest = {"dtypes": {}, "version": 2, "container": "safetensors"}
     with open(os.path.join(path, _MANIFEST), "w", encoding="utf-8") as f:
         json.dump(manifest, f)
     save_quant_config(qcfg, os.path.join(path, "quant_config.json"))
@@ -126,18 +123,24 @@ def save_quantized(path: str, params, qcfg: QuantConfig,
 
 def load_quantized(path: str):
     """Returns (params, QuantConfig, config_dict-or-None)."""
-    import ml_dtypes
-
     with open(os.path.join(path, _MANIFEST), "r", encoding="utf-8") as f:
         manifest = json.load(f)
-    data = np.load(os.path.join(path, _WEIGHTS))
-    flat = {}
-    for k in data.files:
-        a = data[k]
-        name = manifest["dtypes"].get(k)
-        if name:
-            a = a.view(getattr(ml_dtypes, name))
-        flat[k] = jnp.asarray(a)
+    st_path = os.path.join(path, _WEIGHTS_ST)
+    if os.path.exists(st_path):
+        from .fast_loader import load_safetensors
+
+        flat = {k: jnp.asarray(v) for k, v in load_safetensors(st_path).items()}
+    else:  # legacy npz container
+        import ml_dtypes
+
+        data = np.load(os.path.join(path, _WEIGHTS))
+        flat = {}
+        for k in data.files:
+            a = data[k]
+            name = manifest["dtypes"].get(k)
+            if name:
+                a = a.view(getattr(ml_dtypes, name))
+            flat[k] = jnp.asarray(a)
     params = _unflatten(flat)
     from ..quant.config import parse_quant_config
 
