@@ -164,6 +164,49 @@ def quant_linear(x: jnp.ndarray, p: dict, cfg: QuantConfig, granularity: str,
     raise ValueError(f"unknown quant type {cfg.type}")
 
 
+def fused_linear(x: jnp.ndarray, p: dict, qcfg: Optional[QuantConfig],
+                 granularity: str, compute_dtype) -> jnp.ndarray:
+    """One GEMM over a fused multi-projection weight [in, sum(outs)] whose
+    dequant_scale is a per-COLUMN [sum(outs)] vector (per-section weight
+    scales × optional folded input scale) — the generalization of the
+    reference's W8A8BFP32OFP32QKVLinear (layers/nn/linear.py:132-245) used
+    for Baichuan W_pack, fused Llama QKV, and fused gate|up."""
+    from ..kernels.gemm import int8_matmul
+
+    lead = x.shape[:-1]
+    x2 = x.reshape(-1, x.shape[-1])
+    if qcfg is None or p["w"].dtype not in _QUANT_DTYPES:
+        out = jnp.dot(x2, p["w"], preferred_element_type=jnp.float32)
+        if p.get("bias") is not None:
+            out = out + p["bias"].astype(jnp.float32)
+        return out.reshape(*lead, -1).astype(compute_dtype)
+    if p["w"].dtype != jnp.int8:
+        # fp8 fused path: dequant via col vector after the fp8 dot
+        from ..kernels.gemm import fp8_matmul
+
+        q = x2.astype(p["w"].dtype) if qcfg.type == "fp8_e5m2" else None
+        if q is None:
+            if granularity == PER_TOKEN:
+                q, s = qmath.quantize_fp8_per_token(x2, p["w"].dtype)
+            else:
+                q, s = qmath.quantize_fp8_per_tensor(x2, p["w"].dtype)
+            out = fp8_matmul(q, p["w"], row_scale=s, col_scale=p["w_scale"],
+                             bias=p.get("bias"), out_dtype=compute_dtype)
+        else:
+            out = fp8_matmul(q, p["w"], bias=p.get("bias"), out_dtype=compute_dtype)
+        return out.reshape(*lead, -1)
+    if granularity == PER_TOKEN:
+        q, tok_scale = qmath.quantize_act_per_token(x2)
+        out = int8_matmul(q, p["w"], row_scale=tok_scale,
+                          col_scale=p["dequant_scale"], bias=p.get("bias"),
+                          out_dtype=compute_dtype)
+    else:
+        q = qmath.quantize_act_prescaled(x2)
+        out = int8_matmul(q, p["w"], col_scale=p["dequant_scale"],
+                          bias=p.get("bias"), out_dtype=compute_dtype)
+    return out.reshape(*lead, -1)
+
+
 def float_linear(x: jnp.ndarray, p: dict, out_dtype=None) -> jnp.ndarray:
     """Unquantized projection (float model path + lm_head, which the
     reference deliberately keeps fp, models/llama.py:409-410)."""

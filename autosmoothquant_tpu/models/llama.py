@@ -41,6 +41,7 @@ from .common import (
     LinearKind,
     apply_rope,
     attend,
+    fused_linear,
     linear,
     rms_norm,
     rope_cos_sin,
@@ -143,12 +144,22 @@ def _layer_forward(h, lp, cfg: LlamaConfig, qcfg: Optional[QuantConfig],
     x = rms_norm(h, lp["ln1"]["w"], cfg.rms_norm_eps)  # f32
     if capture:
         stats["qkv_in_ch_absmax"] = jnp.max(jnp.abs(x.reshape(-1, d)), axis=0)
-    q = linear(x, lp["attn"]["q"], qcfg, qcfg.qkv if qcfg else PER_TENSOR,
-               LinearKind.POST_NORM, out_dtype=compute_dtype)
-    k = linear(x, lp["attn"]["k"], qcfg, qcfg.qkv if qcfg else PER_TENSOR,
-               LinearKind.POST_NORM, out_dtype=compute_dtype)
-    v = linear(x, lp["attn"]["v"], qcfg, qcfg.qkv if qcfg else PER_TENSOR,
-               LinearKind.POST_NORM, out_dtype=compute_dtype)
+    n_kv_d = cfg.num_key_value_heads * hd
+    if "qkv" in lp["attn"]:
+        # decode-optimized fused QKV: one GEMM, per-section dequant columns
+        # (see fuse_decode_projections)
+        proj = fused_linear(x, lp["attn"]["qkv"], qcfg,
+                            qcfg.qkv if qcfg else PER_TENSOR, compute_dtype)
+        q = proj[..., : n_q * hd]
+        k = proj[..., n_q * hd: n_q * hd + n_kv_d]
+        v = proj[..., n_q * hd + n_kv_d:]
+    else:
+        q = linear(x, lp["attn"]["q"], qcfg, qcfg.qkv if qcfg else PER_TENSOR,
+                   LinearKind.POST_NORM, out_dtype=compute_dtype)
+        k = linear(x, lp["attn"]["k"], qcfg, qcfg.qkv if qcfg else PER_TENSOR,
+                   LinearKind.POST_NORM, out_dtype=compute_dtype)
+        v = linear(x, lp["attn"]["v"], qcfg, qcfg.qkv if qcfg else PER_TENSOR,
+                   LinearKind.POST_NORM, out_dtype=compute_dtype)
     if capture:
         stats["q_out_absmax"] = jnp.max(jnp.abs(q))
         stats["k_out_absmax"] = jnp.max(jnp.abs(k))
@@ -176,10 +187,16 @@ def _layer_forward(h, lp, cfg: LlamaConfig, qcfg: Optional[QuantConfig],
     x2 = rms_norm(h, lp["ln2"]["w"], cfg.rms_norm_eps)
     if capture:
         stats["gate_in_ch_absmax"] = jnp.max(jnp.abs(x2.reshape(-1, d)), axis=0)
-    gate = linear(x2, lp["mlp"]["gate"], qcfg, qcfg.fc1 if qcfg else PER_TENSOR,
-                  LinearKind.POST_NORM, out_dtype=compute_dtype)
-    up = linear(x2, lp["mlp"]["up"], qcfg, qcfg.fc1 if qcfg else PER_TENSOR,
-                LinearKind.POST_NORM, out_dtype=compute_dtype)
+    if "gateup" in lp["mlp"]:
+        proj = fused_linear(x2, lp["mlp"]["gateup"], qcfg,
+                            qcfg.fc1 if qcfg else PER_TENSOR, compute_dtype)
+        gate = proj[..., : cfg.intermediate_size]
+        up = proj[..., cfg.intermediate_size:]
+    else:
+        gate = linear(x2, lp["mlp"]["gate"], qcfg, qcfg.fc1 if qcfg else PER_TENSOR,
+                      LinearKind.POST_NORM, out_dtype=compute_dtype)
+        up = linear(x2, lp["mlp"]["up"], qcfg, qcfg.fc1 if qcfg else PER_TENSOR,
+                    LinearKind.POST_NORM, out_dtype=compute_dtype)
     act = (jax.nn.silu(gate.astype(jnp.float32)) * up.astype(jnp.float32)).astype(compute_dtype)
     if capture:
         stats["down_in_ch_absmax"] = jnp.max(
@@ -451,6 +468,44 @@ def quantize(params, qcfg: QuantConfig,
         for name, key in (("gate", "gate_input_scale"), ("up", "gate_input_scale"),
                           ("down", "down_input_scale")):
             new_layers["mlp"][name]["input_scale"] = scales[key] * 127.0 / qmath.FP8_E4M3_MAX
+    return {**params, "layers": new_layers}
+
+
+def fuse_decode_projections(params):
+    """Decode-time optimization: concatenate q|k|v and gate|up along the
+    output dim so each decoder layer runs 4 GEMMs instead of 7 — at M=1 the
+    step is per-op-overhead-bound, and wider N also tiles the MXU better.
+    Works on float, int8 (scalar dequant scales expand to per-section column
+    vectors, the W8A8BFP32OFP32QKVLinear recipe) and fp8 params.
+
+    Note: the fused layout is for single-device / data-parallel serving;
+    tensor parallelism should shard the unfused layout (sections would split
+    unevenly across the model axis)."""
+    lay = params["layers"]
+
+    def fuse(ps):
+        out = {"w": jnp.concatenate([p["w"] for p in ps], axis=-1)}
+        if "dequant_scale" in ps[0]:
+            cols = [jnp.repeat(p["dequant_scale"][:, None], p["w"].shape[-1], axis=1)
+                    for p in ps]
+            out["dequant_scale"] = jnp.concatenate(cols, axis=1)
+        if "w_scale" in ps[0]:
+            cols = [jnp.repeat(p["w_scale"][:, None], p["w"].shape[-1], axis=1)
+                    for p in ps]
+            out["w_scale"] = jnp.concatenate(cols, axis=1)
+        return out
+
+    new_layers = {
+        **lay,
+        "attn": {
+            "qkv": fuse([lay["attn"]["q"], lay["attn"]["k"], lay["attn"]["v"]]),
+            "o": lay["attn"]["o"],
+        },
+        "mlp": {
+            "gateup": fuse([lay["mlp"]["gate"], lay["mlp"]["up"]]),
+            "down": lay["mlp"]["down"],
+        },
+    }
     return {**params, "layers": new_layers}
 
 

@@ -44,6 +44,11 @@ def build(preset: str):
                             intermediate_size=512, num_hidden_layers=2,
                             num_attention_heads=8, num_key_value_heads=4,
                             max_position_embeddings=512)
+    elif preset == "llama7b":  # llama-2-7b shape
+        cfg = L.LlamaConfig(vocab_size=32000, hidden_size=4096,
+                            intermediate_size=11008, num_hidden_layers=32,
+                            num_attention_heads=32, num_key_value_heads=32,
+                            max_position_embeddings=2048)
     else:  # tinyllama-1.1b shape (BASELINE config 1)
         cfg = L.LlamaConfig(vocab_size=32000, hidden_size=2048,
                             intermediate_size=5632, num_hidden_layers=22,
@@ -57,6 +62,9 @@ def build(preset: str):
         "v_output_scale", "out_input_scale", "gate_input_scale",
         "down_input_scale")}
     qparams = L.quantize(params, qcfg, scales)
+    if os.environ.get("ASQ_BENCH_FUSE", "1") == "1":
+        params = L.fuse_decode_projections(params)
+        qparams = L.fuse_decode_projections(qparams)
     return L, cfg, qcfg, params, qparams
 
 

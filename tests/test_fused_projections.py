@@ -1,0 +1,65 @@
+"""Fused QKV / gate-up decode layout: outputs must match the unfused path
+for float, int8 per-tensor, int8 per-token."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from autosmoothquant_tpu.models import llama as L
+from autosmoothquant_tpu.quant.config import QuantConfig
+
+TINY = dict(
+    vocab_size=256, hidden_size=64, intermediate_size=128, num_hidden_layers=2,
+    num_attention_heads=4, num_key_value_heads=2, max_position_embeddings=128,
+)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = L.LlamaConfig(**TINY)
+    params = L.init_params(cfg, jax.random.PRNGKey(0))
+    ids = jnp.asarray(np.random.default_rng(0).integers(0, 256, size=(2, 16)))
+    return cfg, params, ids
+
+
+def test_float_fused_matches(setup):
+    cfg, params, ids = setup
+    fused = L.fuse_decode_projections(params)
+    assert "qkv" in fused["layers"]["attn"] and "gateup" in fused["layers"]["mlp"]
+    a = np.asarray(L.forward_jit(params, ids, cfg)[0])
+    b = np.asarray(L.forward_jit(fused, ids, cfg)[0])
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("gran", ["per-tensor", "per-token"])
+def test_int8_fused_matches(setup, gran):
+    cfg, params, ids = setup
+    from autosmoothquant_tpu.convert.pipeline import calibrate_smooth_quantize
+
+    qcfg = QuantConfig(type="int8", qkv=gran, out=gran, fc1=gran, fc2=gran)
+    qparams, _ = calibrate_smooth_quantize(L, params, cfg, qcfg,
+                                           lambda: [np.asarray(ids)])
+    fused = L.fuse_decode_projections(qparams)
+    assert fused["layers"]["attn"]["qkv"]["w"].dtype == jnp.int8
+    assert fused["layers"]["attn"]["qkv"]["dequant_scale"].shape == (
+        cfg.num_hidden_layers,
+        (cfg.num_attention_heads + 2 * cfg.num_key_value_heads) * cfg.head_dim)
+    a = np.asarray(L.forward_jit(qparams, ids, cfg, qcfg)[0])
+    b = np.asarray(L.forward_jit(fused, ids, cfg, qcfg)[0])
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
+
+
+def test_fused_decode_with_cache(setup):
+    cfg, params, ids = setup
+    fused = L.fuse_decode_projections(params)
+    step = jax.jit(lambda p, i, c, idx: L.forward(
+        p, i, cfg, kv_cache=c, cache_index=idx)[:2])
+    c1 = L.init_kv_cache(cfg, 2, 32, jnp.float32)
+    c2 = L.init_kv_cache(cfg, 2, 32, jnp.float32)
+    h1, c1 = step(params, ids[:, :8], c1, 0)
+    h2, c2 = step(fused, ids[:, :8], c2, 0)
+    np.testing.assert_allclose(np.asarray(h1), np.asarray(h2), rtol=1e-5, atol=1e-5)
+    h1, _ = step(params, ids[:, 8:9], c1, 8)
+    h2, _ = step(fused, ids[:, 8:9], c2, 8)
+    np.testing.assert_allclose(np.asarray(h1), np.asarray(h2), rtol=1e-5, atol=1e-5)

@@ -106,12 +106,22 @@ def test_post_ln_int8_uses_quant_scale():
     assert np.isfinite(np.asarray(M.logits(qparams, hq))).all()
 
 
-def test_generation_smoke(setup):
-    _, cfg, params, _ = setup
+def test_generation_matches_hf(setup):
+    import torch
+
+    hf, cfg, params, _ = setup
     from autosmoothquant_tpu.serve.engine import Engine, GenerationConfig
 
+    prompt = [11, 4, 7, 200, 35]
+    with torch.no_grad():
+        hf_out = hf.generate(torch.tensor([prompt]), max_new_tokens=8,
+                             do_sample=False, pad_token_id=1,
+                             )[0, len(prompt):].tolist()
     eng = Engine(M, params, cfg, max_batch=2, max_seq=64,
                  kv_dtype=jnp.float32, compute_dtype=jnp.float32)
+    ours = eng.generate([prompt], GenerationConfig(max_new_tokens=8))[0]
+    assert ours == hf_out, (ours, hf_out)
+
     out = eng.generate([[1, 2, 3], [9, 8, 7, 6]],
                        GenerationConfig(max_new_tokens=6))
     assert len(out) == 2 and all(len(o) == 6 for o in out)
