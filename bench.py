@@ -33,39 +33,103 @@ def _enable_compile_cache():
         pass
 
 
-def build(preset: str):
-    import jax
+def get_cfg(preset: str):
     from autosmoothquant_tpu.models import llama as L
-    from autosmoothquant_tpu.quant.config import QuantConfig
-    import jax.numpy as jnp
 
     if preset == "tiny":
-        cfg = L.LlamaConfig(vocab_size=2048, hidden_size=256,
-                            intermediate_size=512, num_hidden_layers=2,
-                            num_attention_heads=8, num_key_value_heads=4,
-                            max_position_embeddings=512)
-    elif preset == "llama7b":  # llama-2-7b shape
-        cfg = L.LlamaConfig(vocab_size=32000, hidden_size=4096,
-                            intermediate_size=11008, num_hidden_layers=32,
-                            num_attention_heads=32, num_key_value_heads=32,
-                            max_position_embeddings=2048)
-    else:  # tinyllama-1.1b shape (BASELINE config 1)
-        cfg = L.LlamaConfig(vocab_size=32000, hidden_size=2048,
-                            intermediate_size=5632, num_hidden_layers=22,
-                            num_attention_heads=32, num_key_value_heads=4,
-                            max_position_embeddings=2048)
-    params = L.init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
-    qcfg = QuantConfig(type="int8")
-    ones = jnp.ones((cfg.num_hidden_layers,), jnp.float32)
-    scales = {k: ones * 0.05 for k in (
-        "attn_input_scale", "q_output_scale", "k_output_scale",
-        "v_output_scale", "out_input_scale", "gate_input_scale",
-        "down_input_scale")}
-    qparams = L.quantize(params, qcfg, scales)
-    if os.environ.get("ASQ_BENCH_FUSE", "1") == "1":
-        params = L.fuse_decode_projections(params)
-        qparams = L.fuse_decode_projections(qparams)
-    return L, cfg, qcfg, params, qparams
+        return L.LlamaConfig(vocab_size=2048, hidden_size=256,
+                             intermediate_size=512, num_hidden_layers=2,
+                             num_attention_heads=8, num_key_value_heads=4,
+                             max_position_embeddings=512)
+    if preset == "llama7b":  # llama-2-7b shape
+        return L.LlamaConfig(vocab_size=32000, hidden_size=4096,
+                             intermediate_size=11008, num_hidden_layers=32,
+                             num_attention_heads=32, num_key_value_heads=32,
+                             max_position_embeddings=2048)
+    # tinyllama-1.1b shape (BASELINE config 1)
+    return L.LlamaConfig(vocab_size=32000, hidden_size=2048,
+                         intermediate_size=5632, num_hidden_layers=22,
+                         num_attention_heads=32, num_key_value_heads=4,
+                         max_position_embeddings=2048)
+
+
+def build_params(cfg, kind: str):
+    """Synthesize throughput-bench weights for ONE phase, never holding both
+    precisions (a 7B bf16+int8 pair exceeds a single chip's 16 GB HBM).
+    Values are random — decode throughput depends on shapes/dtypes only."""
+    import jax
+    import jax.numpy as jnp
+    from autosmoothquant_tpu.models import llama as L
+
+    fuse = os.environ.get("ASQ_BENCH_FUSE", "1") == "1"
+    if kind == "bf16":
+        # generate directly in bf16: init_params' f32 intermediates would
+        # transiently exceed HBM at 7B scale
+        L_, D, I, V = (cfg.num_hidden_layers, cfg.hidden_size,
+                       cfg.intermediate_size, cfg.vocab_size)
+        HD = cfg.num_attention_heads * cfg.head_dim
+        KVD = cfg.num_key_value_heads * cfg.head_dim
+        key = jax.random.PRNGKey(0)
+
+        def w(*shape, scale=0.02):
+            nonlocal key
+            key, sub = jax.random.split(key)
+            return jax.random.normal(sub, shape, jnp.bfloat16) * scale
+
+        params = {
+            "embed": {"w": w(V, D)},
+            "layers": {
+                "ln1": {"w": jnp.ones((L_, D), jnp.bfloat16)},
+                "attn": {"q": {"w": w(L_, D, HD)}, "k": {"w": w(L_, D, KVD)},
+                         "v": {"w": w(L_, D, KVD)}, "o": {"w": w(L_, HD, D)}},
+                "ln2": {"w": jnp.ones((L_, D), jnp.bfloat16)},
+                "mlp": {"gate": {"w": w(L_, D, I)}, "up": {"w": w(L_, D, I)},
+                        "down": {"w": w(L_, I, D)}},
+            },
+            "final_norm": {"w": jnp.ones((D,), jnp.bfloat16)},
+            "lm_head": {"w": w(D, V)},
+        }
+        return L.fuse_decode_projections(params) if fuse else params
+
+    # int8: draw the quantized representation directly
+    L_, D, I, V = (cfg.num_hidden_layers, cfg.hidden_size,
+                   cfg.intermediate_size, cfg.vocab_size)
+    HD = cfg.num_attention_heads * cfg.head_dim
+    KVD = cfg.num_key_value_heads * cfg.head_dim
+    key = jax.random.PRNGKey(1)
+
+    def qw(*shape):
+        nonlocal key
+        key, sub = jax.random.split(key)
+        return jax.random.randint(sub, shape, -127, 128, jnp.int8)
+
+    def scl(*shape):
+        return jnp.full(shape, 1e-3, jnp.float32)
+
+    def proj(in_d, out_d, scaled=False):
+        p = {"w": qw(L_, in_d, out_d), "dequant_scale": scl(L_)}
+        if scaled:
+            p["quant_scale"] = scl(L_)
+        return p
+
+    params = {
+        "embed": {"w": jax.random.normal(jax.random.PRNGKey(2), (V, D),
+                                         jnp.float32).astype(jnp.bfloat16) * 0.02},
+        "layers": {
+            "ln1": {"w": jnp.ones((L_, D), jnp.bfloat16) * 20},
+            "attn": {"q": proj(D, HD), "k": proj(D, KVD), "v": proj(D, KVD),
+                     "o": proj(HD, D, scaled=True)},
+            "ln2": {"w": jnp.ones((L_, D), jnp.bfloat16) * 20},
+            "mlp": {"gate": proj(D, I), "up": proj(D, I),
+                    "down": proj(I, D, scaled=True)},
+        },
+        "final_norm": {"w": jnp.ones((D,), jnp.bfloat16)},
+        "lm_head": {"w": jax.random.normal(jax.random.PRNGKey(3), (D, V),
+                                           jnp.float32).astype(jnp.bfloat16) * 0.02},
+    }
+    from autosmoothquant_tpu.models.llama import fuse_decode_projections
+
+    return fuse_decode_projections(params) if fuse else params
 
 
 def decode_tps(L, cfg, qcfg, params, *, batch, prompt_len, s_max,
@@ -135,9 +199,16 @@ def main():
     prompt_len = int(os.environ.get("ASQ_BENCH_PROMPT", "128"))
     s_max = int(os.environ.get("ASQ_BENCH_SMAX", "512"))
 
-    L, cfg, qcfg, params, qparams = build(preset)
+    from autosmoothquant_tpu.models import llama as L
+    from autosmoothquant_tpu.quant.config import QuantConfig
+
+    cfg = get_cfg(preset)
+    qcfg = QuantConfig(type="int8")
+    qparams = build_params(cfg, "int8")
     tps_int8 = decode_tps(L, cfg, qcfg, qparams, batch=batch,
                           prompt_len=prompt_len, s_max=s_max)
+    del qparams  # free HBM before materializing the bf16 baseline
+    params = build_params(cfg, "bf16")
     tps_bf16 = decode_tps(L, cfg, None, params, batch=batch,
                           prompt_len=prompt_len, s_max=s_max)
     result = {
