@@ -243,8 +243,15 @@ class KVCacheLayer(NamedTuple):
 class QuantKVCacheLayer(NamedTuple):
     """INT8 KV cache with per-token-per-head absmax scales — the capability
     the reference's vestigial int8 BMM stack promised (SURVEY.md #18/#35,
-    csrc/kernels/bmm.cu) realized TPU-style: cache reads are int8 (half the
-    HBM bandwidth of bf16), dequantized on the fly into the attention math.
+    csrc/kernels/bmm.cu) realized TPU-style.
+
+    Current value is CAPACITY: 2x the context length / concurrent slots per
+    HBM byte. Measured decode throughput is ~7% below the bf16 cache
+    (v5e, 1.1B, ctx 900, b8: 2440 vs 2630 tok/s) because the XLA path
+    materializes a dequantized copy before attention (int8 read + bf16
+    write/read > plain bf16 read). Recovering the bandwidth win needs a
+    decode-attention kernel that reads int8 and dequantizes in VMEM —
+    planned (ROADMAP).
     """
 
     k: jnp.ndarray        # int8 [B, S_max, H_kv, Dh]
