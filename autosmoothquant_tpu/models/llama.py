@@ -300,8 +300,10 @@ def forward_jit(params, input_ids, cfg: LlamaConfig,
 
 def logits(params, hidden: jnp.ndarray) -> jnp.ndarray:
     """lm_head (kept fp, ref: llama.py:409-410). Returns f32 [B, T, V]."""
-    return jnp.dot(hidden.astype(jnp.float32), params["lm_head"]["w"].astype(jnp.float32),
-                   preferred_element_type=jnp.float32)
+    w = params["lm_head"]["w"]
+    # dot in the weight's native dtype (bf16 on TPU) with f32 accumulation:
+    # an explicit f32 cast of a large vocab matrix would double its HBM reads
+    return jnp.dot(hidden.astype(w.dtype), w, preferred_element_type=jnp.float32)
 
 
 def init_kv_cache(cfg: LlamaConfig, batch: int, max_len: int,

@@ -296,9 +296,8 @@ def forward_jit(params, input_ids, cfg: MixtralConfig,
 
 
 def logits(params, hidden: jnp.ndarray) -> jnp.ndarray:
-    return jnp.dot(hidden.astype(jnp.float32),
-                   params["lm_head"]["w"].astype(jnp.float32),
-                   preferred_element_type=jnp.float32)
+    w = params["lm_head"]["w"]
+    return jnp.dot(hidden.astype(w.dtype), w, preferred_element_type=jnp.float32)
 
 
 def init_kv_cache(cfg: MixtralConfig, batch: int, max_len: int,
