@@ -1,0 +1,78 @@
+"""Flash-decode kernel vs einsum oracle: bf16 cache, int8 cache with scales,
+ragged per-row lengths."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from autosmoothquant_tpu.kernels.decode_attention import flash_decode
+from autosmoothquant_tpu.models.common import _quantize_kv
+
+INTERPRET = jax.default_backend() != "tpu"
+
+
+def oracle(q, k, v, lengths, scale):
+    b, hq, d = q.shape
+    s, hkv = k.shape[1], k.shape[2]
+    g = hq // hkv
+    out = np.zeros((b, hq, d), np.float32)
+    for bi in range(b):
+        for h in range(hq):
+            kh = h // g
+            L = int(lengths[bi])
+            sc = (np.asarray(q[bi, h], np.float32)
+                  @ np.asarray(k[bi, :L, kh], np.float32).T) * scale
+            p = np.exp(sc - sc.max())
+            p /= p.sum()
+            out[bi, h] = p @ np.asarray(v[bi, :L, kh], np.float32)
+    return out
+
+
+@pytest.mark.parametrize("hq,hkv", [(4, 4), (8, 2)])
+def test_float_cache_matches(hq, hkv):
+    rng = np.random.default_rng(0)
+    b, s, d = 2, 512, 128
+    q = jnp.asarray(rng.normal(size=(b, hq, d)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(b, s, hkv, d)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(b, s, hkv, d)), jnp.float32)
+    lengths = jnp.asarray([317, 512], jnp.int32)
+    out = flash_decode(q, k, v, lengths, sm_scale=d ** -0.5, block_k=128,
+                       interpret=INTERPRET)
+    np.testing.assert_allclose(np.asarray(out),
+                               oracle(q, k, v, lengths, d ** -0.5),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_int8_cache_matches_dequant_oracle():
+    rng = np.random.default_rng(1)
+    b, s, hq, hkv, d = 2, 256, 4, 2, 128
+    q = jnp.asarray(rng.normal(size=(b, hq, d)), jnp.float32)
+    kf = jnp.asarray(rng.normal(size=(b, s, hkv, d)) * 3, jnp.float32)
+    vf = jnp.asarray(rng.normal(size=(b, s, hkv, d)) * 3, jnp.float32)
+    kq, ks = _quantize_kv(kf)
+    vq, vs = _quantize_kv(vf)
+    lengths = jnp.asarray([100, 256], jnp.int32)
+    out = flash_decode(q, kq, vq, lengths, sm_scale=d ** -0.5,
+                       k_scale=ks, v_scale=vs, block_k=128,
+                       interpret=INTERPRET)
+    k_de = np.asarray(kq, np.float32) * np.asarray(ks)[..., None]
+    v_de = np.asarray(vq, np.float32) * np.asarray(vs)[..., None]
+    expected = oracle(q, jnp.asarray(k_de), jnp.asarray(v_de), lengths, d ** -0.5)
+    np.testing.assert_allclose(np.asarray(out), expected, rtol=2e-4, atol=2e-4)
+
+
+def test_short_length_masks_tail():
+    rng = np.random.default_rng(2)
+    b, s, hq, hkv, d = 1, 256, 2, 2, 128
+    q = jnp.asarray(rng.normal(size=(b, hq, d)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(b, s, hkv, d)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(b, s, hkv, d)), jnp.float32)
+    out_a = flash_decode(q, k, v, jnp.asarray([5], jnp.int32),
+                         sm_scale=0.1, block_k=128, interpret=INTERPRET)
+    # garbage beyond length must not affect the result
+    k2 = k.at[:, 5:].set(1e4)
+    v2 = v.at[:, 5:].set(-1e4)
+    out_b = flash_decode(q, k2, v2, jnp.asarray([5], jnp.int32),
+                         sm_scale=0.1, block_k=128, interpret=INTERPRET)
+    np.testing.assert_allclose(np.asarray(out_a), np.asarray(out_b), rtol=1e-6)
