@@ -68,19 +68,22 @@ class JaxLM:
         return score
 
     def _score_batch(self, token_lists: Sequence[Sequence[int]]):
-        """Right-pad to a pow2 length; returns (tok_logp, greedy, lengths)."""
+        """Left-truncate to max_length, right-pad to a pow2 length; returns
+        (tok_logp, greedy, effective post-truncation lengths [b])."""
         b = len(token_lists)
         t = _pad_pow2(max(len(x) for x in token_lists))
         t = min(t, self.max_length)
         ids = np.zeros((b, t), np.int32)
         mask = np.zeros((b, t), np.int32)
+        eff_lens = np.zeros((b,), np.int64)
         for i, toks in enumerate(token_lists):
             toks = list(toks)[-t:]
             ids[i, :len(toks)] = toks
             mask[i, :len(toks)] = 1
+            eff_lens[i] = len(toks)
         tok_logp, greedy = self._score_fn(
             self.params, jnp.asarray(ids), jnp.asarray(mask))
-        return np.asarray(tok_logp), np.asarray(greedy)
+        return np.asarray(tok_logp), np.asarray(greedy), eff_lens
 
     # -- public API (BaseLM contract) ---------------------------------------
 
@@ -95,12 +98,20 @@ class JaxLM:
         for start in range(0, len(order), self.batch_size):
             chunk = order[start:start + self.batch_size]
             seqs = [list(requests[i][0]) + list(requests[i][1]) for i in chunk]
-            tok_logp, greedy = self._score_batch(seqs)
+            tok_logp, greedy, eff_lens = self._score_batch(seqs)
             for j, i in enumerate(chunk):
-                ctx_len = len(requests[i][0])
                 cont_len = len(requests[i][1])
-                # token t+1 is scored at position t
-                sl = slice(ctx_len - 1, ctx_len - 1 + cont_len)
+                # _score_batch LEFT-truncates over-long sequences, so slice the
+                # continuation from the END of the effective sequence (the
+                # reference's logits[inplen - contlen : inplen] convention,
+                # ref: benchmarks/base.py:167,203). Token at position p+1 is
+                # scored at tok_logp position p.
+                eff = int(eff_lens[j])
+                if cont_len > eff - 1:
+                    raise ValueError(
+                        f"continuation ({cont_len} tokens) does not fit in "
+                        f"max_length={self.max_length} with >=1 context token")
+                sl = slice(eff - 1 - cont_len, eff - 1)
                 results[i] = (float(tok_logp[j, sl].sum()),
                               bool(greedy[j, sl].all()))
         return results
@@ -144,9 +155,12 @@ class JaxLM:
         results: List = [None] * len(prompts)
         gc = GenerationConfig(max_new_tokens=max_new_tokens,
                               eos_token_id=eos_token_id)
+        # left-truncate prompts so prompt + generation fits the engine cache
+        # (lm-eval convention: keep the most recent context)
+        keep = max(1, self.max_length - max_new_tokens)
         for start in range(0, len(order), self.batch_size):
             chunk = order[start:start + self.batch_size]
-            outs = eng.generate([list(prompts[i]) for i in chunk], gc)
+            outs = eng.generate([list(prompts[i])[-keep:] for i in chunk], gc)
             for j, i in enumerate(chunk):
                 toks = outs[j]
                 if stop_sequences:

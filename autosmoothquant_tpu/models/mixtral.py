@@ -159,7 +159,14 @@ def _moe_block(x, mp, cfg: MixtralConfig, qcfg, capture, all_experts,
                ).astype(compute_dtype)
         down = _expert_linear(act, mp["w2"], e, qcfg, gran2, LinearKind.SCALED,
                               compute_dtype)
-        return down, jnp.max(jnp.abs(act.astype(jnp.float32)), axis=0)
+        # per-expert down-input stats observe only tokens actually ROUTED to
+        # expert e (matching the reference's forward hooks, which fire on the
+        # routed index_select slice, ref: mixtral.py:142-166 + HF expert
+        # loop); all_experts (= the calibration top_k=E trick) routes every
+        # token everywhere so the mask is all-ones there
+        routed = (weights[:, e] > 0)[:, None]
+        din = jnp.max(jnp.abs(act.astype(jnp.float32)) * routed, axis=0)
+        return down, din
 
     # static unrolled loop over experts (E small) — masked tokens get weight 0
     outs = []

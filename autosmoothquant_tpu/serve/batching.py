@@ -69,7 +69,7 @@ class ContinuousEngine:
         self.waiting: List[Request] = []
         self._prefill_cache = {}
         self._insert_cache = {}
-        self._decode_fn = None
+        self._decode_fns = {}
 
     # -- jitted pieces ------------------------------------------------------
 
@@ -106,10 +106,9 @@ class ContinuousEngine:
             self._insert_cache[bucket] = insert
         return self._insert_cache[bucket]
 
-    def _decode(self):
-        if self._decode_fn is None:
+    def _decode(self, n: int):
+        if n not in self._decode_fns:
             model, cfg, qcfg, cdt = self.model, self.cfg, self.qcfg, self.compute_dtype
-            n = self.steps_per_sync
 
             @functools.partial(jax.jit, donate_argnums=(1,))
             def decode(params, pool, toks, lens, active):
@@ -130,8 +129,8 @@ class ContinuousEngine:
                     step, (toks, pool, lens), None, length=n)
                 return ys.T, pool, lens
 
-            self._decode_fn = decode
-        return self._decode_fn
+            self._decode_fns[n] = decode
+        return self._decode_fns[n]
 
     # -- scheduler ----------------------------------------------------------
 
@@ -149,6 +148,10 @@ class ContinuousEngine:
         while free and self.waiting:
             req = self.waiting.pop(0)
             row = free.pop(0)
+            if len(req.prompt) > self.max_seq - 1:
+                # keep the most recent context; at least one decode slot must
+                # remain or the first generated token would be dropped
+                req.prompt = req.prompt[-(self.max_seq - 1):]
             bucket = min(_bucket(len(req.prompt)), self.max_seq)
             ids = np.zeros((1, bucket), np.int32)
             ids[0, :len(req.prompt)] = req.prompt[:bucket]
@@ -183,9 +186,18 @@ class ContinuousEngine:
         active = np.array([r is not None for r in self.slot_req])
         if not active.any():
             return
-        # bound on-device steps by the smallest remaining budget so we never
-        # overshoot a request (tokens past eos are trimmed on reconcile)
-        toks, pool, lens = self._decode()(
+        # clamp on-device steps to the smallest remaining CACHE capacity
+        # across active slots: a slot whose lens overshoots max_seq mid-sync
+        # would have its K/V scatter writes silently dropped while its tokens
+        # keep being emitted (computed against a cache missing recent K/V).
+        # lens[row]+1 slots are occupied after a step writes at index lens.
+        cap = int(min(self.max_seq - self.lens[row] - 1
+                      for row in range(self.max_batch) if active[row]))
+        n = max(1, min(self.steps_per_sync, cap))
+        # round down to a power of two so the clamp compiles at most
+        # log2(steps_per_sync)+1 decode variants, not steps_per_sync
+        n = 1 << (n.bit_length() - 1)
+        toks, pool, lens = self._decode(n)(
             self.params, self.pool, jnp.asarray(self.pending_tok),
             jnp.asarray(self.lens), jnp.asarray(active))
         toks = np.asarray(jax.device_get(toks))

@@ -122,6 +122,14 @@ class Engine:
         b = len(prompts)
         assert b <= self.max_batch
         max_len = max(len(p) for p in prompts)
+        # capacity guard: cache writes past max_seq would be silently clamped/
+        # dropped by dynamic_update_slice / the kv_valid scatter, corrupting
+        # generation instead of erroring
+        if max_len + gen_cfg.max_new_tokens > self.max_seq:
+            raise ValueError(
+                f"prompt ({max_len} tokens) + max_new_tokens "
+                f"({gen_cfg.max_new_tokens}) exceeds max_seq={self.max_seq}; "
+                "truncate the prompt or raise max_seq")
         # left-pad to common length so every sequence's next slot == max_len
         ids = np.zeros((b, max_len), np.int32)
         pad_lens = np.zeros((b,), np.int32)

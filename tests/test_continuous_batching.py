@@ -90,3 +90,25 @@ def test_int8_kv_pool(setup):
     ce.submit("q", [1, 2, 3, 4], max_new_tokens=6)
     out = ce.run()["q"]
     assert len(out) == 6
+
+
+def test_capacity_clamp_near_max_seq(setup):
+    """Slots near max_seq must not scatter K/V past the cache: on-device
+    steps are clamped to the smallest remaining capacity and over-long
+    prompts are left-trimmed at admit (regression for silent mid-sync
+    overshoot)."""
+    cfg, params = setup
+    ce = ContinuousEngine(L, params, cfg, max_batch=4, max_seq=64,
+                          kv_dtype=jnp.float32, compute_dtype=jnp.float32,
+                          steps_per_sync=8)
+    ce.submit("a", [1, 2, 3], max_new_tokens=10)
+    ce.submit("near_cap", list(range(1, 51)), max_new_tokens=40)
+    ce.submit("long", list(range(1, 80)), max_new_tokens=10)  # 79 > 64
+    outs = ce.run()
+    assert len(outs["a"]) == 10
+    # 50-token prompt: 1 prefill token + 13 decode writes (slots 50..62)
+    assert len(outs["near_cap"]) == 14
+    # trimmed to 63 tokens: retired at capacity after the prefill token
+    assert len(outs["long"]) == 1
+    # the clamped tokens must still be CORRECT (computed with full K/V)
+    assert outs["a"] == reference_greedy(cfg, params, [1, 2, 3], 10)

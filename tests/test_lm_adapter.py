@@ -46,6 +46,27 @@ def test_loglikelihood_matches_oracle(lm):
         assert isinstance(greedy, bool)
 
 
+def test_loglikelihood_truncated_context(lm):
+    """Requests longer than max_length are LEFT-truncated; the continuation
+    must be sliced from the END of the effective sequence (regression: the
+    round-1 slice used the pre-truncation ctx_len and silently returned 0.0)."""
+    rng = np.random.default_rng(11)
+    ctx = list(rng.integers(1, 128, size=100))  # 100 > max_length=64
+    cont = list(rng.integers(1, 128, size=5))
+    (ll, _), = lm.loglikelihood([(ctx, cont)])
+    # oracle: score the same left-truncated window directly
+    eff_ctx = (ctx + cont)[-64:][:-5]
+    expected = direct_ll(lm, eff_ctx, cont)
+    assert abs(ll - expected) < 1e-3, (ll, expected)
+    assert ll < -1e-3  # a real logprob, not the old silent 0.0
+
+
+def test_loglikelihood_oversized_continuation_raises(lm):
+    cont = list(range(1, 70))  # 69 > max_length-1
+    with pytest.raises(ValueError):
+        lm.loglikelihood([([1, 2], cont)])
+
+
 def test_batching_order_preserved(lm):
     # mixed lengths: results must come back in request order
     reqs = [([i] * (1 + i % 5), [i % 7 + 1]) for i in range(11)]
