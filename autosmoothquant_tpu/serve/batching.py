@@ -48,12 +48,19 @@ def _bucket(n: int, lo: int = 32) -> int:
 
 
 class ContinuousEngine:
+    """mesh: optional Mesh for tensor-parallel serving (model axis over
+    heads/ffn/vocab). The slot pool's batch dim stays replicated — slots are
+    inserted/evicted one row at a time by the scheduler, which must not
+    straddle a data shard. Data parallelism for continuous batching is
+    engine-per-replica (each data shard runs its own scheduler), matching
+    how production TPU serving stacks split DP.
+    """
+
     def __init__(self, model_mod, params, cfg, qcfg: Optional[QuantConfig] = None,
                  *, max_batch: int = 8, max_seq: int = 2048,
                  kv_dtype=jnp.bfloat16, compute_dtype=jnp.bfloat16,
-                 steps_per_sync: int = 8):
+                 steps_per_sync: int = 8, mesh=None, param_shardings=None):
         self.model = model_mod
-        self.params = params
         self.cfg = cfg
         self.qcfg = qcfg
         self.max_batch = max_batch
@@ -61,8 +68,29 @@ class ContinuousEngine:
         self.kv_dtype = kv_dtype
         self.compute_dtype = compute_dtype
         self.steps_per_sync = steps_per_sync
+        self.mesh = mesh
+        self._kv_shardings = None
+        if mesh is not None:
+            from ..shard.sharding import param_specs as _family_specs, shard_params
+
+            specs = param_shardings
+            if specs is None:
+                specs = _family_specs(model_mod.FAMILY, cfg, mesh)
+            self.params = shard_params(params, mesh, specs)
+        else:
+            self.params = params
 
         self.pool = model_mod.init_kv_cache(cfg, max_batch, max_seq, kv_dtype)
+        if mesh is not None:
+            from ..shard.sharding import kv_cache_spec_tree, shard_kv_cache
+
+            self.pool = shard_kv_cache(self.pool, mesh, cfg, shard_batch=False)
+            # NamedSharding tree for sharding-constraining the jit-internal
+            # prefill cache (same head sharding as the pool)
+            spec_tree = kv_cache_spec_tree(self.pool, cfg, mesh, shard_batch=False)
+            self._kv_shardings = jax.tree.map(
+                lambda s: jax.sharding.NamedSharding(mesh, s), spec_tree,
+                is_leaf=lambda x: isinstance(x, jax.sharding.PartitionSpec))
         self.lens = np.zeros(max_batch, np.int32)        # tokens in cache per slot
         self.slot_req: List[Optional[Request]] = [None] * max_batch
         self.pending_tok = np.zeros(max_batch, np.int32)  # next token to feed
@@ -77,12 +105,17 @@ class ContinuousEngine:
         if bucket not in self._prefill_cache:
             model, cfg, qcfg, cdt = self.model, self.cfg, self.qcfg, self.compute_dtype
             kv_dtype = self.kv_dtype
+            kv_shardings = self._kv_shardings
 
             @jax.jit
             def prefill(params, ids, length):
                 """ids [1, bucket] right-padded; returns (temp_cache, logits
                 of the last real token)."""
                 temp = model.init_kv_cache(cfg, 1, bucket, kv_dtype)
+                if kv_shardings is not None:
+                    # keep the jit-internal cache on the same head sharding
+                    # as the pool it will be inserted into
+                    temp = jax.lax.with_sharding_constraint(temp, kv_shardings)
                 h, temp, _ = model.forward(params, ids, cfg, qcfg,
                                            kv_cache=temp, cache_index=0,
                                            compute_dtype=cdt)

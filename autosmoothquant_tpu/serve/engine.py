@@ -17,6 +17,7 @@ from typing import Any, List, Optional, Sequence
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..quant.config import QuantConfig
 
@@ -41,10 +42,19 @@ def _sample(logits_f32, key, gen_cfg: GenerationConfig):
 
 
 class Engine:
-    """Single-host generation engine over a functional model family.
+    """Generation engine over a functional model family — single-chip or
+    sharded over a ``jax.sharding.Mesh``.
 
     model_mod: models/<family>.py module (forward/logits/init_kv_cache).
     params: float or quantized pytree; qcfg selects the quantized path.
+
+    mesh: optional Mesh with axes data (DP over the batch) and model (TP over
+    heads/ffn/vocab; XLA inserts the psums on row-parallel outputs). Params
+    are placed with the family's NamedSharding specs at construction; the KV
+    cache and every per-request array are sharded in generate(). This is the
+    serving analog of the TP/DP plan in SURVEY.md §2.6 (the reference has no
+    parallel serving at all — accelerate device_map only, utils/utils.py:43).
+    param_shardings: optional spec pytree overriding the family default.
     """
 
     def __init__(self, model_mod, params, cfg, qcfg: Optional[QuantConfig] = None,
@@ -52,7 +62,6 @@ class Engine:
                  kv_dtype=jnp.bfloat16, compute_dtype=jnp.bfloat16,
                  mesh=None, param_shardings=None):
         self.model = model_mod
-        self.params = params
         self.cfg = cfg
         self.qcfg = qcfg
         self.max_batch = max_batch
@@ -62,6 +71,27 @@ class Engine:
         self.mesh = mesh
         self._prefill = {}
         self._decode = {}
+        if mesh is not None:
+            from ..shard.sharding import param_specs as _family_specs, shard_params
+
+            specs = param_shardings
+            if specs is None:
+                specs = _family_specs(model_mod.FAMILY, cfg, mesh)
+            self.params = shard_params(params, mesh, specs)
+            self._dp = mesh.shape.get("data", 1)
+            assert max_batch % self._dp == 0, (
+                f"max_batch={max_batch} must divide the data axis ({self._dp})")
+        else:
+            self.params = params
+            self._dp = 1
+
+    def _put(self, x, spec):
+        """Device-put a host array with a per-axis mesh spec (replicated when
+        no mesh)."""
+        x = jnp.asarray(x)
+        if self.mesh is None:
+            return x
+        return jax.device_put(x, NamedSharding(self.mesh, spec))
 
     # -- jitted stages ------------------------------------------------------
 
@@ -119,8 +149,14 @@ class Engine:
         """Greedy/sampled continuation for a batch of ragged prompts.
         Returns new tokens per prompt (eos-truncated if configured)."""
         gen_cfg = gen_cfg or GenerationConfig()
+        n_real = len(prompts)
+        assert n_real <= self.max_batch
+        # pad the batch to a data-axis multiple so DP sharding divides evenly
+        # (padded rows replicate prompt 0 and are dropped from the results)
+        prompts = list(prompts)
+        while len(prompts) % self._dp:
+            prompts.append(list(prompts[0]))
         b = len(prompts)
-        assert b <= self.max_batch
         max_len = max(len(p) for p in prompts)
         # capacity guard: cache writes past max_seq would be silently clamped/
         # dropped by dynamic_update_slice / the kv_valid scatter, corrupting
@@ -143,18 +179,24 @@ class Engine:
             np.arange(max_len, dtype=np.int32)[None, :] - pad_lens[:, None], 0)
 
         cache = self.model.init_kv_cache(self.cfg, b, self.max_seq, self.kv_dtype)
+        if self.mesh is not None:
+            from ..shard.sharding import shard_kv_cache
+
+            cache = shard_kv_cache(cache, self.mesh, self.cfg)
+        dp = "data" if self._dp > 1 else None
         first_logits, cache = self._prefill_fn(max_len)(
-            self.params, jnp.asarray(ids), jnp.asarray(positions),
-            jnp.asarray(valid), cache)
+            self.params, self._put(ids, P(dp, None)),
+            self._put(positions, P(dp, None)),
+            self._put(valid, P(dp, None)), cache)
 
         n = gen_cfg.max_new_tokens
         toks, _, _ = self._decode_fn(n - 1)(
-            self.params, first_logits, cache, jnp.asarray(valid),
-            jnp.int32(max_len), jnp.asarray(pad_lens),
+            self.params, first_logits, cache, self._put(valid, P(dp, None)),
+            jnp.int32(max_len), self._put(pad_lens, P(dp)),
             jax.random.PRNGKey(seed), gen_cfg)
-        out = np.asarray(toks)
+        out = np.asarray(jax.device_get(toks))
         results = []
-        for i in range(b):
+        for i in range(n_real):
             row = out[i].tolist()
             if gen_cfg.eos_token_id is not None and gen_cfg.eos_token_id in row:
                 row = row[: row.index(gen_cfg.eos_token_id)]

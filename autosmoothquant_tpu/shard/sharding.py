@@ -193,22 +193,38 @@ def param_specs(family: str, cfg, mesh: Mesh):
     return PARAM_SPEC_FNS[family](cfg, mesh)
 
 
-def kv_cache_specs(cfg, mesh: Mesh):
+def kv_cache_specs(cfg, mesh: Mesh, shard_batch: bool = True):
     """KVCacheLayer leaves [L, B, S, H_kv, Dh] (+ [L, B, S, H_kv] scales for
-    the int8 cache)."""
+    the int8 cache). ``shard_batch=False`` keeps the batch dim replicated —
+    the continuous-batching pool inserts/evicts single rows, which must not
+    straddle a data shard."""
     m = mesh.shape.get("model", 1)
     d = mesh.shape.get("data", 1)
     kv_heads = getattr(cfg, "num_key_value_heads", None) or cfg.num_attention_heads
     head = _maybe(m, kv_heads, "model")
-    batch = "data" if d > 1 else None
+    batch = "data" if d > 1 and shard_batch else None
     spec = P(None, batch, None, head, None)
     return {"kv": spec, "kv_scale": P(None, batch, None, head)}
 
 
-def shard_kv_cache(cache, mesh: Mesh, cfg):
+def kv_cache_spec_tree(cache, cfg, mesh: Mesh, shard_batch: bool = True):
+    """PartitionSpec pytree matching a KV cache pytree (plain or int8)."""
+    from ..models.common import QuantKVCacheLayer
+
+    specs = kv_cache_specs(cfg, mesh, shard_batch)
+    if isinstance(cache, QuantKVCacheLayer):
+        return QuantKVCacheLayer(
+            k=specs["kv"], v=specs["kv"],
+            k_scale=specs["kv_scale"], v_scale=specs["kv_scale"])
+    from ..models.common import KVCacheLayer
+
+    return KVCacheLayer(k=specs["kv"], v=specs["kv"])
+
+
+def shard_kv_cache(cache, mesh: Mesh, cfg, shard_batch: bool = True):
     from ..models.common import KVCacheLayer, QuantKVCacheLayer
 
-    specs = kv_cache_specs(cfg, mesh)
+    specs = kv_cache_specs(cfg, mesh, shard_batch)
     if isinstance(cache, QuantKVCacheLayer):
         tree_spec = QuantKVCacheLayer(
             k=specs["kv"], v=specs["kv"],

@@ -1,0 +1,120 @@
+"""Sharded serving: Engine and ContinuousEngine over a device mesh must
+produce the same tokens as the single-device path (8-device CPU mesh, the
+fake-backend strategy of SURVEY.md §4). This is the serving counterpart of
+tests/test_sharding*.py — the engines themselves shard params, pool, and
+per-request arrays (VERDICT r1 item 1)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from autosmoothquant_tpu.models import llama as L
+from autosmoothquant_tpu.quant.config import QuantConfig
+from autosmoothquant_tpu.serve.engine import Engine, GenerationConfig
+from autosmoothquant_tpu.serve.batching import ContinuousEngine, Request
+from autosmoothquant_tpu.shard import make_mesh
+
+TINY = dict(
+    vocab_size=256, hidden_size=64, intermediate_size=128, num_hidden_layers=2,
+    num_attention_heads=4, num_key_value_heads=2, max_position_embeddings=128,
+)
+
+
+@pytest.fixture(scope="module")
+def quantized():
+    cfg = L.LlamaConfig(**TINY)
+    params = L.init_params(cfg, jax.random.PRNGKey(0))
+    qcfg = QuantConfig(type="int8")
+    ones = jnp.ones((cfg.num_hidden_layers,), jnp.float32)
+    scales = {k: ones * s for k, s in [
+        ("attn_input_scale", 0.05), ("q_output_scale", 0.05),
+        ("k_output_scale", 0.05), ("v_output_scale", 0.05),
+        ("out_input_scale", 0.05), ("gate_input_scale", 0.05),
+        ("down_input_scale", 0.05),
+    ]}
+    qparams = L.quantize(params, qcfg, scales)
+    return cfg, qcfg, qparams
+
+
+PROMPTS = [[5, 9, 2, 11, 42, 7], [100, 3], [17, 17, 4, 250, 9]]
+
+
+def _reference_tokens(quantized, kv_dtype=jnp.float32):
+    cfg, qcfg, qparams = quantized
+    eng = Engine(L, qparams, cfg, qcfg, max_batch=4, max_seq=64,
+                 kv_dtype=kv_dtype, compute_dtype=jnp.float32)
+    return eng.generate(PROMPTS, GenerationConfig(max_new_tokens=8))
+
+
+@pytest.mark.parametrize("data,model", [(2, 4), (1, 8), (8, 1)])
+def test_engine_sharded_matches_single(quantized, data, model):
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    cfg, qcfg, qparams = quantized
+    expect = _reference_tokens(quantized)
+    mesh = make_mesh(data=data, model=model)
+    eng = Engine(L, qparams, cfg, qcfg, max_batch=8, max_seq=64,
+                 kv_dtype=jnp.float32, compute_dtype=jnp.float32, mesh=mesh)
+    got = eng.generate(PROMPTS, GenerationConfig(max_new_tokens=8))
+    assert got == expect
+
+
+def test_engine_sharded_int8_kv(quantized):
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    cfg, qcfg, qparams = quantized
+    expect = _reference_tokens(quantized, kv_dtype=jnp.int8)
+    mesh = make_mesh(data=2, model=4)
+    eng = Engine(L, qparams, cfg, qcfg, max_batch=8, max_seq=64,
+                 kv_dtype=jnp.int8, compute_dtype=jnp.float32, mesh=mesh)
+    got = eng.generate(PROMPTS, GenerationConfig(max_new_tokens=8))
+    assert got == expect
+
+
+def test_engine_param_shardings_override(quantized):
+    """Explicit param_shardings spec pytree takes precedence over the family
+    default."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    cfg, qcfg, qparams = quantized
+    from autosmoothquant_tpu.shard.sharding import llama_param_specs
+
+    mesh = make_mesh(data=1, model=8)
+    eng = Engine(L, qparams, cfg, qcfg, max_batch=4, max_seq=64,
+                 kv_dtype=jnp.float32, compute_dtype=jnp.float32, mesh=mesh,
+                 param_shardings=llama_param_specs(cfg, mesh))
+    got = eng.generate(PROMPTS, GenerationConfig(max_new_tokens=8))
+    assert got == _reference_tokens(quantized)
+
+
+def test_continuous_engine_sharded_matches_single(quantized):
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    cfg, qcfg, qparams = quantized
+
+    def run(mesh):
+        eng = ContinuousEngine(L, qparams, cfg, qcfg, max_batch=2, max_seq=64,
+                               compute_dtype=jnp.float32, kv_dtype=jnp.float32,
+                               steps_per_sync=4, mesh=mesh)
+        reqs = [Request(uid=i, prompt=p, max_new_tokens=8)
+                for i, p in enumerate(PROMPTS)]
+        return eng.run(reqs)
+
+    single = run(None)
+    sharded = run(make_mesh(data=1, model=8))
+    assert sharded == single
+
+
+def test_continuous_engine_sharded_int8_kv(quantized):
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    cfg, qcfg, qparams = quantized
+    mesh = make_mesh(data=1, model=8)
+    eng = ContinuousEngine(L, qparams, cfg, qcfg, max_batch=2, max_seq=64,
+                           compute_dtype=jnp.float32, kv_dtype=jnp.int8,
+                           steps_per_sync=4, mesh=mesh)
+    reqs = [Request(uid=i, prompt=p, max_new_tokens=8)
+            for i, p in enumerate(PROMPTS)]
+    out = eng.run(reqs)
+    assert all(len(v) == 8 for v in out.values())
