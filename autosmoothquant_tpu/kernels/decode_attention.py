@@ -3,23 +3,26 @@
 The single-token decode step is KV-bandwidth-bound at long context. The XLA
 path dequantizes the whole int8 cache into a bf16 copy before attending
 (int8 read + bf16 write + bf16 read ≈ 2.5 B/elt — worse than a plain bf16
-cache at 2 B/elt, measured 0.93x in BENCHMARKS.md). This kernel restores the
-int8 win by dequantizing INSIDE VMEM: HBM traffic is 1 B/elt + scales.
+cache at 2 B/elt, measured 0.93x in round-1 BENCHMARKS.md). This kernel
+restores the int8 win by dequantizing INSIDE VMEM: HBM traffic is 1 B/elt
++ scales.
 
-Layout trick: the cache stays [B, S, H, D]; reshaping to [B, S, H*D] (free,
-row-major) lets the per-kv-head BlockSpec slice (1, block_k, D) with an
-efficient (block_k, D) trailing tile. All G = Hq/Hkv query heads of a kv
-head are processed together (they share the K/V block).
+TPU-native design (successor to the round-1 kernel which ran at 124 GB/s):
+the grid is (B, S/block_k) and each cell reads ONE fully-contiguous
+[block_k, Hkv*D] slab — all kv heads at once — so the automatic Pallas
+pipeline double-buffers maximal contiguous DMAs. Per-kv-head dots run as a
+static unroll inside the cell (they share the slab). The round-1 version
+instead put kv-heads on the grid, which made every DMA a strided read of
+1/Hkv of each row and left the bus idle.
 
-Lengths are per-row (continuous batching): blocks fully past a row's length
-are skipped; partial blocks are masked.
+Per-row [start, length) windows support both engine layouts: left-padded
+prompts (serve.engine: start = pad_len) and front-filled slots
+(serve.batching: start = 0).
 
-STATUS (round 1): correct (vs einsum oracle incl. int8 scales + ragged
-lengths) but NOT yet fast — measured 139 us int8 / 80 us bf16 vs ~50 us for
-the XLA paths at B8 S2048 Hkv4 D128 (124 GB/s vs 819 peak). The per-cell
-work is too small and unpipelined; needs the paged-attention treatment
-(manual double-buffered DMA, several kv-heads per cell, deeper K pipeline)
-before it replaces the XLA path — ROADMAP item 1. Not wired into models yet.
+Replaces the capability promised by the reference's vestigial int8 BMM stack
+(ref: csrc/kernels/bmm.cu:10-211 bmm_s8t_s8n_* for QK^T / PV over an int8
+KV cache) — realized as one fused online-softmax kernel rather than two
+BMMs with a materialized probability matrix.
 """
 
 from __future__ import annotations
@@ -34,12 +37,12 @@ from jax.experimental.pallas import tpu as pltpu
 MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 
 
-def _decode_kernel(lengths_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref, o_ref,
-                   m_ref, l_ref, acc_ref, *, sm_scale, block_k, groups,
-                   quantized):
+def _decode_kernel(starts_ref, lengths_ref, q_ref, k_ref, v_ref, ks_ref,
+                   vs_ref, o_ref, m_ref, l_ref, acc_ref, *, sm_scale, block_k,
+                   hkv, groups, quantized):
     b = pl.program_id(0)
-    kv_h = pl.program_id(1)
-    s_idx = pl.program_id(2)
+    s_idx = pl.program_id(1)
+    start = starts_ref[b]
     length = lengths_ref[b]
 
     @pl.when(s_idx == 0)
@@ -48,54 +51,55 @@ def _decode_kernel(lengths_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref, o_ref,
         l_ref[...] = jnp.zeros_like(l_ref)
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    @pl.when(s_idx * block_k < length)
+    block_lo = s_idx * block_k
+
+    @pl.when((block_lo < length) & (block_lo + block_k > start))
     def _run():
-        q = q_ref[0, 0].astype(jnp.float32)                  # [G, D]
-        k = k_ref[0].astype(jnp.float32)                     # [block_k, D]
-        v = v_ref[0].astype(jnp.float32)
-        if quantized:
-            # select this kv-head's scale column via a one-hot lane reduce
-            # (a dynamic lane index is not tile-addressable on TPU)
-            hkv = ks_ref.shape[-1]
-            onehot = (jax.lax.broadcasted_iota(
-                jnp.int32, (1, hkv), 1) == kv_h).astype(jnp.float32)
-            ks = jnp.sum(ks_ref[0].astype(jnp.float32) * onehot, axis=-1,
-                         keepdims=True)                      # [block_k, 1]
-            vs = jnp.sum(vs_ref[0].astype(jnp.float32) * onehot, axis=-1,
-                         keepdims=True)
-            k = k * ks
-            v = v * vs
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * sm_scale    # [G, block_k]
-        cols = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + s_idx * block_k
-        s = jnp.where(cols < length, s, MASK_VALUE)
+        d = q_ref.shape[-1]
+        cols1 = (jax.lax.broadcasted_iota(jnp.int32, (1, block_k), 1)
+                 + block_lo)
+        valid1 = (cols1 >= start) & (cols1 < length)
+        for h in range(hkv):  # static unroll — heads share the DMA'd slab
+            q = q_ref[0, h * groups:(h + 1) * groups, :].astype(jnp.float32)
+            k = k_ref[0][:, h * d:(h + 1) * d].astype(jnp.float32)
+            v = v_ref[0][:, h * d:(h + 1) * d].astype(jnp.float32)
+            if quantized:
+                k = k * ks_ref[0][:, h:h + 1].astype(jnp.float32)
+                v = v * vs_ref[0][:, h:h + 1].astype(jnp.float32)
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * sm_scale  # [G, block_k]
+            s = jnp.where(valid1, s, MASK_VALUE)
 
-        m_prev, l_prev = m_ref[...], l_ref[...]
-        m_curr = jnp.max(s, axis=1, keepdims=True)
-        m_next = jnp.maximum(m_prev, m_curr)
-        alpha = jnp.exp(m_prev - m_next)
-        p = jnp.exp(s - m_next)
-        l_ref[...] = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
-        m_ref[...] = m_next
-        acc_ref[...] = acc_ref[...] * alpha + jax.lax.dot(
-            p, v, preferred_element_type=jnp.float32)
+            rows = slice(h * groups, (h + 1) * groups)
+            m_prev, l_prev = m_ref[rows], l_ref[rows]
+            m_curr = jnp.max(s, axis=1, keepdims=True)
+            m_next = jnp.maximum(m_prev, m_curr)
+            alpha = jnp.exp(m_prev - m_next)
+            p = jnp.exp(s - m_next)
+            l_ref[rows] = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+            m_ref[rows] = m_next
+            acc_ref[rows] = acc_ref[rows] * alpha + jax.lax.dot(
+                p, v, preferred_element_type=jnp.float32)
 
-    @pl.when(s_idx == pl.num_programs(2) - 1)
+    @pl.when(s_idx == pl.num_programs(1) - 1)
     def _store():
         l = l_ref[...]
         l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
-        o_ref[0, 0] = (acc_ref[...] * l_inv).astype(o_ref.dtype)
+        o_ref[0] = (acc_ref[...] * l_inv).astype(o_ref.dtype)
 
 
 @functools.partial(
     jax.jit, static_argnames=("sm_scale", "block_k", "interpret"))
 def flash_decode(q: jnp.ndarray, k_cache: jnp.ndarray, v_cache: jnp.ndarray,
                  lengths: jnp.ndarray, *, sm_scale: float,
+                 starts: jnp.ndarray = None,
                  k_scale: jnp.ndarray = None, v_scale: jnp.ndarray = None,
                  block_k: int = 512, interpret: bool = False) -> jnp.ndarray:
     """q: [B, Hq, D] (one token per row); k/v_cache: [B, S, Hkv, D] (bf16/f32
-    or int8 with k/v_scale [B, S, Hkv]); lengths: int32 [B] valid prefix.
+    or int8 with k/v_scale [B, S, Hkv]); lengths: int32 [B] end of the valid
+    window (exclusive); starts: int32 [B] beginning of the valid window
+    (inclusive; None = zeros — left-padded prompts set it to the pad count).
     Returns [B, Hq, D] in q.dtype. S % block_k == 0."""
     b, hq, d = q.shape
     _, s, hkv, _ = k_cache.shape
@@ -105,46 +109,71 @@ def flash_decode(q: jnp.ndarray, k_cache: jnp.ndarray, v_cache: jnp.ndarray,
 
     quantized = k_cache.dtype == jnp.int8
     if not quantized:
-        k_scale = jnp.ones((b, s, hkv), jnp.float32)
-        v_scale = jnp.ones((b, s, hkv), jnp.float32)
+        # dummies keep the arg list static; blocks never read them
+        k_scale = jnp.ones((b, 1, hkv), jnp.float32)
+        v_scale = jnp.ones((b, 1, hkv), jnp.float32)
+    if starts is None:
+        starts = jnp.zeros((b,), jnp.int32)
 
+    # [B, S, Hkv, D] -> [B, S, Hkv*D] is free (row-major); one block row is a
+    # single contiguous HBM extent covering every kv head
     k2 = k_cache.reshape(b, s, hkv * d)
     v2 = v_cache.reshape(b, s, hkv * d)
-    # heads are kv-major contiguous: [B, Hq, D] -> [B, Hkv, G, D] is free and
-    # makes the per-kv-head group a full (tile-legal) block axis
-    q4 = q.reshape(b, hkv, g, d)
+    sc_blk = block_k if quantized else 1
+    sc_map = (lambda bb, ss, *_: (bb, ss, 0)) if quantized \
+        else (lambda bb, ss, *_: (bb, 0, 0))
 
-    grid = (b, hkv, s // block_k)
+    grid = (b, s // block_k)
     kernel = functools.partial(_decode_kernel, sm_scale=sm_scale,
-                               block_k=block_k, groups=g, quantized=quantized)
+                               block_k=block_k, hkv=hkv, groups=g,
+                               quantized=quantized)
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((b, hkv, g, d), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, hq, d), q.dtype),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
+            num_scalar_prefetch=2,
             grid=grid,
             in_specs=[
-                pl.BlockSpec((1, 1, g, d), lambda bb, h, ss, *_: (bb, h, 0, 0)),
-                pl.BlockSpec((1, block_k, d),
-                             lambda bb, h, ss, *_: (bb, ss, h)),
-                pl.BlockSpec((1, block_k, d),
-                             lambda bb, h, ss, *_: (bb, ss, h)),
-                pl.BlockSpec((1, block_k, hkv),
-                             lambda bb, h, ss, *_: (bb, ss, 0)),
-                pl.BlockSpec((1, block_k, hkv),
-                             lambda bb, h, ss, *_: (bb, ss, 0)),
+                pl.BlockSpec((1, hq, d), lambda bb, ss, *_: (bb, 0, 0)),
+                pl.BlockSpec((1, block_k, hkv * d),
+                             lambda bb, ss, *_: (bb, ss, 0)),
+                pl.BlockSpec((1, block_k, hkv * d),
+                             lambda bb, ss, *_: (bb, ss, 0)),
+                pl.BlockSpec((1, sc_blk, hkv), sc_map),
+                pl.BlockSpec((1, sc_blk, hkv), sc_map),
             ],
-            out_specs=pl.BlockSpec((1, 1, g, d),
-                                   lambda bb, h, ss, *_: (bb, h, 0, 0)),
+            out_specs=pl.BlockSpec((1, hq, d), lambda bb, ss, *_: (bb, 0, 0)),
             scratch_shapes=[
-                pltpu.VMEM((g, 1), jnp.float32),
-                pltpu.VMEM((g, 1), jnp.float32),
-                pltpu.VMEM((g, d), jnp.float32),
+                pltpu.VMEM((hq, 1), jnp.float32),
+                pltpu.VMEM((hq, 1), jnp.float32),
+                pltpu.VMEM((hq, d), jnp.float32),
             ],
         ),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * hq * s * d,
+            bytes_accessed=2 * b * s * hkv * d * k_cache.dtype.itemsize,
+            transcendentals=b * hq * s,
         ),
         interpret=interpret,
-    )(lengths.astype(jnp.int32), q4, k2, v2, k_scale, v_scale)
-    return out.reshape(b, hq, d)
+    )(starts.astype(jnp.int32), lengths.astype(jnp.int32),
+      q, k2, v2, k_scale, v_scale)
+    return out
+
+
+def decode_attend_supported(q_shape, cache_shape, block_k: int = 512) -> bool:
+    """Whether flash_decode's shape constraints hold for this decode step:
+    single query token, cache length divisible by a usable block, head_dim
+    lane-aligned. Backend choice is the caller's (models/common.py)."""
+    b, t, hq, d = q_shape
+    s = cache_shape[1]
+    hkv = cache_shape[2]
+    return (
+        t == 1
+        and d % 128 == 0
+        and hq % hkv == 0
+        and s % min(block_k, s) == 0
+        and s >= 128
+    )

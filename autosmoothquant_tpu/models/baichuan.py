@@ -32,7 +32,8 @@ from ..quant.config import PER_TENSOR, PER_TOKEN, QuantConfig
 from .common import (
     KVCacheLayer,
     cache_slots,
-    cache_update_and_read,
+    decode_window,
+    update_and_attend,
     make_kv_cache,
     LinearKind,
     apply_rope,
@@ -164,7 +165,7 @@ def _wpack_apply(x, p, qcfg: Optional[QuantConfig], compute_dtype):
 
 def _layer_forward(h, lp, cfg, qcfg, cos, sin, mask, alibi, cache,
                    cache_index, capture, compute_dtype,
-                   plain_causal: bool = False):
+                   plain_causal: bool = False, window=None):
     b, t, d = h.shape
     hd = cfg.head_dim
     n_h = cfg.num_attention_heads
@@ -184,11 +185,9 @@ def _layer_forward(h, lp, cfg, qcfg, cos, sin, mask, alibi, cache,
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
 
-    new_cache, k_att, v_att = cache_update_and_read(
-        cache, k, v, cache_index, compute_dtype)
-
-    ctx = attend(q, k_att, v_att, mask, 1.0 / math.sqrt(hd), alibi_bias=alibi,
-                 plain_causal=plain_causal)
+    new_cache, ctx = update_and_attend(
+        q, k, v, cache, cache_index, mask, 1.0 / math.sqrt(hd), compute_dtype,
+        window=window, alibi_bias=alibi, plain_causal=plain_causal)
     ctx = ctx.reshape(b, t, d)
     if capture:
         stats["o_in_ch_absmax"] = jnp.max(jnp.abs(ctx.reshape(-1, d)), axis=0)
@@ -224,6 +223,7 @@ def forward(params, input_ids: jnp.ndarray, cfg: BaichuanConfig,
             compute_dtype=jnp.float32) -> Tuple[jnp.ndarray, Any, Any]:
     b, t = input_ids.shape
     h = params["embed"]["w"][input_ids].astype(compute_dtype)
+    window = None
 
     if kv_cache is not None:
         assert cache_index is not None
@@ -235,6 +235,8 @@ def forward(params, input_ids: jnp.ndarray, cfg: BaichuanConfig,
         mask = col[None, None, None, :] <= slots[:, None, :, None]
         if kv_valid is not None:
             mask = mask & kv_valid[:, None, None, :]
+        if t == 1:
+            window = decode_window(cache_index, kv_valid, b)
         key_pos = col
     else:
         if positions is None:
@@ -265,7 +267,7 @@ def forward(params, input_ids: jnp.ndarray, cfg: BaichuanConfig,
         hh, new_cache, stats = _layer_forward(
             carry, lp, cfg, quant_config, cos, sin, mask, alibi, layer_cache,
             cache_index, capture_stats, compute_dtype,
-            plain_causal=plain_causal)
+            plain_causal=plain_causal, window=window)
         return hh, (new_cache, stats if capture_stats else None)
 
     if kv_cache is None:

@@ -326,6 +326,84 @@ def cache_update_and_read(cache, k, v, cache_index, compute_dtype):
             k_all.astype(compute_dtype), v_all.astype(compute_dtype))
 
 
+def cache_write(cache, k, v, cache_index):
+    """Write-only cache update ([B, T, H, Dh] at cache_index) — no
+    dequantized copy is materialized. The int8 fast path: flash_decode reads
+    the int8 values directly, so HBM traffic stays 1 B/elt."""
+    if isinstance(cache, QuantKVCacheLayer):
+        kq, ks = _quantize_kv(k)
+        vq, vs = _quantize_kv(v)
+        return QuantKVCacheLayer(
+            k=_write(cache.k, kq, cache_index),
+            v=_write(cache.v, vq, cache_index),
+            k_scale=_write(cache.k_scale, ks, cache_index),
+            v_scale=_write(cache.v_scale, vs, cache_index))
+    return KVCacheLayer(k=_write(cache.k, k.astype(cache.k.dtype), cache_index),
+                        v=_write(cache.v, v.astype(cache.v.dtype), cache_index))
+
+
+def decode_window(cache_index, kv_valid, batch: int):
+    """Per-row [start, length) windows of valid cache slots for the
+    single-token decode step. cache_index: scalar or [B] vector of the slot
+    being written this step; kv_valid: bool [B, S] AFTER the current slot was
+    marked (or None when slots fill from 0 with no padding)."""
+    idx = jnp.asarray(cache_index, jnp.int32)
+    lengths = jnp.broadcast_to(idx, (batch,)) + 1
+    if kv_valid is None:
+        starts = jnp.zeros((batch,), jnp.int32)
+    else:
+        # valid slots are contiguous [start, length): start = length - count
+        starts = lengths - jnp.sum(kv_valid, axis=1, dtype=jnp.int32)
+    return starts, lengths
+
+
+def _flash_decode_mode() -> str:
+    import os
+
+    return os.environ.get("ASQ_FLASH_DECODE", "auto")  # auto | off | force
+
+
+def update_and_attend(q, k, v, cache, cache_index, mask, scale, compute_dtype,
+                      *, window=None, alibi_bias=None, plain_causal=False):
+    """Cache write + attention for one layer, routing the single-token decode
+    step through the flash-decode Pallas kernel when possible (in-VMEM int8
+    dequant — the production form of the reference's vestigial int8 BMM
+    attention, csrc/kernels/bmm.cu). q/k/v: [B, T, H(,kv), Dh] post-RoPE.
+
+    window: (starts, lengths) int32 [B] from decode_window(); required for
+    the kernel path. Falls back to dequant + eager/flash-prefill attention
+    everywhere else (prefill, ALiBi, unsupported shapes, non-TPU)."""
+    b, t = q.shape[:2]
+    mode = _flash_decode_mode()
+    if (cache is not None and t == 1 and window is not None
+            and alibi_bias is None and mode != "off"):
+        from ..kernels.decode_attention import decode_attend_supported, flash_decode
+
+        shapes_ok = decode_attend_supported(q.shape, cache.k.shape)
+        on_tpu = jax.default_backend() == "tpu"
+        # single-device only for now: pallas_call has no custom partitioning
+        # registered, so under a >1-device mesh the partitioner would
+        # replicate the sharded KV cache into every shard. Meshed decode
+        # keeps the XLA path until the kernel is shard_map-wrapped.
+        single = jax.device_count() == 1
+        if shapes_ok and ((on_tpu and single) or mode == "force"):
+            new_cache = cache_write(cache, k, v, cache_index)
+            starts, lengths = window
+            quant = isinstance(cache, QuantKVCacheLayer)
+            out = flash_decode(
+                q[:, 0], new_cache.k, new_cache.v, lengths, sm_scale=scale,
+                starts=starts,
+                k_scale=new_cache.k_scale if quant else None,
+                v_scale=new_cache.v_scale if quant else None,
+                interpret=not on_tpu)
+            return new_cache, out[:, None].astype(compute_dtype)
+
+    new_cache, k_att, v_att = cache_update_and_read(
+        cache, k, v, cache_index, compute_dtype)
+    return new_cache, attend(q, k_att, v_att, mask, scale,
+                             alibi_bias=alibi_bias, plain_causal=plain_causal)
+
+
 def cache_slots(cache_index, batch: int, t: int) -> jnp.ndarray:
     """Absolute cache-slot indices [B, T] of the tokens being written, for a
     scalar or per-row [B] cache_index."""

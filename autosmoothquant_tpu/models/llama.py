@@ -36,11 +36,11 @@ from ..quant.config import PER_TENSOR, QuantConfig
 from .common import (
     KVCacheLayer,
     cache_slots,
-    cache_update_and_read,
+    decode_window,
     make_kv_cache,
+    update_and_attend,
     LinearKind,
     apply_rope,
-    attend,
     fused_linear,
     linear,
     rms_norm,
@@ -132,7 +132,7 @@ def init_params(cfg: LlamaConfig, key, dtype=jnp.float32) -> Dict[str, Any]:
 def _layer_forward(h, lp, cfg: LlamaConfig, qcfg: Optional[QuantConfig],
                    cos, sin, mask, cache: Optional[KVCacheLayer],
                    cache_index, capture: bool, compute_dtype,
-                   plain_causal: bool = False):
+                   plain_causal: bool = False, window=None):
     """One decoder layer. h: [B, T, D] compute_dtype. Returns (h', cache',
     stats)."""
     b, t, d = h.shape
@@ -171,11 +171,9 @@ def _layer_forward(h, lp, cfg: LlamaConfig, qcfg: Optional[QuantConfig],
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
 
-    new_cache, k_att, v_att = cache_update_and_read(
-        cache, k, v, cache_index, compute_dtype)
-
-    ctx = attend(q, k_att, v_att, mask, 1.0 / math.sqrt(hd),
-                 plain_causal=plain_causal)
+    new_cache, ctx = update_and_attend(
+        q, k, v, cache, cache_index, mask, 1.0 / math.sqrt(hd), compute_dtype,
+        window=window, plain_causal=plain_causal)
     ctx = ctx.reshape(b, t, n_q * hd)
     if capture:
         stats["o_in_ch_absmax"] = jnp.max(jnp.abs(ctx.reshape(-1, n_q * hd)), axis=0)
@@ -227,6 +225,7 @@ def forward(params, input_ids: jnp.ndarray, cfg: LlamaConfig,
     """
     b, t = input_ids.shape
     h = params["embed"]["w"][input_ids].astype(compute_dtype)
+    window = None
 
     if kv_cache is not None:
         assert cache_index is not None
@@ -242,6 +241,8 @@ def forward(params, input_ids: jnp.ndarray, cfg: LlamaConfig,
             # kv_valid [B, S_max]: masks out padding slots written into the
             # cache (left-padded prompts / continuous-batching free slots)
             mask = mask & kv_valid[:, None, None, :]
+        if t == 1:
+            window = decode_window(cache_index, kv_valid, b)
     else:
         if positions is None:
             positions = jnp.broadcast_to(
@@ -262,7 +263,7 @@ def forward(params, input_ids: jnp.ndarray, cfg: LlamaConfig,
         hh, new_cache, stats = _layer_forward(
             hh, lp, cfg, quant_config, cos, sin, mask, layer_cache,
             cache_index, capture_stats, compute_dtype,
-            plain_causal=plain_causal,
+            plain_causal=plain_causal, window=window,
         )
         ys = (new_cache, stats) if capture_stats else (new_cache, None)
         return hh, ys

@@ -34,7 +34,8 @@ from ..quant.config import PER_TENSOR, QuantConfig
 from .common import (
     KVCacheLayer,
     cache_slots,
-    cache_update_and_read,
+    decode_window,
+    update_and_attend,
     make_kv_cache,
     LinearKind,
     attend,
@@ -126,7 +127,7 @@ def init_params(cfg: OPTConfig, key, dtype=jnp.float32) -> Dict[str, Any]:
 
 def _layer_forward(h, lp, cfg: OPTConfig, qcfg: Optional[QuantConfig],
                    mask, cache, cache_index, capture, compute_dtype,
-                   plain_causal: bool = False):
+                   plain_causal: bool = False, window=None):
     b, t, d = h.shape
     hd = cfg.head_dim
     n_h = cfg.num_attention_heads
@@ -157,11 +158,9 @@ def _layer_forward(h, lp, cfg: OPTConfig, qcfg: Optional[QuantConfig],
     k = k.reshape(b, t, n_h, hd)
     v = v.reshape(b, t, n_h, hd)
 
-    new_cache, k_att, v_att = cache_update_and_read(
-        cache, k, v, cache_index, compute_dtype)
-
-    ctx = attend(q, k_att, v_att, mask, 1.0 / math.sqrt(hd),
-                 plain_causal=plain_causal)
+    new_cache, ctx = update_and_attend(
+        q, k, v, cache, cache_index, mask, 1.0 / math.sqrt(hd), compute_dtype,
+        window=window, plain_causal=plain_causal)
     ctx = ctx.reshape(b, t, d)
     if capture:
         stats["o_in_ch_absmax"] = jnp.max(jnp.abs(ctx.reshape(-1, d)), axis=0)
@@ -209,6 +208,7 @@ def forward(params, input_ids: jnp.ndarray, cfg: OPTConfig,
     if "project_in" in params:
         h = jnp.dot(h, params["project_in"]["w"].astype(compute_dtype))
 
+    window = None
     if kv_cache is not None:
         assert cache_index is not None
         s_max = kv_cache.k.shape[2]
@@ -219,6 +219,8 @@ def forward(params, input_ids: jnp.ndarray, cfg: OPTConfig,
         mask = col <= slots[:, None, :, None]
         if kv_valid is not None:
             mask = mask & kv_valid[:, None, None, :]
+        if t == 1:
+            window = decode_window(cache_index, kv_valid, b)
     else:
         if positions is None:
             positions = jnp.broadcast_to(
@@ -238,7 +240,8 @@ def forward(params, input_ids: jnp.ndarray, cfg: OPTConfig,
         lp, layer_cache = layer_in
         hh, new_cache, stats = _layer_forward(
             carry, lp, cfg, quant_config, mask, layer_cache, cache_index,
-            capture_stats, compute_dtype, plain_causal=plain_causal)
+            capture_stats, compute_dtype, plain_causal=plain_causal,
+            window=window)
         return hh, (new_cache, stats if capture_stats else None)
 
     if kv_cache is None:

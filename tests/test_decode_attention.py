@@ -1,5 +1,5 @@
 """Flash-decode kernel vs einsum oracle: bf16 cache, int8 cache with scales,
-ragged per-row lengths."""
+ragged per-row [start, length) windows."""
 
 import numpy as np
 import jax
@@ -12,7 +12,7 @@ from autosmoothquant_tpu.models.common import _quantize_kv
 INTERPRET = jax.default_backend() != "tpu"
 
 
-def oracle(q, k, v, lengths, scale):
+def oracle(q, k, v, lengths, scale, starts=None):
     b, hq, d = q.shape
     s, hkv = k.shape[1], k.shape[2]
     g = hq // hkv
@@ -21,11 +21,12 @@ def oracle(q, k, v, lengths, scale):
         for h in range(hq):
             kh = h // g
             L = int(lengths[bi])
+            S0 = int(starts[bi]) if starts is not None else 0
             sc = (np.asarray(q[bi, h], np.float32)
-                  @ np.asarray(k[bi, :L, kh], np.float32).T) * scale
+                  @ np.asarray(k[bi, S0:L, kh], np.float32).T) * scale
             p = np.exp(sc - sc.max())
             p /= p.sum()
-            out[bi, h] = p @ np.asarray(v[bi, :L, kh], np.float32)
+            out[bi, h] = p @ np.asarray(v[bi, S0:L, kh], np.float32)
     return out
 
 
@@ -60,6 +61,51 @@ def test_int8_cache_matches_dequant_oracle():
     v_de = np.asarray(vq, np.float32) * np.asarray(vs)[..., None]
     expected = oracle(q, jnp.asarray(k_de), jnp.asarray(v_de), lengths, d ** -0.5)
     np.testing.assert_allclose(np.asarray(out), expected, rtol=2e-4, atol=2e-4)
+
+
+def test_start_offsets_mask_front():
+    """Left-padded prompts: slots before start must be ignored."""
+    rng = np.random.default_rng(3)
+    b, s, hq, hkv, d = 2, 256, 4, 2, 128
+    q = jnp.asarray(rng.normal(size=(b, hq, d)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(b, s, hkv, d)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(b, s, hkv, d)), jnp.float32)
+    starts = jnp.asarray([7, 130], jnp.int32)
+    lengths = jnp.asarray([200, 256], jnp.int32)
+    out = flash_decode(q, k, v, lengths, sm_scale=d ** -0.5, starts=starts,
+                       block_k=128, interpret=INTERPRET)
+    np.testing.assert_allclose(
+        np.asarray(out), oracle(q, k, v, lengths, d ** -0.5, starts),
+        rtol=2e-5, atol=2e-5)
+    # garbage in the padded front must not affect the result
+    k2 = k.at[0, :7].set(1e4)
+    v2 = v.at[0, :7].set(-1e4)
+    out_b = flash_decode(q, k2, v2, lengths, sm_scale=d ** -0.5, starts=starts,
+                         block_k=128, interpret=INTERPRET)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out_b), rtol=1e-6)
+
+
+def test_engine_decode_kernel_matches_xla_path(monkeypatch):
+    """Integration: Engine greedy decode with the flash-decode kernel forced
+    on (interpret mode off-TPU) must emit the same tokens as the XLA
+    dequant-attend path — bf16 and int8 caches, left-padded ragged batch."""
+    from autosmoothquant_tpu.models import llama as L
+    from autosmoothquant_tpu.serve.engine import Engine, GenerationConfig
+
+    cfg = L.LlamaConfig(
+        vocab_size=256, hidden_size=256, intermediate_size=256,
+        num_hidden_layers=2, num_attention_heads=2, num_key_value_heads=2,
+        max_position_embeddings=256)
+    params = L.init_params(cfg, jax.random.PRNGKey(0))
+    prompts = [[5, 9, 2, 11, 42, 7], [100, 3]]
+    for kv_dtype in (jnp.float32, jnp.int8):
+        outs = {}
+        for mode in ("off", "force"):
+            monkeypatch.setenv("ASQ_FLASH_DECODE", mode)
+            eng = Engine(L, params, cfg, max_batch=2, max_seq=128,
+                         kv_dtype=kv_dtype, compute_dtype=jnp.float32)
+            outs[mode] = eng.generate(prompts, GenerationConfig(max_new_tokens=6))
+        assert outs["force"] == outs["off"], (kv_dtype, outs)
 
 
 def test_short_length_masks_tail():
