@@ -33,7 +33,8 @@ from ..quant.config import PER_TENSOR, PER_TOKEN, QuantConfig
 from .common import (
     KVCacheLayer,
     cache_slots,
-    cache_update_and_read,
+    decode_window,
+    update_and_attend,
     make_kv_cache,
     LinearKind,
     apply_rope,
@@ -131,6 +132,124 @@ def _expert_linear(x2, p, e_idx, qcfg, gran, kind, compute_dtype):
     return linear(x2, pe, qcfg, gran, kind, compute_dtype)
 
 
+# ---------------------------------------------------------------------------
+# Sparse (capacity-bucketed) expert compute — the TPU-native equivalent of
+# the reference's routed index_select expert loop
+# (ref: autosmoothquant/models/mixtral.py:142-166 via HF's per-expert token
+# gather): per-token FLOPs ∝ top-k, not E. Static shapes throughout: each
+# expert processes a fixed-capacity [C] bucket; overflow tokens are dropped
+# (standard Switch/GShard capacity semantics), pad slots carry weight 0.
+# ---------------------------------------------------------------------------
+
+
+def _round_up(v: int, m: int) -> int:
+    return -(-v // m) * m
+
+
+def expert_capacity(T: int, E: int, K: int, factor: float = 2.0) -> int:
+    """Per-expert token bucket size: factor × the perfectly-balanced load,
+    sublane-aligned, never more than T (at C == T nothing can ever drop)."""
+    c = _round_up(max(8, int(math.ceil(T * K / E * factor))), 8)
+    return min(c, _round_up(T, 8))
+
+
+def _dispatch_indices(top_idx, top_w, T: int, E: int, K: int, C: int):
+    """Build the gather/combine tables. top_idx/top_w: [T, K] (renormalized).
+    Returns (gather [E, C] int32 token ids — T means pad —, wtab [E, C] f32
+    combine weights)."""
+    flat_e = top_idx.reshape(-1)                      # [T*K]
+    flat_w = top_w.reshape(-1).astype(jnp.float32)
+    flat_t = jnp.repeat(jnp.arange(T, dtype=jnp.int32), K)
+    onehot = (flat_e[:, None] == jnp.arange(E, dtype=top_idx.dtype)[None, :])
+    pos = jnp.cumsum(onehot.astype(jnp.int32), axis=0) - 1     # [T*K, E]
+    flat_pos = jnp.take_along_axis(pos, flat_e[:, None].astype(jnp.int32),
+                                   axis=1)[:, 0]               # [T*K]
+    # slots past capacity index out of bounds -> dropped by mode="drop"
+    gather = jnp.full((E, C), T, jnp.int32)
+    gather = gather.at[flat_e, flat_pos].set(flat_t, mode="drop")
+    wtab = jnp.zeros((E, C), jnp.float32)
+    wtab = wtab.at[flat_e, flat_pos].set(flat_w, mode="drop")
+    return gather, wtab
+
+
+def _batched_expert_linear(xe, p, qcfg, gran, kind, compute_dtype):
+    """One projection for ALL experts at once: xe [E, C, Din] × w [E, Din,
+    Dout] -> [E, C, Dout], with the same quantization recipes as ``linear``
+    batched over the expert dim (per-expert dequant/quant scales [E])."""
+    w = p["w"]
+    bdims = (((2,), (1,)), ((0,), (0,)))
+    if qcfg is None or w.dtype not in (jnp.int8, jnp.float8_e4m3fn,
+                                       jnp.float8_e5m2):
+        out = jax.lax.dot_general(xe.astype(jnp.float32), w.astype(jnp.float32),
+                                  bdims, preferred_element_type=jnp.float32)
+        return out.astype(compute_dtype)
+    if w.dtype == jnp.int8:
+        if gran == PER_TOKEN:
+            absmax = jnp.max(jnp.abs(xe.astype(jnp.float32)), axis=-1,
+                             keepdims=True)
+            scale = jnp.maximum(absmax, 1e-8) / 127.0          # [E, C, 1]
+            q = jnp.clip(jnp.round(xe.astype(jnp.float32) / scale),
+                         -128, 127).astype(jnp.int8)
+            acc = jax.lax.dot_general(q, w, bdims,
+                                      preferred_element_type=jnp.int32)
+            out = (acc.astype(jnp.float32) * scale
+                   * p["dequant_scale"][:, None, None])
+        else:
+            if kind == LinearKind.SCALED:
+                q = jnp.clip(jnp.round(xe.astype(jnp.float32)
+                                       / p["quant_scale"][:, None, None]),
+                             -128, 127).astype(jnp.int8)
+            else:  # POST_NORM: input scale pre-folded into ln2
+                q = jnp.clip(jnp.round(xe.astype(jnp.float32)),
+                             -128, 127).astype(jnp.int8)
+            acc = jax.lax.dot_general(q, w, bdims,
+                                      preferred_element_type=jnp.int32)
+            out = acc.astype(jnp.float32) * p["dequant_scale"][:, None, None]
+        return out.astype(compute_dtype)
+    # fp8: upcast dot (mirroring kernels/gemm.fp8_matmul's fallback)
+    if qcfg.type == "fp8_e5m2":
+        q = xe.astype(jnp.float8_e5m2)
+        acc = jax.lax.dot_general(q.astype(jnp.bfloat16), w.astype(jnp.bfloat16),
+                                  bdims, preferred_element_type=jnp.float32)
+        return acc.astype(compute_dtype)
+    absmax = jnp.max(jnp.abs(xe.astype(jnp.float32)), axis=-1, keepdims=True)
+    s = jnp.maximum(absmax, 1e-8) / qmath.FP8_E4M3_MAX
+    q = (xe.astype(jnp.float32) / s).astype(jnp.float8_e4m3fn)
+    acc = jax.lax.dot_general(q.astype(jnp.bfloat16), w.astype(jnp.bfloat16),
+                              bdims, preferred_element_type=jnp.float32)
+    return (acc * s * p["w_scale"][:, None, None]).astype(compute_dtype)
+
+
+def _moe_block_sparse(x, mp, cfg: MixtralConfig, qcfg, compute_dtype,
+                      weights_and_idx, capacity_factor: float = 2.0):
+    """Routed expert compute: gather each expert's bucket, run THREE batched
+    GEMMs over [E, C, ·], scatter-add weighted outputs. x: f32 [T, D]."""
+    T, D = x.shape
+    E, K = cfg.num_local_experts, cfg.num_experts_per_tok
+    top_w, top_idx = weights_and_idx
+    C = expert_capacity(T, E, K, capacity_factor)
+    gather, wtab = _dispatch_indices(top_idx, top_w, T, E, K, C)
+
+    x_pad = jnp.concatenate([x, jnp.zeros((1, D), x.dtype)], axis=0)
+    xe = x_pad[gather]                                   # [E, C, D]
+
+    gran1 = qcfg.fc1 if qcfg else PER_TENSOR
+    gran2 = qcfg.fc2 if qcfg else PER_TENSOR
+    g = _batched_expert_linear(xe, mp["w1"], qcfg, gran1,
+                               LinearKind.POST_NORM, compute_dtype)
+    u = _batched_expert_linear(xe, mp["w3"], qcfg, gran1,
+                               LinearKind.POST_NORM, compute_dtype)
+    act = (jax.nn.silu(g.astype(jnp.float32)) * u.astype(jnp.float32)
+           ).astype(compute_dtype)
+    down = _batched_expert_linear(act, mp["w2"], qcfg, gran2,
+                                  LinearKind.SCALED, compute_dtype)
+
+    contrib = (down.astype(jnp.float32) * wtab[..., None]).reshape(E * C, D)
+    out = jnp.zeros((T + 1, D), jnp.float32)
+    out = out.at[gather.reshape(-1)].add(contrib)
+    return out[:T].astype(compute_dtype)
+
+
 def _moe_block(x, mp, cfg: MixtralConfig, qcfg, capture, all_experts,
                compute_dtype):
     """x: f32 [T, D] (ln2 output). Returns ([T, D], stats)."""
@@ -143,6 +262,24 @@ def _moe_block(x, mp, cfg: MixtralConfig, qcfg, capture, all_experts,
     k_eff = E if all_experts else K
     top_w, top_idx = jax.lax.top_k(probs, k_eff)
     top_w = top_w / jnp.sum(top_w, axis=-1, keepdims=True)
+
+    # routed (capacity-bucketed) compute when serving: per-token FLOPs ∝ K,
+    # not E. The dense path remains for calibration (all_experts / capture
+    # need every expert's io stats) and for tiny token counts where bucket
+    # padding would dominate. ASQ_MOE=dense|sparse overrides the heuristic.
+    import os
+
+    moe_mode = os.environ.get("ASQ_MOE", "auto")
+    use_sparse = (
+        not all_experts and not capture
+        and moe_mode != "dense"
+        and (moe_mode == "sparse" or T >= 4 * E)
+    )
+    if use_sparse:
+        out = _moe_block_sparse(x, mp, cfg, qcfg, compute_dtype,
+                                (top_w, top_idx))
+        return out, stats
+
     # dense weights: [T, E]
     weights = jnp.zeros((T, E), jnp.float32)
     weights = weights.at[jnp.arange(T)[:, None], top_idx].set(top_w)
@@ -185,7 +322,7 @@ def _moe_block(x, mp, cfg: MixtralConfig, qcfg, capture, all_experts,
 
 def _layer_forward(h, lp, cfg, qcfg, cos, sin, mask, cache, cache_index,
                    capture, all_experts, compute_dtype,
-                   plain_causal: bool = False):
+                   plain_causal: bool = False, window=None):
     b, t, d = h.shape
     hd = cfg.head_dim
     n_q, n_kv = cfg.num_attention_heads, cfg.num_key_value_heads
@@ -208,11 +345,9 @@ def _layer_forward(h, lp, cfg, qcfg, cos, sin, mask, cache, cache_index,
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
 
-    new_cache, k_att, v_att = cache_update_and_read(
-        cache, k, v, cache_index, compute_dtype)
-
-    ctx = attend(q, k_att, v_att, mask, 1.0 / math.sqrt(hd),
-                 plain_causal=plain_causal)
+    new_cache, ctx = update_and_attend(
+        q, k, v, cache, cache_index, mask, 1.0 / math.sqrt(hd), compute_dtype,
+        window=window, plain_causal=plain_causal)
     ctx = ctx.reshape(b, t, n_q * hd)
     if capture:
         stats["o_in_ch_absmax"] = jnp.max(jnp.abs(ctx.reshape(-1, n_q * hd)), axis=0)
@@ -240,6 +375,7 @@ def forward(params, input_ids: jnp.ndarray, cfg: MixtralConfig,
             compute_dtype=jnp.float32) -> Tuple[jnp.ndarray, Any, Any]:
     b, t = input_ids.shape
     h = params["embed"]["w"][input_ids].astype(compute_dtype)
+    window = None
 
     if kv_cache is not None:
         assert cache_index is not None
@@ -251,6 +387,8 @@ def forward(params, input_ids: jnp.ndarray, cfg: MixtralConfig,
         mask = col <= slots[:, None, :, None]
         if kv_valid is not None:
             mask = mask & kv_valid[:, None, None, :]
+        if t == 1:
+            window = decode_window(cache_index, kv_valid, b)
     else:
         if positions is None:
             positions = jnp.broadcast_to(
@@ -270,7 +408,7 @@ def forward(params, input_ids: jnp.ndarray, cfg: MixtralConfig,
         hh, new_cache, stats = _layer_forward(
             carry, lp, cfg, quant_config, cos, sin, mask, layer_cache,
             cache_index, capture_stats, calibrate_all_experts, compute_dtype,
-            plain_causal=plain_causal)
+            plain_causal=plain_causal, window=window)
         return hh, (new_cache, stats if capture_stats else None)
 
     if kv_cache is None:
