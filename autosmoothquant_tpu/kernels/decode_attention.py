@@ -60,15 +60,21 @@ def _decode_kernel(starts_ref, lengths_ref, q_ref, k_ref, v_ref, ks_ref,
                  + block_lo)
         valid1 = (cols1 >= start) & (cols1 < length)
         for h in range(hkv):  # static unroll — heads share the DMA'd slab
-            q = q_ref[0, h * groups:(h + 1) * groups, :].astype(jnp.float32)
-            k = k_ref[0][:, h * d:(h + 1) * d].astype(jnp.float32)
-            v = v_ref[0][:, h * d:(h + 1) * d].astype(jnp.float32)
-            if quantized:
-                k = k * ks_ref[0][:, h:h + 1].astype(jnp.float32)
-                v = v * vs_ref[0][:, h:h + 1].astype(jnp.float32)
+            # dots run in bf16 (MXU-native) with f32 accumulation for int8/
+            # bf16 caches (f32 caches keep f32 dots — exactness for tests);
+            # the int8 dequant scales FACTOR OUT of the [block_k, d] matrices
+            # into the [*, block_k] score/probability vectors: s_j *= ks_j
+            # and p_j *= vs_j — 1/d the VPU work of scaling K/V elementwise
+            ct = jnp.float32 if k_ref.dtype == jnp.float32 else jnp.bfloat16
+            q = q_ref[0, h * groups:(h + 1) * groups, :].astype(ct)
+            k = k_ref[0][:, h * d:(h + 1) * d].astype(ct)
+            v = v_ref[0][:, h * d:(h + 1) * d].astype(ct)
             s = jax.lax.dot_general(
                 q, k, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32) * sm_scale  # [G, block_k]
+            if quantized:
+                ks_row = ks_ref[0][:, h:h + 1].reshape(1, block_k)
+                s = s * ks_row.astype(jnp.float32)
             s = jnp.where(valid1, s, MASK_VALUE)
 
             rows = slice(h * groups, (h + 1) * groups)
@@ -79,8 +85,11 @@ def _decode_kernel(starts_ref, lengths_ref, q_ref, k_ref, v_ref, ks_ref,
             p = jnp.exp(s - m_next)
             l_ref[rows] = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
             m_ref[rows] = m_next
+            if quantized:
+                vs_row = vs_ref[0][:, h:h + 1].reshape(1, block_k)
+                p = p * vs_row.astype(jnp.float32)
             acc_ref[rows] = acc_ref[rows] * alpha + jax.lax.dot(
-                p, v, preferred_element_type=jnp.float32)
+                p.astype(ct), v, preferred_element_type=jnp.float32)
 
     @pl.when(s_idx == pl.num_programs(1) - 1)
     def _store():
@@ -172,7 +181,9 @@ def decode_attend_supported(q_shape, cache_shape, block_k: int = 512) -> bool:
     hkv = cache_shape[2]
     return (
         t == 1
-        and d % 128 == 0
+        # d=64 (e.g. TinyLlama) runs with half-lane per-head tiles; the DMA
+        # slab [block_k, hkv*d] stays fully lane-aligned either way
+        and d % 64 == 0
         and hq % hkv == 0
         and s % min(block_k, s) == 0
         and s >= 128

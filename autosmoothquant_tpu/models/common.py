@@ -146,6 +146,12 @@ def quant_linear(x: jnp.ndarray, p: dict, cfg: QuantConfig, granularity: str,
             q = qmath.quantize_fp8_static(x2, p["input_scale"], fdt)
             out = fp8_matmul(q, p["w"], row_scale=p["input_scale"],
                              col_scale=p["w_scale"], bias=bias, out_dtype=out_dtype)
+            if "output_scale" in p:
+                # observer-tracked output re-quantization (FP8LinearStatic
+                # with quantize_output, ref: linear.py:562-566)
+                qo = qmath.quantize_fp8_static(out, p["output_scale"], fdt)
+                out = (qo.astype(jnp.float32)
+                       * p["output_scale"]).astype(out_dtype)
         else:
             if granularity == PER_TOKEN:
                 q, s = qmath.quantize_fp8_per_token(x2, fdt)
@@ -205,6 +211,35 @@ def fused_linear(x: jnp.ndarray, p: dict, qcfg: Optional[QuantConfig],
         out = int8_matmul(q, p["w"], col_scale=p["dequant_scale"],
                           bias=p.get("bias"), out_dtype=compute_dtype)
     return out.reshape(*lead, -1)
+
+
+def linear_prequant(x_q: jnp.ndarray, p: dict, compute_dtype) -> jnp.ndarray:
+    """Per-tensor int8 POST_NORM projection whose input is ALREADY int8 —
+    fed by the fused add+norm+quant kernel (kernels/fused.py), so the
+    activation never round-trips HBM in fp between the norm and the GEMM.
+    Works for single ([out]-scalar dequant) and fused ([sum(outs)]-vector
+    dequant) weights."""
+    from ..kernels.gemm import int8_matmul
+
+    return int8_matmul(x_q, p["w"], col_scale=p["dequant_scale"],
+                       bias=p.get("bias"), out_dtype=compute_dtype)
+
+
+def fused_block_enabled(qcfg: Optional[QuantConfig], capture: bool) -> bool:
+    """Whether the per-tensor decoder block should run the fused
+    residual+norm+quant kernel: int8 per-tensor fc1, not capturing stats,
+    on TPU (or forced for interpret-mode tests via ASQ_FUSED_BLOCK=force)."""
+    import os
+
+    mode = os.environ.get("ASQ_FUSED_BLOCK", "auto")  # auto | off | force
+    if mode == "off" or capture or qcfg is None:
+        return False
+    if not (qcfg.is_int8 and qcfg.fc1 == PER_TENSOR):
+        return False
+    # single-device only (like flash-decode): a pallas call under a >1-device
+    # mesh would be replicated by the partitioner, de-sharding DP activations
+    return mode == "force" or (jax.default_backend() == "tpu"
+                               and jax.device_count() == 1)
 
 
 def float_linear(x: jnp.ndarray, p: dict, out_dtype=None) -> jnp.ndarray:
@@ -358,9 +393,18 @@ def decode_window(cache_index, kv_valid, batch: int):
 
 
 def _flash_decode_mode() -> str:
+    """auto | on | off | force.
+
+    auto currently resolves to OFF: on this environment's "axon" TPU runtime
+    a pallas_call nested inside two loop levels (the engines' decode scan
+    over the model's layer scan) hangs at execution time — reproduced with a
+    1-step loop while the same kernel runs fine standalone and inside the
+    single-level layer scan. Until that runtime bug is resolved, the kernel
+    is opt-in: ASQ_FLASH_DECODE=on (TPU) / force (interpret off-TPU, used by
+    the CI equality tests)."""
     import os
 
-    return os.environ.get("ASQ_FLASH_DECODE", "auto")  # auto | off | force
+    return os.environ.get("ASQ_FLASH_DECODE", "auto")
 
 
 def update_and_attend(q, k, v, cache, cache_index, mask, scale, compute_dtype,
@@ -376,7 +420,7 @@ def update_and_attend(q, k, v, cache, cache_index, mask, scale, compute_dtype,
     b, t = q.shape[:2]
     mode = _flash_decode_mode()
     if (cache is not None and t == 1 and window is not None
-            and alibi_bias is None and mode != "off"):
+            and alibi_bias is None and mode in ("on", "force")):
         from ..kernels.decode_attention import decode_attend_supported, flash_decode
 
         shapes_ok = decode_attend_supported(q.shape, cache.k.shape)

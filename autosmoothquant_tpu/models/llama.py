@@ -37,12 +37,14 @@ from .common import (
     KVCacheLayer,
     cache_slots,
     decode_window,
+    fused_block_enabled,
     make_kv_cache,
     update_and_attend,
     LinearKind,
     apply_rope,
     fused_linear,
     linear,
+    linear_prequant,
     rms_norm,
     rope_cos_sin,
 )
@@ -179,28 +181,59 @@ def _layer_forward(h, lp, cfg: LlamaConfig, qcfg: Optional[QuantConfig],
         stats["o_in_ch_absmax"] = jnp.max(jnp.abs(ctx.reshape(-1, n_q * hd)), axis=0)
     attn_out = linear(ctx, lp["attn"]["o"], qcfg, qcfg.out if qcfg else PER_TENSOR,
                       LinearKind.SCALED, out_dtype=compute_dtype)
-    h = h + attn_out
+    if capture:
+        stats["o_out_absmax"] = jnp.max(jnp.abs(attn_out))
 
     # --- mlp ---------------------------------------------------------------
-    x2 = rms_norm(h, lp["ln2"]["w"], cfg.rms_norm_eps)
-    if capture:
-        stats["gate_in_ch_absmax"] = jnp.max(jnp.abs(x2.reshape(-1, d)), axis=0)
-    if "gateup" in lp["mlp"]:
-        proj = fused_linear(x2, lp["mlp"]["gateup"], qcfg,
-                            qcfg.fc1 if qcfg else PER_TENSOR, compute_dtype)
-        gate = proj[..., : cfg.intermediate_size]
-        up = proj[..., cfg.intermediate_size:]
+    fused_mlp = fused_block_enabled(qcfg, capture)
+    if not fused_mlp:
+        h = h + attn_out
+    if fused_mlp:
+        # fused residual-add + RMSNorm + int8-quantize (one HBM pass; the
+        # TPU realization of the reference's dq_add_layernorm_q,
+        # csrc/kernels/fused.cu:5-25) feeding a prequantized int8 GEMM —
+        # the activation never returns to fp in HBM between norm and MXU
+        from ..kernels.fused import fused_add_rmsnorm_quant
+
+        h2, x2_q = fused_add_rmsnorm_quant(
+            h.reshape(b * t, d), attn_out.reshape(b * t, d),
+            lp["ln2"]["w"], eps=cfg.rms_norm_eps,
+            interpret=jax.default_backend() != "tpu")
+        h = h2.reshape(b, t, d)
+        mp = lp["mlp"].get("gateup")
+        if mp is not None:
+            proj = linear_prequant(x2_q, mp, compute_dtype).reshape(b, t, -1)
+            gate = proj[..., : cfg.intermediate_size]
+            up = proj[..., cfg.intermediate_size:]
+        else:
+            gate = linear_prequant(x2_q, lp["mlp"]["gate"], compute_dtype
+                                   ).reshape(b, t, -1)
+            up = linear_prequant(x2_q, lp["mlp"]["up"], compute_dtype
+                                 ).reshape(b, t, -1)
     else:
-        gate = linear(x2, lp["mlp"]["gate"], qcfg, qcfg.fc1 if qcfg else PER_TENSOR,
-                      LinearKind.POST_NORM, out_dtype=compute_dtype)
-        up = linear(x2, lp["mlp"]["up"], qcfg, qcfg.fc1 if qcfg else PER_TENSOR,
-                    LinearKind.POST_NORM, out_dtype=compute_dtype)
+        x2 = rms_norm(h, lp["ln2"]["w"], cfg.rms_norm_eps)
+        if capture:
+            stats["gate_in_ch_absmax"] = jnp.max(jnp.abs(x2.reshape(-1, d)), axis=0)
+        if "gateup" in lp["mlp"]:
+            proj = fused_linear(x2, lp["mlp"]["gateup"], qcfg,
+                                qcfg.fc1 if qcfg else PER_TENSOR, compute_dtype)
+            gate = proj[..., : cfg.intermediate_size]
+            up = proj[..., cfg.intermediate_size:]
+        else:
+            gate = linear(x2, lp["mlp"]["gate"], qcfg, qcfg.fc1 if qcfg else PER_TENSOR,
+                          LinearKind.POST_NORM, out_dtype=compute_dtype)
+            up = linear(x2, lp["mlp"]["up"], qcfg, qcfg.fc1 if qcfg else PER_TENSOR,
+                        LinearKind.POST_NORM, out_dtype=compute_dtype)
     act = (jax.nn.silu(gate.astype(jnp.float32)) * up.astype(jnp.float32)).astype(compute_dtype)
     if capture:
+        stats["gate_out_absmax"] = jnp.max(jnp.abs(gate))
+        stats["up_out_absmax"] = jnp.max(jnp.abs(up))
         stats["down_in_ch_absmax"] = jnp.max(
             jnp.abs(act.reshape(-1, cfg.intermediate_size)), axis=0)
     down = linear(act, lp["mlp"]["down"], qcfg, qcfg.fc2 if qcfg else PER_TENSOR,
                   LinearKind.SCALED, out_dtype=compute_dtype)
+    if capture:
+        stats["down_out_absmax"] = jnp.max(jnp.abs(down))
     h = h + down
     return h, new_cache, stats
 
@@ -320,11 +353,23 @@ def init_kv_cache(cfg: LlamaConfig, batch: int, max_len: int,
 # ---------------------------------------------------------------------------
 
 # Keys of the per-layer stats emitted by forward(capture_stats=True), and how
-# they aggregate across calibration batches (elementwise max).
+# they aggregate across calibration batches (elementwise max). *_out_absmax
+# keys cover every projection so an fp8 observer pass can derive OUTPUT
+# scales too (ref: FP8StaticLinearQuantizer.quantize_output,
+# layers/nn/linear.py:455-500).
 STAT_KEYS = (
     "qkv_in_ch_absmax", "q_out_absmax", "k_out_absmax", "v_out_absmax",
-    "o_in_ch_absmax", "gate_in_ch_absmax", "down_in_ch_absmax",
+    "o_in_ch_absmax", "o_out_absmax", "gate_in_ch_absmax", "gate_out_absmax",
+    "up_out_absmax", "down_in_ch_absmax", "down_out_absmax",
 )
+
+# HF module-name suffix per projection key — used by the pipeline to apply
+# fp8 ignore patterns (ref: calibration.py:259-278 get_layers_to_ignore)
+HF_PROJ_NAMES = {
+    "q": "self_attn.q_proj", "k": "self_attn.k_proj", "v": "self_attn.v_proj",
+    "o": "self_attn.o_proj", "gate": "mlp.gate_proj", "up": "mlp.up_proj",
+    "down": "mlp.down_proj",
+}
 
 
 def act_scales_dict(stats: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
@@ -357,6 +402,23 @@ def layer_scales(stats: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
         "gate_input_scale": jnp.max(stats["gate_in_ch_absmax"], axis=-1) / 127.0,
         "down_input_scale": jnp.max(stats["down_in_ch_absmax"], axis=-1) / 127.0,
     }
+
+
+def fp8_observer_scales(stats: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
+    """Per-projection fp8 input AND output scales ([L] each, absmax /
+    E4M3_MAX) from an observer calibration pass — the functional analog of
+    FP8StaticLinearQuantizer's running-max scale tracking
+    (ref: layers/nn/linear.py:455-500, calibration.py:292-338)."""
+    m = qmath.FP8_E4M3_MAX
+    per_ch_in = {"q": "qkv_in_ch_absmax", "k": "qkv_in_ch_absmax",
+                 "v": "qkv_in_ch_absmax", "o": "o_in_ch_absmax",
+                 "gate": "gate_in_ch_absmax", "up": "gate_in_ch_absmax",
+                 "down": "down_in_ch_absmax"}
+    out = {}
+    for proj, key in per_ch_in.items():
+        out[f"{proj}_input_scale"] = jnp.max(stats[key], axis=-1) / m
+        out[f"{proj}_output_scale"] = stats[f"{proj}_out_absmax"] / m
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -398,11 +460,21 @@ def smooth(params, stats: Dict[str, jnp.ndarray], alpha: float = 0.5,
 
 def quantize(params, qcfg: QuantConfig,
              scales: Optional[Dict[str, jnp.ndarray]] = None,
-             cfg: Optional[LlamaConfig] = None):
+             cfg: Optional[LlamaConfig] = None, *,
+             ignore=frozenset(), quantize_output: bool = False,
+             observer_scales: Optional[Dict[str, jnp.ndarray]] = None):
     """Produce the quantized params pytree. Functional analog of
     QuantizedLlamaForCausalLM.from_float_to_int8 / _to_fp8
     (ref: models/llama.py:424-440). ``scales``: stacked layer_scales() output
-    (required for int8 and fp8-static)."""
+    (required for int8 and fp8-static).
+
+    fp8 extras: ``ignore`` — projection keys (q/k/v/o/gate/up/down) left in
+    float (the pipeline resolves the reference's ignore patterns,
+    calibration.py:259-278, to these keys); ``observer_scales`` —
+    fp8_observer_scales() output for static input scales observed through a
+    quantized forward; ``quantize_output`` — store per-projection output
+    scales so the static forward re-quantizes its output
+    (FP8StaticLinearQuantizer(quantize_output=True), linear.py:483-494)."""
     lay = params["layers"]
 
     if qcfg.is_int8:
@@ -448,29 +520,49 @@ def quantize(params, qcfg: QuantConfig,
     # fp8 variants (ref: llama.py from_float_to_fp8 paths)
     fdt = qcfg.fp8_dtype
 
-    def pack_fp8(w):
+    def pack_fp8(key, v):
+        if key in ignore:  # exempted projection stays float (ignore patterns)
+            return dict(v)
+        w = v["w"]
         qw, w_scale = jax.vmap(lambda ww: qmath.quantize_fp8_per_tensor(ww, fdt))(w)
         if qcfg.type == "fp8_e5m2":
-            # scale-free: bake the scale back in? No — e5m2 casts weights
-            # directly (linear.py:607-614); keep the raw cast.
+            # scale-free: e5m2 casts weights directly (linear.py:607-614)
             return {"w": w.astype(fdt)}
         return {"w": qw, "w_scale": w_scale}
 
     new_layers = {
         "ln1": dict(lay["ln1"]),
-        "attn": {k: pack_fp8(v["w"]) for k, v in lay["attn"].items()},
+        "attn": {k: pack_fp8(k, v) for k, v in lay["attn"].items()},
         "ln2": dict(lay["ln2"]),
-        "mlp": {k: pack_fp8(v["w"]) for k, v in lay["mlp"].items()},
+        "mlp": {k: pack_fp8(k, v) for k, v in lay["mlp"].items()},
     }
     if qcfg.type == "fp8_e4m3" and qcfg.activation_scheme == "static":
-        assert scales is not None, "fp8 static needs observer scales"
-        # input scales per projection group (FP8StaticLinearQuantizer output)
-        for name, key in (("q", "attn_input_scale"), ("k", "attn_input_scale"),
-                          ("v", "attn_input_scale"), ("o", "out_input_scale")):
-            new_layers["attn"][name]["input_scale"] = scales[key] * 127.0 / qmath.FP8_E4M3_MAX
-        for name, key in (("gate", "gate_input_scale"), ("up", "gate_input_scale"),
-                          ("down", "down_input_scale")):
-            new_layers["mlp"][name]["input_scale"] = scales[key] * 127.0 / qmath.FP8_E4M3_MAX
+        groups = {"q": "attn", "k": "attn", "v": "attn", "o": "attn",
+                  "gate": "mlp", "up": "mlp", "down": "mlp"}
+        if observer_scales is not None:
+            # true observer semantics: scales tracked through a quantized
+            # forward (ref: quantize_activations_fp8, calibration.py:292-338)
+            for name, grp in groups.items():
+                if name in ignore:
+                    continue
+                new_layers[grp][name]["input_scale"] = \
+                    observer_scales[f"{name}_input_scale"]
+                if quantize_output:
+                    new_layers[grp][name]["output_scale"] = \
+                        observer_scales[f"{name}_output_scale"]
+        else:
+            assert scales is not None, "fp8 static needs observer scales"
+            assert not quantize_output, "quantize_output needs observer_scales"
+            # legacy derivation from the int8-style layer scales
+            legacy = {"q": "attn_input_scale", "k": "attn_input_scale",
+                      "v": "attn_input_scale", "o": "out_input_scale",
+                      "gate": "gate_input_scale", "up": "gate_input_scale",
+                      "down": "down_input_scale"}
+            for name, key in legacy.items():
+                if name in ignore:
+                    continue
+                new_layers[groups[name]][name]["input_scale"] = \
+                    scales[key] * 127.0 / qmath.FP8_E4M3_MAX
     return {**params, "layers": new_layers}
 
 

@@ -35,12 +35,14 @@ from .common import (
     KVCacheLayer,
     cache_slots,
     decode_window,
+    fused_block_enabled,
     update_and_attend,
     make_kv_cache,
     LinearKind,
     attend,
     layer_norm,
     linear,
+    linear_prequant,
 )
 from .registry import register_model
 
@@ -166,6 +168,30 @@ def _layer_forward(h, lp, cfg: OPTConfig, qcfg: Optional[QuantConfig],
         stats["o_in_ch_absmax"] = jnp.max(jnp.abs(ctx.reshape(-1, d)), axis=0)
     attn_out = linear(ctx, lp["attn"]["o"], qcfg, qcfg.out if qcfg else PER_TENSOR,
                       LinearKind.SCALED, compute_dtype)
+    fused_mlp = cfg.do_layer_norm_before and fused_block_enabled(qcfg, capture)
+    if fused_mlp:
+        # fused residual-add + LayerNorm + int8-quantize feeding a
+        # prequantized fc1 (one HBM pass; TPU form of the reference's
+        # dq_add_layernorm_q, csrc/kernels/fused.cu:5-25)
+        from ..kernels.fused import fused_add_layernorm_quant
+
+        h2, x2_q = fused_add_layernorm_quant(
+            residual.reshape(b * t, d), attn_out.reshape(b * t, d),
+            lp["ln2"]["w"], lp["ln2"]["b"], eps=eps,
+            interpret=jax.default_backend() != "tpu")
+        h = h2.reshape(b, t, d)
+        residual = h
+        act = linear_prequant(x2_q, lp["mlp"]["fc1"], compute_dtype
+                              ).reshape(b, t, -1)
+        act = jnp.maximum(act, 0)
+        if capture:
+            stats["fc2_in_ch_absmax"] = jnp.max(
+                jnp.abs(act.reshape(-1, cfg.ffn_dim)), axis=0)
+        out = linear(act, lp["mlp"]["fc2"], qcfg, qcfg.fc2 if qcfg else PER_TENSOR,
+                     LinearKind.SCALED, compute_dtype)
+        h = residual + out
+        return h.astype(compute_dtype), new_cache, stats
+
     h = residual + attn_out
     if not cfg.do_layer_norm_before:  # post-LN (opt-350m)
         h = layer_norm(h, lp["ln1"]["w"], lp["ln1"]["b"], eps).astype(compute_dtype)

@@ -60,7 +60,9 @@ def test_int8_cache_matches_dequant_oracle():
     k_de = np.asarray(kq, np.float32) * np.asarray(ks)[..., None]
     v_de = np.asarray(vq, np.float32) * np.asarray(vs)[..., None]
     expected = oracle(q, jnp.asarray(k_de), jnp.asarray(v_de), lengths, d ** -0.5)
-    np.testing.assert_allclose(np.asarray(out), expected, rtol=2e-4, atol=2e-4)
+    # int8-cache dots run in bf16 on the MXU (f32 accum); tolerance reflects
+    # bf16 rounding of q/k/p, well under the int8 quantization error itself
+    np.testing.assert_allclose(np.asarray(out), expected, rtol=2e-2, atol=2e-2)
 
 
 def test_start_offsets_mask_front():
@@ -122,3 +124,24 @@ def test_short_length_masks_tail():
     out_b = flash_decode(q, k2, v2, jnp.asarray([5], jnp.int32),
                          sm_scale=0.1, block_k=128, interpret=INTERPRET)
     np.testing.assert_allclose(np.asarray(out_a), np.asarray(out_b), rtol=1e-6)
+
+
+@pytest.mark.parametrize("d", [64, 128])
+def test_head_dim_64(d):
+    """TinyLlama-class head_dim=64: half-lane per-head tiles must stay
+    correct (the DMA slab is lane-aligned as a whole)."""
+    rng = np.random.default_rng(5)
+    b, s, hq, hkv = 2, 256, 8, 4
+    q = jnp.asarray(rng.normal(size=(b, hq, d)), jnp.float32)
+    kf = jnp.asarray(rng.normal(size=(b, s, hkv, d)) * 2, jnp.float32)
+    vf = jnp.asarray(rng.normal(size=(b, s, hkv, d)) * 2, jnp.float32)
+    kq, ks = _quantize_kv(kf)
+    vq, vs = _quantize_kv(vf)
+    lengths = jnp.asarray([129, 256], jnp.int32)
+    out = flash_decode(q, kq, vq, lengths, sm_scale=d ** -0.5,
+                       k_scale=ks, v_scale=vs, block_k=128,
+                       interpret=INTERPRET)
+    k_de = np.asarray(kq, np.float32) * np.asarray(ks)[..., None]
+    v_de = np.asarray(vq, np.float32) * np.asarray(vs)[..., None]
+    expected = oracle(q, jnp.asarray(k_de), jnp.asarray(v_de), lengths, d ** -0.5)
+    np.testing.assert_allclose(np.asarray(out), expected, rtol=2e-2, atol=2e-2)

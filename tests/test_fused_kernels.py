@@ -54,3 +54,96 @@ def test_unaligned_rows_fallback():
     g = jnp.ones(128, jnp.float32) * 50
     out_h, q = fused_add_rmsnorm_quant(h, x, g, interpret=INTERPRET)
     assert out_h.shape == (100, 128) and q.dtype == jnp.int8
+
+
+def test_fused_block_in_llama_matches_unfused(monkeypatch):
+    """Integration: the per-tensor decoder block with the fused
+    add+norm+quant kernel (ASQ_FUSED_BLOCK=force, interpret off-TPU) must
+    match the unfused path exactly — both quantize with round+clip after an
+    f32 RMSNorm."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from autosmoothquant_tpu.models import llama as L
+    from autosmoothquant_tpu.quant.config import QuantConfig
+
+    cfg = L.LlamaConfig(vocab_size=256, hidden_size=128, intermediate_size=256,
+                        num_hidden_layers=2, num_attention_heads=4,
+                        num_key_value_heads=2, max_position_embeddings=64)
+    params = L.init_params(cfg, jax.random.PRNGKey(0))
+    qcfg = QuantConfig(type="int8")
+    ones = jnp.ones((2,), jnp.float32)
+    scales = {k: ones * 0.05 for k in (
+        "attn_input_scale", "q_output_scale", "k_output_scale",
+        "v_output_scale", "out_input_scale", "gate_input_scale",
+        "down_input_scale")}
+    qp = L.quantize(params, qcfg, scales)
+    ids = jnp.asarray(np.random.default_rng(0).integers(0, 256, size=(2, 16)),
+                      jnp.int32)
+
+    outs = {}
+    for mode in ("off", "force"):
+        monkeypatch.setenv("ASQ_FUSED_BLOCK", mode)
+        jax.clear_caches()
+        h, _, _ = L.forward_jit(qp, ids, cfg, qcfg)
+        outs[mode] = np.asarray(L.logits(qp, h))
+    np.testing.assert_allclose(outs["force"], outs["off"], rtol=2e-5, atol=2e-5)
+
+
+def test_fused_block_with_fused_projections(monkeypatch):
+    """Fused gate|up weights + prequantized input path."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from autosmoothquant_tpu.models import llama as L
+    from autosmoothquant_tpu.quant.config import QuantConfig
+
+    cfg = L.LlamaConfig(vocab_size=128, hidden_size=128, intermediate_size=256,
+                        num_hidden_layers=2, num_attention_heads=4,
+                        num_key_value_heads=2, max_position_embeddings=64)
+    params = L.init_params(cfg, jax.random.PRNGKey(1))
+    qcfg = QuantConfig(type="int8")
+    ones = jnp.ones((2,), jnp.float32)
+    scales = {k: ones * 0.05 for k in (
+        "attn_input_scale", "q_output_scale", "k_output_scale",
+        "v_output_scale", "out_input_scale", "gate_input_scale",
+        "down_input_scale")}
+    qp = L.fuse_decode_projections(L.quantize(params, qcfg, scales))
+    ids = jnp.asarray([[3, 1, 4, 1, 5, 9, 2, 6]], jnp.int32)
+    outs = {}
+    for mode in ("off", "force"):
+        monkeypatch.setenv("ASQ_FUSED_BLOCK", mode)
+        jax.clear_caches()
+        h, _, _ = L.forward_jit(qp, ids, cfg, qcfg)
+        outs[mode] = np.asarray(L.logits(qp, h))
+    np.testing.assert_allclose(outs["force"], outs["off"], rtol=2e-5, atol=2e-5)
+
+
+def test_fused_block_in_opt_matches_unfused(monkeypatch):
+    """OPT pre-LN per-tensor path with the fused LayerNorm block."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from autosmoothquant_tpu.models import opt as O
+    from autosmoothquant_tpu.quant.config import QuantConfig
+
+    cfg = O.OPTConfig(vocab_size=256, hidden_size=128, word_embed_proj_dim=128,
+                      ffn_dim=256, num_hidden_layers=2, num_attention_heads=4,
+                      max_position_embeddings=64)
+    params = O.init_params(cfg, jax.random.PRNGKey(0))
+    qcfg = QuantConfig(type="int8")
+    ones = jnp.ones((2,), jnp.float32)
+    scales = {k: ones * 0.05 for k in (
+        "attn_input_scale", "q_output_scale", "k_output_scale",
+        "v_output_scale", "out_input_scale", "fc1_input_scale",
+        "fc2_input_scale")}
+    qp = O.quantize(params, qcfg, scales, cfg=cfg)
+    ids = jnp.asarray(np.random.default_rng(0).integers(0, 256, size=(2, 16)),
+                      jnp.int32)
+    outs = {}
+    for mode in ("off", "force"):
+        monkeypatch.setenv("ASQ_FUSED_BLOCK", mode)
+        jax.clear_caches()
+        h, _, _ = O.forward_jit(qp, ids, cfg, qcfg)
+        outs[mode] = np.asarray(O.logits(qp, h))
+    np.testing.assert_allclose(outs["force"], outs["off"], rtol=2e-5, atol=2e-5)
