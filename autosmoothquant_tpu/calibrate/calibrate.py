@@ -25,20 +25,24 @@ import numpy as np
 
 
 def calibrate(model_mod, params, cfg, batches: Iterable[jnp.ndarray],
-              compute_dtype=jnp.float32, extra_forward_kwargs: Optional[dict] = None
-              ) -> Dict[str, jnp.ndarray]:
-    """Run the float model over calibration batches, return stacked stats
-    (each leaf [L, ...], elementwise-maxed across batches).
+              compute_dtype=jnp.float32, extra_forward_kwargs: Optional[dict] = None,
+              qcfg=None) -> Dict[str, jnp.ndarray]:
+    """Run the model over calibration batches, return stacked stats (each
+    leaf [L, ...], elementwise-maxed across batches).
 
     model_mod: a model family module (models/llama.py etc.).
     batches: iterable of int32 [B, T] input_ids arrays.
+    qcfg: None for float calibration; a QuantConfig (+ matching quantized
+    params) to observe scales through a QUANTIZED forward — the fp8 observer
+    pass (ref: quantize_activations_fp8 runs the observer network with
+    fp8-quantized weights, calibration.py:292-338).
     """
     kwargs = dict(extra_forward_kwargs or {})
 
     @functools.partial(jax.jit, static_argnames=())
     def one_batch(p, ids):
         _, _, stats = model_mod.forward(
-            p, ids, cfg, None, capture_stats=True, compute_dtype=compute_dtype,
+            p, ids, cfg, qcfg, capture_stats=True, compute_dtype=compute_dtype,
             **kwargs,
         )
         return stats

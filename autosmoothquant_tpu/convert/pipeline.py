@@ -23,35 +23,97 @@ import numpy as np
 
 from ..calibrate.calibrate import calibrate
 from ..quant.config import QuantConfig, save_quant_config
+from ..quant.ignore import DEFAULT_IGNORE, match_ignore_patterns
+
+
+def resolve_ignore_keys(model_mod, cfg, patterns) -> frozenset:
+    """Map the reference's fp8 ignore patterns (literal names or "re:<regex>",
+    calibration.py:259-278) onto this framework's projection keys. Layers are
+    stacked [L] here, so a pattern must cover a projection in EVERY layer (or
+    none) — partial per-layer matches cannot be represented in one stacked
+    int8/fp8 array and raise."""
+    if not patterns:
+        return frozenset()
+    proj_names = getattr(model_mod, "HF_PROJ_NAMES", None)
+    if proj_names is None:
+        return frozenset()
+    L = cfg.num_hidden_layers
+    ignored = set()
+    for key, suffix in proj_names.items():
+        names = [f"model.layers.{i}.{suffix}" for i in range(L)]
+        hits = match_ignore_patterns(names, patterns)
+        if len(hits) == L:
+            ignored.add(key)
+        elif hits:
+            raise ValueError(
+                f"ignore pattern matches {len(hits)}/{L} layers of "
+                f"'{suffix}'; per-layer exemptions are not supported with "
+                "stacked layer params — match all layers or none")
+    # lm_head is never quantized by construction (ref default "re:.*lm_head"
+    # therefore resolves to nothing extra)
+    return frozenset(ignored)
 
 
 def calibrate_smooth_quantize(model_mod, params, cfg, qcfg: QuantConfig,
                               batches_fn, alpha: float = 0.5,
-                              compute_dtype=jnp.float32):
+                              compute_dtype=jnp.float32,
+                              ignore_patterns=DEFAULT_IGNORE,
+                              quantize_output: bool = False):
     """batches_fn: zero-arg callable returning a fresh iterable of input_ids
     batches (two passes are needed). Returns (quantized_params, artifacts)
     where artifacts carries the intermediate scale pytrees for
     inspection/saving (the analog of the act_scales .pt file,
-    smoothquant_model.py:54-58)."""
+    smoothquant_model.py:54-58).
+
+    fp8: ignore_patterns exempt projections from quantization
+    (ref: calibration.py:259-278); for the static scheme an OBSERVER pass
+    runs calibration through the dynamically-quantized model to track input
+    (+ output, when quantize_output) scales, mirroring
+    quantize_activations_fp8 (calibration.py:292-338)."""
     stats_fp = calibrate(model_mod, params, cfg, batches_fn(),
                          compute_dtype=compute_dtype)
     smoothed = model_mod.smooth(params, stats_fp, alpha, cfg=cfg)
 
-    needs_static = qcfg.is_int8 or (
-        qcfg.type == "fp8_e4m3" and qcfg.activation_scheme == "static"
-    )
+    is_fp8 = qcfg.type in ("fp8_e4m3", "fp8_e5m2")
+    ignore = resolve_ignore_keys(model_mod, cfg, ignore_patterns) if is_fp8 \
+        else frozenset()
+
     scales = None
     stats_sm = None
-    if needs_static:
+    observer_scales = None
+    if qcfg.is_int8:
         stats_sm = calibrate(model_mod, smoothed, cfg, batches_fn(),
                              compute_dtype=compute_dtype)
         scales = model_mod.layer_scales(stats_sm)
+        qparams = model_mod.quantize(smoothed, qcfg, scales, cfg=cfg)
+    elif qcfg.type == "fp8_e4m3" and qcfg.activation_scheme == "static":
+        # observer pass: quantize dynamically, run calibration through the
+        # QUANTIZED forward, track per-projection input/output absmax
+        dyn_cfg = QuantConfig(type="fp8_e4m3", activation_scheme="dynamic")
+        dyn_params = model_mod.quantize(smoothed, dyn_cfg, None, cfg=cfg,
+                                        ignore=ignore)
+        stats_sm = calibrate(model_mod, dyn_params, cfg, batches_fn(),
+                             compute_dtype=compute_dtype, qcfg=dyn_cfg)
+        observer_scales = model_mod.fp8_observer_scales(stats_sm)
+        scales = model_mod.layer_scales(stats_sm)
+        qparams = model_mod.quantize(
+            smoothed, qcfg, scales, cfg=cfg, ignore=ignore,
+            quantize_output=quantize_output, observer_scales=observer_scales)
+    else:
+        import inspect
 
-    qparams = model_mod.quantize(smoothed, qcfg, scales, cfg=cfg)
+        quant_kwargs = {}
+        if is_fp8 and "ignore" in inspect.signature(model_mod.quantize).parameters:
+            quant_kwargs["ignore"] = ignore
+        qparams = model_mod.quantize(smoothed, qcfg, None, cfg=cfg,
+                                     **quant_kwargs)
+
     artifacts = {
         "act_stats_fp": stats_fp,
         "act_stats_smoothed": stats_sm,
         "layer_scales": scales,
+        "observer_scales": observer_scales,
+        "ignored_projections": sorted(ignore),
         "alpha": alpha,
     }
     return qparams, artifacts

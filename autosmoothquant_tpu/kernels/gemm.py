@@ -229,21 +229,50 @@ def w8a8_linear_int8(x_q: jnp.ndarray, w_q: jnp.ndarray, dequant_scale,
     )
 
 
+@functools.lru_cache(maxsize=4)
+def _fp8_dot_native_supported(dtype_name: str) -> bool:
+    """One-time probe: can THIS backend compile + run a dot_general with fp8
+    operands natively? True on TPU generations with an fp8 MXU mode; v5e and
+    CPU reject or mis-handle it, selecting the upcast fallback (the
+    reference's easy_fp8_gemm situation, layers/nn/linear.py:336-369, whose
+    native _scaled_mm path is likewise hard-disabled)."""
+    import numpy as np
+
+    if os.environ.get("ASQ_FP8_NATIVE", "auto") == "off":
+        return False
+    dtype = getattr(jnp, dtype_name)
+    try:
+        a = jnp.ones((16, 128), dtype)
+        b = jnp.ones((128, 16), dtype)
+        out = jax.jit(lambda a, b: jax.lax.dot_general(
+            a, b, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32))(a, b)
+        return bool(np.isfinite(np.asarray(out)).all()
+                    and np.allclose(np.asarray(out), 128.0))
+    except Exception:
+        return False
+
+
 def fp8_matmul(x_f8: jnp.ndarray, w_f8: jnp.ndarray, row_scale=1.0, col_scale=1.0,
                bias: Optional[jnp.ndarray] = None, out_dtype=jnp.float32) -> jnp.ndarray:
-    """FP8 matmul with scale epilogue. Uses XLA dot_general with fp8 inputs —
-    native on TPU generations with fp8 MXU support, upcast otherwise
-    (mirrors the reference's easy_fp8_gemm dequant fallback,
-    layers/nn/linear.py:336-369, whose native _scaled_mm path is
-    hard-disabled there)."""
+    """FP8 matmul with scale epilogue. Tries the native fp8 dot first (probed
+    once per process); falls back to a bf16 upcast dot on backends without
+    fp8 MXU support."""
     m, _ = x_f8.shape
     _, n = w_f8.shape
-    acc = jax.lax.dot_general(
-        x_f8.astype(jnp.bfloat16),
-        w_f8.astype(jnp.bfloat16),
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
+    if _fp8_dot_native_supported(jnp.dtype(x_f8.dtype).name):
+        acc = jax.lax.dot_general(
+            x_f8, w_f8,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    else:
+        acc = jax.lax.dot_general(
+            x_f8.astype(jnp.bfloat16),
+            w_f8.astype(jnp.bfloat16),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
     out = acc * _as_row_scale(row_scale, m) * _as_col_scale(col_scale, n)
     if bias is not None:
         out = out + bias.reshape(1, n).astype(jnp.float32)
