@@ -23,6 +23,8 @@ class MultipleChoiceTask:
     Accuracy = argmax loglikelihood (acc) and length-normalized variant
     (acc_norm), matching lm-eval conventions."""
 
+    REQUEST_TYPE = "loglikelihood"
+
     name: str
     docs: Sequence[Tuple[Sequence[int], Sequence[Sequence[int]], int]]
 
@@ -50,6 +52,70 @@ class MultipleChoiceTask:
                 "acc_stderr": bootstrap_stderr(accs)}
 
 
+@dataclasses.dataclass
+class GenerateUntilTask:
+    """Generation-scored task (the reference's greedy_until request type,
+    benchmarks/base.py:greedy_until + evaluator request fan-out). Each doc:
+    (context tokens, expected continuation tokens). Metric: exact_match of
+    the generated prefix against the expected tokens, after stop-sequence
+    truncation."""
+
+    REQUEST_TYPE = "generate_until"
+
+    name: str
+    docs: Sequence[Tuple[Sequence[int], Sequence[int]]]
+    max_new_tokens: int = 32
+    stop_sequences: Optional[Sequence[Sequence[int]]] = None
+    eos_token_id: Optional[int] = None
+
+    def build_requests(self):
+        reqs = [list(ctx) for ctx, _exp in self.docs]
+        index = list(range(len(self.docs)))
+        return reqs, index
+
+    def run(self, lm: JaxLM, reqs):
+        return lm.generate_until(
+            reqs, max_new_tokens=self.max_new_tokens,
+            eos_token_id=self.eos_token_id,
+            stop_sequences=self.stop_sequences)
+
+    def aggregate(self, results, index) -> Dict[str, float]:
+        matches = []
+        for di, toks in zip(index, results):
+            exp = list(self.docs[di][1])
+            matches.append(float(list(toks)[: len(exp)] == exp))
+        return {"exact_match": float(np.mean(matches)),
+                "exact_match_stderr": bootstrap_stderr(matches)}
+
+
+@dataclasses.dataclass
+class RollingPPLTask:
+    """Rolling-perplexity task (the reference's loglikelihood_rolling
+    request type, benchmarks/base.py:161-206): each doc is a token stream;
+    metrics are token-level perplexity and bits-per-token."""
+
+    REQUEST_TYPE = "loglikelihood_rolling"
+
+    name: str
+    docs: Sequence[Sequence[int]]
+
+    def build_requests(self):
+        return [list(d) for d in self.docs], list(range(len(self.docs)))
+
+    def run(self, lm: JaxLM, reqs):
+        return lm.loglikelihood_rolling(reqs)
+
+    def aggregate(self, results, index) -> Dict[str, float]:
+        total_nll = 0.0
+        total_toks = 0
+        for di, ll in zip(index, results):
+            total_nll += -float(ll)
+            total_toks += len(self.docs[di])
+        ppl = math.exp(total_nll / max(total_toks, 1))
+        return {"perplexity": ppl,
+                "bits_per_token": total_nll / max(total_toks, 1) / math.log(2)}
+
+
 def bootstrap_stderr(values: Sequence[float], iters: int = 1000,
                      seed: int = 1234) -> float:
     """ref: benchmarks/evaluator.py bootstrap aggregation."""
@@ -64,15 +130,22 @@ def bootstrap_stderr(values: Sequence[float], iters: int = 1000,
     return math.sqrt(sum((m - mu) ** 2 for m in means) / (len(means) - 1))
 
 
-def evaluate(lm: JaxLM, tasks: Sequence[MultipleChoiceTask],
+def evaluate(lm: JaxLM, tasks: Sequence,
              rank: int = 0, world_size: int = 1) -> Dict[str, Dict[str, float]]:
-    """simple_evaluate analog (ref: evaluator.py:23-46,233+) with the
-    multi-rank request-shard + gather structure (evaluator.py:335,442-491)."""
+    """simple_evaluate analog (ref: evaluator.py:23-46,233+): requests are
+    dispatched by each task's REQUEST_TYPE (loglikelihood / generate_until /
+    loglikelihood_rolling, mirroring getattr(lm, reqtype) at
+    evaluator.py:352) with the multi-rank request-shard + gather structure
+    (evaluator.py:335,442-491)."""
     results: Dict[str, Dict[str, float]] = {}
     for task in tasks:
         reqs, index = task.build_requests()
         local_ids = [i for i in range(len(reqs)) if i % world_size == rank]
-        local = lm.loglikelihood([reqs[i] for i in local_ids])
+        runner = getattr(task, "run", None)
+        if runner is not None:
+            local = runner(lm, [reqs[i] for i in local_ids])
+        else:
+            local = getattr(lm, task.REQUEST_TYPE)([reqs[i] for i in local_ids])
         if world_size > 1:
             flat = gather_results(list(zip(local_ids, local)), world_size)
             merged = dict(flat)

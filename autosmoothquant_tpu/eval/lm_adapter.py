@@ -182,11 +182,28 @@ def shard_requests(requests: Sequence, rank: int, world_size: int) -> list:
 
 def gather_results(local_results: list, world_size: int):
     """Host-level all-gather of result lists over DCN — the TPU analog of
-    torch.distributed.all_gather_object (ref: evaluator.py:442-491)."""
+    torch.distributed.all_gather_object (ref: evaluator.py:442-491).
+
+    Arbitrary Python results can't ride process_allgather directly (object
+    arrays don't cross hosts), so each rank pickles its list into a byte
+    buffer, ranks agree on the max length, and fixed-shape uint8 arrays are
+    gathered — then unpickled and concatenated in rank order (matching
+    shard_requests' round-robin split)."""
     if world_size <= 1:
         return local_results
+    import pickle
+
     from jax.experimental import multihost_utils
 
-    gathered = multihost_utils.process_allgather(
-        np.asarray(local_results, dtype=object), tiled=False)
-    return list(gathered)
+    payload = np.frombuffer(pickle.dumps(local_results), np.uint8)
+    n = np.int64(payload.size)
+    lens = np.asarray(
+        multihost_utils.process_allgather(np.asarray([n]))).reshape(-1)
+    buf = np.zeros(int(lens.max()), np.uint8)
+    buf[: payload.size] = payload
+    chunks = np.asarray(multihost_utils.process_allgather(buf))
+    chunks = chunks.reshape(len(lens), -1)
+    out = []
+    for i in range(len(lens)):
+        out.extend(pickle.loads(bytes(chunks[i, : int(lens[i])])))
+    return out

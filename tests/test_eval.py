@@ -60,3 +60,55 @@ def test_short_stream_raises(setup):
     cfg, params, _ = setup
     with pytest.raises(ValueError):
         perplexity_from_tokens(L, params, cfg, np.arange(10), max_length=64)
+
+
+def test_generate_until_task(setup):
+    """Generation-scored harness task: a prompt whose greedy continuation we
+    precompute becomes a doc with exact_match 1.0; a doc expecting garbage
+    scores 0."""
+    cfg, params, _ = setup
+    from autosmoothquant_tpu.eval.lm_adapter import JaxLM
+    from autosmoothquant_tpu.eval.harness import GenerateUntilTask, evaluate
+
+    lm = JaxLM(L, params, cfg, max_length=64, batch_size=2,
+               compute_dtype=jnp.float32)
+    ctx = [3, 1, 4, 1, 5]
+    expected = lm.generate_until([ctx], max_new_tokens=4)[0]
+    task = GenerateUntilTask(
+        name="gen", docs=[(ctx, expected), (ctx, [999] * 4)], max_new_tokens=4)
+    res = evaluate(lm, [task])["gen"]
+    assert res["exact_match"] == 0.5
+
+
+def test_generate_until_stop_sequences(setup):
+    cfg, params, _ = setup
+    from autosmoothquant_tpu.eval.lm_adapter import JaxLM
+    from autosmoothquant_tpu.eval.harness import GenerateUntilTask, evaluate
+
+    lm = JaxLM(L, params, cfg, max_length=64, batch_size=2,
+               compute_dtype=jnp.float32)
+    ctx = [7, 7, 7]
+    full = lm.generate_until([ctx], max_new_tokens=6)[0]
+    stop = [full[2]]  # stop at the 3rd generated token
+    task = GenerateUntilTask(name="gen2", docs=[(ctx, full[:2])],
+                             max_new_tokens=6, stop_sequences=[stop])
+    res = evaluate(lm, [task])["gen2"]
+    assert res["exact_match"] == 1.0
+
+
+def test_rolling_ppl_task_matches_ppl_harness(setup):
+    """RollingPPLTask over one stream must agree with the adapter's rolling
+    loglikelihood converted to perplexity."""
+    cfg, params, stream = setup
+    from autosmoothquant_tpu.eval.lm_adapter import JaxLM
+    from autosmoothquant_tpu.eval.harness import RollingPPLTask, evaluate
+
+    lm = JaxLM(L, params, cfg, max_length=64, batch_size=1,
+               compute_dtype=jnp.float32)
+    doc = stream[:128].tolist()
+    task = RollingPPLTask(name="ppl", docs=[doc])
+    res = evaluate(lm, [task])["ppl"]
+    ll = lm.loglikelihood_rolling([doc])[0]
+    expect = float(np.exp(-ll / len(doc)))
+    assert abs(res["perplexity"] - expect) / expect < 1e-6
+    assert res["bits_per_token"] > 0
