@@ -59,7 +59,8 @@ class ContinuousEngine:
     def __init__(self, model_mod, params, cfg, qcfg: Optional[QuantConfig] = None,
                  *, max_batch: int = 8, max_seq: int = 2048,
                  kv_dtype=jnp.bfloat16, compute_dtype=jnp.bfloat16,
-                 steps_per_sync: int = 8, mesh=None, param_shardings=None):
+                 steps_per_sync: int = 8, mesh=None, param_shardings=None,
+                 prefill_chunk: Optional[int] = None):
         self.model = model_mod
         self.cfg = cfg
         self.qcfg = qcfg
@@ -69,6 +70,12 @@ class ContinuousEngine:
         self.compute_dtype = compute_dtype
         self.steps_per_sync = steps_per_sync
         self.mesh = mesh
+        # chunked prefill: admit at most prefill_chunk prompt tokens per
+        # scheduler tick so a long prompt cannot stall decoding of the other
+        # slots (None = whole-prompt admission, the round-1 behavior)
+        self.prefill_chunk = prefill_chunk
+        self._admitting: Dict[int, dict] = {}  # row -> {req, pos, ids}
+        self._chunk_cache = {}
         self._kv_shardings = None
         if mesh is not None:
             from ..shard.sharding import param_specs as _family_specs, shard_params
@@ -139,6 +146,38 @@ class ContinuousEngine:
             self._insert_cache[bucket] = insert
         return self._insert_cache[bucket]
 
+    def _chunk_prefill(self, chunk: int):
+        """Prefill ``chunk`` tokens of ONE slot directly into the pool row
+        (no temp cache): slice the row out, extend it, write it back — one
+        jit, donated pool, a single compile variant per chunk size."""
+        if chunk not in self._chunk_cache:
+            model, cfg, qcfg, cdt = self.model, self.cfg, self.qcfg, self.compute_dtype
+
+            @functools.partial(jax.jit, donate_argnums=(1,))
+            def prefill_chunk(params, pool, ids, row, pos, valid_len):
+                """ids [1, chunk] right-padded; pos = tokens already in the
+                row; valid_len = real tokens in this chunk. Returns
+                (pool', last-token logits [V])."""
+                def take(p):
+                    start = (0, row) + (0,) * (p.ndim - 2)
+                    sizes = (p.shape[0], 1) + p.shape[2:]
+                    return jax.lax.dynamic_slice(p, start, sizes)
+
+                rowcache = jax.tree.map(take, pool)
+                h, rowcache, _ = model.forward(
+                    params, ids, cfg, qcfg, kv_cache=rowcache,
+                    cache_index=pos, compute_dtype=cdt)
+                logits = model.logits(params, h)[0, valid_len - 1]
+
+                def put(p, t):
+                    start = (0, row) + (0,) * (p.ndim - 2)
+                    return jax.lax.dynamic_update_slice(p, t.astype(p.dtype), start)
+
+                return jax.tree.map(put, pool, rowcache), logits
+
+            self._chunk_cache[chunk] = prefill_chunk
+        return self._chunk_cache[chunk]
+
     def _decode(self, n: int):
         if n not in self._decode_fns:
             model, cfg, qcfg, cdt = self.model, self.cfg, self.qcfg, self.compute_dtype
@@ -174,29 +213,76 @@ class ContinuousEngine:
         return req
 
     def _free_slots(self) -> List[int]:
-        return [i for i, r in enumerate(self.slot_req) if r is None]
+        return [i for i, r in enumerate(self.slot_req)
+                if r is None and i not in self._admitting]
+
+    def _trim(self, req: Request):
+        if len(req.prompt) > self.max_seq - 1:
+            # keep the most recent context; at least one decode slot must
+            # remain or the first generated token would be dropped
+            req.prompt = req.prompt[-(self.max_seq - 1):]
+
+    def _activate(self, row: int, req: Request, last_logits):
+        first = int(np.asarray(jax.device_get(jnp.argmax(last_logits))))
+        req.output.append(first)
+        self.slot_req[row] = req
+        self.lens[row] = len(req.prompt)
+        self.pending_tok[row] = first
+        self._check_done(row)
 
     def _admit(self):
         free = self._free_slots()
         while free and self.waiting:
             req = self.waiting.pop(0)
             row = free.pop(0)
-            if len(req.prompt) > self.max_seq - 1:
-                # keep the most recent context; at least one decode slot must
-                # remain or the first generated token would be dropped
-                req.prompt = req.prompt[-(self.max_seq - 1):]
+            self._trim(req)
+            if self.prefill_chunk is not None:
+                # chunked admission: enqueue; chunks advance one per tick in
+                # _advance_prefills so decode never stalls on a long prompt
+                self._admitting[row] = {"req": req, "pos": 0}
+                continue
             bucket = min(_bucket(len(req.prompt)), self.max_seq)
             ids = np.zeros((1, bucket), np.int32)
             ids[0, :len(req.prompt)] = req.prompt[:bucket]
             temp, last_logits = self._prefill(bucket)(
                 self.params, jnp.asarray(ids), len(req.prompt))
             self.pool = self._insert(bucket)(self.pool, temp, row)
-            first = int(np.asarray(jax.device_get(jnp.argmax(last_logits))))
-            req.output.append(first)
-            self.slot_req[row] = req
-            self.lens[row] = len(req.prompt)
-            self.pending_tok[row] = first
-            self._check_done(row)
+            self._activate(row, req, last_logits)
+
+    def _advance_prefills(self):
+        """Process ONE chunk for every admitting slot. The final (ragged)
+        chunk re-feeds the last pow2-bucket window ending at the prompt end —
+        re-writing identical K/V for the overlap keeps every cache slot
+        consistent while holding the compile-variant count at
+        log2(max_seq)."""
+        done_rows = []
+        for row, st in self._admitting.items():
+            req, pos = st["req"], st["pos"]
+            prompt = req.prompt
+            n = len(prompt)
+            remaining = n - pos
+            if remaining >= self.prefill_chunk:
+                chunk, start, valid = self.prefill_chunk, pos, self.prefill_chunk
+                ids = np.asarray(prompt[start:start + chunk], np.int32)[None]
+            else:
+                bucket = min(_bucket(remaining), self.max_seq)
+                if n >= bucket:
+                    # overlap re-feed: window = last `bucket` tokens
+                    chunk, start, valid = bucket, n - bucket, bucket
+                    ids = np.asarray(prompt[start:], np.int32)[None]
+                else:
+                    # whole prompt shorter than the smallest bucket
+                    chunk, start, valid = bucket, 0, n
+                    ids = np.zeros((1, bucket), np.int32)
+                    ids[0, :n] = prompt
+            self.pool, last_logits = self._chunk_prefill(chunk)(
+                self.params, self.pool, jnp.asarray(ids), row, start, valid)
+            st["pos"] = start + valid
+            if st["pos"] >= n:
+                done_rows.append(row)
+                self._activate(row, req, last_logits)
+        for row in done_rows:
+            del self._admitting[row]
 
     def _check_done(self, row: int):
         req = self.slot_req[row]
@@ -214,8 +300,11 @@ class ContinuousEngine:
             self.lens[row] = 0
 
     def step(self):
-        """One scheduler tick: admit, then steps_per_sync decode steps."""
+        """One scheduler tick: admit, advance in-flight prefills by one
+        chunk each, then steps_per_sync decode steps for active slots."""
         self._admit()
+        if self._admitting:
+            self._advance_prefills()
         active = np.array([r is not None for r in self.slot_req])
         if not active.any():
             return
@@ -230,12 +319,20 @@ class ContinuousEngine:
         # round down to a power of two so the clamp compiles at most
         # log2(steps_per_sync)+1 decode variants, not steps_per_sync
         n = 1 << (n.bit_length() - 1)
+        # inactive rows must not write K/V anywhere real — a mid-prefill
+        # (admitting) row's prefix lives at the low slots and a stray decode
+        # write at lens=0 would corrupt it. Slot index max_seq is out of
+        # bounds, so the scatter drops those writes entirely.
+        lens_dec = np.where(active, self.lens, self.max_seq).astype(np.int32)
         toks, pool, lens = self._decode(n)(
             self.params, self.pool, jnp.asarray(self.pending_tok),
-            jnp.asarray(self.lens), jnp.asarray(active))
+            jnp.asarray(lens_dec), jnp.asarray(active))
         toks = np.asarray(jax.device_get(toks))
         self.pool = pool
-        self.lens = np.array(jax.device_get(lens))  # writable copy
+        # keep inactive rows' real lens (they ran with the out-of-bounds
+        # sentinel above)
+        self.lens = np.where(active, np.asarray(jax.device_get(lens)),
+                             self.lens).astype(np.int32)
         for row, req in enumerate(self.slot_req):
             if req is None:
                 continue
@@ -256,7 +353,7 @@ class ContinuousEngine:
                 self.waiting.append(r)
         all_reqs = list(self.waiting)
         for _ in range(max_ticks):
-            if (not self.waiting
+            if (not self.waiting and not self._admitting
                     and all(r is None for r in self.slot_req)):
                 break
             self.step()
