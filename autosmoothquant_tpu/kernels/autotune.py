@@ -1,0 +1,168 @@
+"""Offline GEMM block-size autotuner — the true analog of the reference's
+igemm_config.in generation (ref: csrc/int8gemm/cublasAlgoMap.cc:52-98 parses
+offline-tuned per-shape algo entries carrying exec_time). Sweeps legal
+(bm, bn, bk) tiles for the Pallas int8 GEMM on the real chip, times each with
+the slope method (this runtime's dispatch jitter swamps single-shot timing),
+and writes the JSON consumed by kernels/tuning.load_table.
+
+Usage (on a TPU host):
+    python -m autosmoothquant_tpu.kernels.autotune --out gemm_table.json \
+        --shapes 8,2560,2048 8,11264,2048 1024,4096,4096
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import itertools
+import json
+import time
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from .tuning import LANE, SUBLANE
+
+
+def candidate_blocks(m: int, n: int, k: int,
+                     vmem_budget: int = 12 * 1024 * 1024
+                     ) -> List[Tuple[int, int, int]]:
+    """All legal (bm, bn, bk): divisible tiles within the VMEM budget."""
+    bms = [b for b in (32, 64, 128, 256, 512) if b <= m and m % b == 0]
+    bns = [b for b in (128, 256, 512, 1024) if b <= n and n % b == 0]
+    bks = [b for b in (128, 256, 512, 1024, 2048) if b <= k and k % b == 0]
+    out = []
+    for bm, bn, bk in itertools.product(bms, bns, bks):
+        if 2 * (bm * bk + bk * bn) + 4 * bm * bn <= vmem_budget:
+            out.append((bm, bn, bk))
+    return out
+
+
+def _slope_time(fn, x, w, n_lo=8, n_hi=264, reps=3) -> float:
+    """Per-call seconds via chained on-device loop (the carry threads x so
+    XLA cannot hoist the loop-invariant call)."""
+    import jax
+    import jax.numpy as jnp
+
+    @functools.partial(jax.jit, static_argnames=("n",))
+    def loop(n, x, w):
+        def body(i, carry):
+            xx, acc = carry
+            o = fn(xx, w)
+            s = o.astype(jnp.float32).sum()
+            bump = (s * 0).astype(xx.dtype)
+            return (xx + bump, acc + s)
+
+        _, acc = jax.lax.fori_loop(0, n, body, (x, jnp.float32(0)))
+        return acc
+
+    ts = {}
+    for n in (n_lo, n_hi):
+        np.asarray(jax.device_get(loop(n, x, w)))  # compile + warm
+        best = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            np.asarray(jax.device_get(loop(n, x, w)))
+            best.append(time.perf_counter() - t0)
+        ts[n] = float(np.median(best))
+    return max((ts[n_hi] - ts[n_lo]) / (n_hi - n_lo), 1e-9)
+
+
+def tune_shape(m: int, n: int, k: int, *, include_xla: bool = True,
+               verbose: bool = True) -> Dict:
+    """Time every candidate tile for one shape; returns
+    {"blocks": best or None, "exec_time_us": t, "xla_time_us": t_xla}."""
+    import jax
+    import jax.numpy as jnp
+
+    from .gemm import _int8_matmul_pallas, int8_matmul_xla
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.integers(-127, 128, size=(m, k)), jnp.int8)
+    w = jnp.asarray(rng.integers(-127, 128, size=(k, n)), jnp.int8)
+    rs = jnp.ones((m, 1), jnp.float32)
+    cs = jnp.ones((1, n), jnp.float32)
+
+    results = []
+    for bm, bn, bk in candidate_blocks(m, n, k):
+        try:
+            t = _slope_time(
+                lambda xx, ww, bm=bm, bn=bn, bk=bk: _int8_matmul_pallas(
+                    xx, ww, rs, cs, None, out_dtype=jnp.float32,
+                    block_m=bm, block_n=bn, block_k=bk),
+                x, w)
+        except Exception as e:  # illegal tiling for this backend: skip
+            if verbose:
+                print(f"  ({bm},{bn},{bk}) failed: {type(e).__name__}")
+            continue
+        results.append(((bm, bn, bk), t))
+        if verbose:
+            tops = 2 * m * n * k / t / 1e12
+            print(f"  ({bm},{bn},{bk}): {t * 1e6:.1f} us  {tops:.0f} TOPS")
+    entry: Dict = {"blocks": None, "exec_time_us": None, "xla_time_us": None}
+    if results:
+        (blocks, t_best) = min(results, key=lambda r: r[1])
+        entry["blocks"] = list(blocks)
+        entry["exec_time_us"] = round(t_best * 1e6, 2)
+    if include_xla:
+        t_xla = _slope_time(
+            lambda xx, ww: int8_matmul_xla(xx, ww).astype(jnp.float32)
+            * rs * cs, x, w)
+        entry["xla_time_us"] = round(t_xla * 1e6, 2)
+    return entry
+
+
+def autotune(shapes: List[Tuple[int, int, int]], out_path: str,
+             verbose: bool = True) -> Dict[str, List[int]]:
+    """Tune every shape and write the tuning-table JSON (plus an `_meta`
+    sidecar recording timings, the exec_time analog)."""
+    table: Dict[str, List[int]] = {}
+    meta: Dict[str, Dict] = {}
+    for m, n, k in shapes:
+        if verbose:
+            print(f"shape {m}x{n}x{k}:")
+        entry = tune_shape(m, n, k, verbose=verbose)
+        if entry["blocks"] is not None:
+            table[f"{m},{n},{k}"] = entry["blocks"]
+        meta[f"{m},{n},{k}"] = entry
+    payload = dict(table)
+    payload["_meta"] = meta
+    with open(out_path, "w", encoding="utf-8") as f:
+        json.dump(payload, f, indent=2)
+    return table
+
+
+def model_gemm_shapes(cfg, batch: int = 8, fused: bool = True
+                      ) -> List[Tuple[int, int, int]]:
+    """Decode-step GEMM shapes for a llama-family config (M = batch)."""
+    d = cfg.hidden_size
+    i = cfg.intermediate_size
+    hd = cfg.num_attention_heads * cfg.head_dim
+    kvd = cfg.num_key_value_heads * cfg.head_dim
+    if fused:
+        return [(batch, hd + 2 * kvd, d), (batch, 2 * i, d),
+                (batch, d, hd), (batch, d, i)]
+    return [(batch, hd, d), (batch, kvd, d), (batch, d, hd),
+            (batch, i, d), (batch, d, i)]
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--out", default="gemm_table.json")
+    ap.add_argument("--shapes", nargs="*", default=None,
+                    help="M,N,K triples; default = tinyllama+7b decode/prefill set")
+    args = ap.parse_args()
+    if args.shapes:
+        shapes = [tuple(int(x) for x in s.split(",")) for s in args.shapes]
+    else:
+        shapes = [
+            (8, 2560, 2048), (8, 11264, 2048), (8, 2048, 2048),
+            (8, 2048, 5632),                       # tinyllama b8 decode (fused)
+            (1024, 4096, 4096), (1024, 12288, 4096),  # 7b prefill-ish
+        ]
+    autotune(shapes, args.out)
+    print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -30,13 +30,19 @@ def load_table(path: str) -> None:
     with open(path, "r", encoding="utf-8") as f:
         raw = json.load(f)
     _TABLE = {
-        tuple(int(x) for x in k.split(",")): tuple(v) for k, v in raw.items()
+        tuple(int(x) for x in k.split(",")): tuple(v)
+        for k, v in raw.items() if not k.startswith("_")  # skip _meta sidecar
     }
 
 
+# table resolution: ASQ_GEMM_TABLE env, else the shipped table produced by
+# kernels/autotune.py on a v5e chip (the igemm_config.in analog)
 _env_table = os.environ.get("ASQ_GEMM_TABLE")
+_shipped = os.path.join(os.path.dirname(__file__), "gemm_table.json")
 if _env_table and os.path.exists(_env_table):
     load_table(_env_table)
+elif os.path.exists(_shipped):
+    load_table(_shipped)
 
 
 def _largest_divisor_block(dim: int, cap: int, step: int) -> Optional[int]:

@@ -1,0 +1,52 @@
+"""Autotuner plumbing (host-side pieces; actual timing sweeps run on TPU):
+candidate enumeration legality, table write/load round-trip, shape helpers."""
+
+import json
+
+import numpy as np
+import pytest
+
+from autosmoothquant_tpu.kernels.autotune import (
+    candidate_blocks, model_gemm_shapes)
+from autosmoothquant_tpu.kernels import tuning
+
+
+def test_candidate_blocks_legal():
+    cands = candidate_blocks(1024, 4096, 4096)
+    assert cands
+    for bm, bn, bk in cands:
+        assert 1024 % bm == 0 and 4096 % bn == 0 and 4096 % bk == 0
+        assert bm % 32 == 0 and bn % 128 == 0 and bk % 128 == 0
+        assert 2 * (bm * bk + bk * bn) + 4 * bm * bn <= 12 * 1024 * 1024
+
+
+def test_candidate_blocks_small_m():
+    # decode shapes: m=8 has no legal 32-multiple bm -> empty
+    assert candidate_blocks(8, 2048, 2048) == []
+    assert candidate_blocks(32, 2048, 2048)
+
+
+def test_table_roundtrip_with_meta(tmp_path):
+    path = tmp_path / "table.json"
+    payload = {"64,128,256": [32, 128, 128],
+               "_meta": {"64,128,256": {"exec_time_us": 1.0}}}
+    path.write_text(json.dumps(payload))
+    tuning.load_table(str(path))
+    try:
+        assert tuning.pick_blocks(64, 128, 256) == (32, 128, 128)
+    finally:
+        tuning._TABLE = {}
+
+
+def test_model_gemm_shapes():
+    from autosmoothquant_tpu.models import llama as L
+
+    cfg = L.LlamaConfig(vocab_size=32000, hidden_size=2048,
+                        intermediate_size=5632, num_hidden_layers=22,
+                        num_attention_heads=32, num_key_value_heads=4)
+    fused = model_gemm_shapes(cfg, batch=8)
+    # qkv fused: 32*64 + 2*4*64 = 2560 columns
+    assert (8, 2560, 2048) in fused
+    assert (8, 11264, 2048) in fused
+    unfused = model_gemm_shapes(cfg, batch=8, fused=False)
+    assert (8, 2048, 2048) in unfused and (8, 256, 2048) in unfused
