@@ -133,14 +133,17 @@ def build_params(cfg, kind: str):
 
 
 def decode_tps(L, cfg, qcfg, params, *, batch, prompt_len, s_max,
-               n_lo=8, n_hi=136, reps=5):
+               n_lo=8, n_hi=136, reps=5, kv_dtype=None):
     """Tokens/s of the fused greedy decode loop via two-point slope."""
     import jax
     import jax.numpy as jnp
 
+    if kv_dtype is None:
+        kv_dtype = jnp.int8 if os.environ.get("ASQ_BENCH_KV") == "int8" \
+            else jnp.bfloat16
     ids = jnp.asarray(np.random.default_rng(0).integers(
         0, cfg.vocab_size, size=(batch, prompt_len)), jnp.int32)
-    cache = L.init_kv_cache(cfg, batch, s_max, jnp.bfloat16)
+    cache = L.init_kv_cache(cfg, batch, s_max, kv_dtype)
 
     @jax.jit
     def prefill(params, ids, cache):
