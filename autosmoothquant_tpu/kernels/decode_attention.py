@@ -37,13 +37,18 @@ from jax.experimental.pallas import tpu as pltpu
 MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 
 
-def _decode_kernel(starts_ref, lengths_ref, q_ref, k_ref, v_ref, ks_ref,
-                   vs_ref, o_ref, m_ref, l_ref, acc_ref, *, sm_scale, block_k,
-                   hkv, groups, quantized):
+def _decode_kernel(q_ref, k_ref, v_ref, ks_ref, vs_ref, starts_ref,
+                   lengths_ref, o_ref, m_ref, l_ref, acc_ref, *, sm_scale,
+                   block_k, hkv, groups, quantized):
+    # starts/lengths ride as whole [B, 1] SMEM arrays indexed by program_id,
+    # NOT scalar prefetch: on this environment's axon runtime a
+    # PrefetchScalarGridSpec kernel nested two loop levels deep (the
+    # engines' decode scan over the layer scan) hangs at execution time,
+    # while the identical kernel with SMEM scalars runs fine.
     b = pl.program_id(0)
     s_idx = pl.program_id(1)
-    start = starts_ref[b]
-    length = lengths_ref[b]
+    start = starts_ref[b, 0]
+    length = lengths_ref[b, 0]
 
     @pl.when(s_idx == 0)
     def _init():
@@ -140,18 +145,20 @@ def flash_decode(q: jnp.ndarray, k_cache: jnp.ndarray, v_cache: jnp.ndarray,
         kernel,
         out_shape=jax.ShapeDtypeStruct((b, hq, d), q.dtype),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
+            num_scalar_prefetch=0,
             grid=grid,
             in_specs=[
-                pl.BlockSpec((1, hq, d), lambda bb, ss, *_: (bb, 0, 0)),
+                pl.BlockSpec((1, hq, d), lambda bb, ss: (bb, 0, 0)),
                 pl.BlockSpec((1, block_k, hkv * d),
-                             lambda bb, ss, *_: (bb, ss, 0)),
+                             lambda bb, ss: (bb, ss, 0)),
                 pl.BlockSpec((1, block_k, hkv * d),
-                             lambda bb, ss, *_: (bb, ss, 0)),
+                             lambda bb, ss: (bb, ss, 0)),
                 pl.BlockSpec((1, sc_blk, hkv), sc_map),
                 pl.BlockSpec((1, sc_blk, hkv), sc_map),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
             ],
-            out_specs=pl.BlockSpec((1, hq, d), lambda bb, ss, *_: (bb, 0, 0)),
+            out_specs=pl.BlockSpec((1, hq, d), lambda bb, ss: (bb, 0, 0)),
             scratch_shapes=[
                 pltpu.VMEM((hq, 1), jnp.float32),
                 pltpu.VMEM((hq, 1), jnp.float32),
@@ -167,8 +174,9 @@ def flash_decode(q: jnp.ndarray, k_cache: jnp.ndarray, v_cache: jnp.ndarray,
             transcendentals=b * hq * s,
         ),
         interpret=interpret,
-    )(starts.astype(jnp.int32), lengths.astype(jnp.int32),
-      q, k2, v2, k_scale, v_scale)
+    )(q, k2, v2, k_scale, v_scale,
+      starts.reshape(b, 1).astype(jnp.int32),
+      lengths.reshape(b, 1).astype(jnp.int32))
     return out
 
 

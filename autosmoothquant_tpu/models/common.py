@@ -393,15 +393,16 @@ def decode_window(cache_index, kv_valid, batch: int):
 
 
 def _flash_decode_mode() -> str:
-    """auto | on | off | force.
+    """auto | on | off | force. (force = any backend, interpret off-TPU —
+    used by the CI equality tests.)
 
-    auto currently resolves to OFF: on this environment's "axon" TPU runtime
-    a pallas_call nested inside two loop levels (the engines' decode scan
-    over the model's layer scan) hangs at execution time — reproduced with a
-    1-step loop while the same kernel runs fine standalone and inside the
-    single-level layer scan. Until that runtime bug is resolved, the kernel
-    is opt-in: ASQ_FLASH_DECODE=on (TPU) / force (interpret off-TPU, used by
-    the CI equality tests)."""
+    auto currently resolves to OFF on this environment's axon TPU runtime:
+    a pallas_call nested two loop levels deep (the engines' decode scan over
+    the layer scan) hangs at EXECUTION time when fed operands derived from
+    the loop carry. A toy repro with loop-invariant scalars runs; the model
+    decode (lengths/slot from the carry) hangs; isolating further is blocked
+    by tunnel stalls — see BENCHMARKS.md "Axon runtime bug". Opt in with
+    ASQ_FLASH_DECODE=on once the runtime is fixed or on other TPU stacks."""
     import os
 
     return os.environ.get("ASQ_FLASH_DECODE", "auto")
