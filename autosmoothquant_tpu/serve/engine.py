@@ -72,11 +72,13 @@ class Engine:
         self._prefill = {}
         self._decode = {}
         if mesh is not None:
-            from ..shard.sharding import param_specs as _family_specs, shard_params
+            from ..shard.sharding import (
+                param_specs as _family_specs, shard_params, with_stage_axis)
 
             specs = param_shardings
             if specs is None:
                 specs = _family_specs(model_mod.FAMILY, cfg, mesh)
+                specs = with_stage_axis(specs, mesh, cfg.num_hidden_layers)
             self.params = shard_params(params, mesh, specs)
             self._dp = mesh.shape.get("data", 1)
             assert max_batch % self._dp == 0, (

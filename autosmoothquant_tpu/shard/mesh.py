@@ -21,22 +21,35 @@ from jax.sharding import Mesh
 
 
 def make_mesh(data: int = 1, model: Optional[int] = None,
-              expert: Optional[int] = None,
+              expert: Optional[int] = None, stage: Optional[int] = None,
               devices: Optional[Sequence] = None) -> Mesh:
     """Build a mesh over available devices. model=None takes every device
-    not claimed by data/expert."""
+    not claimed by data/expert/stage. Axis order puts "stage" outermost
+    (stages ride slower links; TP stays innermost on ICI)."""
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
     e = expert or 1
+    st = stage or 1
     if model is None:
-        assert n % (data * e) == 0, f"{n} devices not divisible by data*expert"
-        model = n // (data * e)
-    assert data * model * e == n, (
-        f"mesh {data}x{model}x{e} != {n} devices")
-    arr = np.asarray(devices).reshape(
-        (data, e, model) if expert else (data, model))
-    axes = ("data", "expert", "model") if expert else ("data", "model")
-    return Mesh(arr, axes)
+        assert n % (data * e * st) == 0, (
+            f"{n} devices not divisible by data*expert*stage")
+        model = n // (data * e * st)
+    assert data * model * e * st == n, (
+        f"mesh stage={st} data={data} expert={e} model={model} != {n} devices")
+    shape = []
+    axes = []
+    if stage:
+        shape.append(st)
+        axes.append("stage")
+    shape.append(data)
+    axes.append("data")
+    if expert:
+        shape.append(e)
+        axes.append("expert")
+    shape.append(model)
+    axes.append("model")
+    arr = np.asarray(devices).reshape(tuple(shape))
+    return Mesh(arr, tuple(axes))
 
 
 def init_distributed(coordinator: Optional[str] = None,

@@ -180,6 +180,36 @@ def mixtral_param_specs(cfg, mesh: Mesh) -> Dict[str, Any]:
     }
 
 
+def with_stage_axis(specs, mesh: Mesh, num_layers: int):
+    """Pipeline-stage placement: shard the stacked [L] layer axis over the
+    mesh's "stage" axis — each stage device group holds L/S contiguous
+    layers, and XLA moves the (replicated) activations between stages as the
+    layer scan crosses shard boundaries. This is the TPU-native analog of
+    the reference's accelerate device_map="sequential" placement
+    (ref: utils/utils.py:43 — sequential stages, no microbatching), and
+    composes with TP: pass the family's TP specs and both axes apply.
+
+    Only the "layers" subtree gains the stage dim (its leaves all lead with
+    [L]); embed/final_norm/lm_head stay on their TP/replicated specs."""
+    s = mesh.shape.get("stage", 1)
+    if s <= 1:
+        return specs
+    assert num_layers % s == 0, (
+        f"{num_layers} layers not divisible by {s} pipeline stages")
+
+    def add_stage(spec):
+        if not isinstance(spec, P):
+            return spec
+        rest = tuple(spec) [1:] if len(spec) else ()
+        return P("stage", *rest)
+
+    out = dict(specs)
+    out["layers"] = jax.tree.map(
+        add_stage, specs["layers"],
+        is_leaf=lambda x: isinstance(x, P))
+    return out
+
+
 PARAM_SPEC_FNS = {
     "llama": llama_param_specs,
     "transformers": opt_param_specs,   # OPT family tag

@@ -118,3 +118,33 @@ def test_continuous_engine_sharded_int8_kv(quantized):
             for i, p in enumerate(PROMPTS)]
     out = eng.run(reqs)
     assert all(len(v) == 8 for v in out.values())
+
+
+def test_engine_stage_sharded_matches_single(quantized):
+    """Pipeline-stage placement: layers sharded over the 'stage' axis (the
+    device_map='sequential' analog) must not change outputs; composes with
+    TP on the model axis."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    cfg, qcfg, qparams = quantized
+    expect = _reference_tokens(quantized)
+    mesh = make_mesh(stage=2, data=1, model=4)
+    eng = Engine(L, qparams, cfg, qcfg, max_batch=4, max_seq=64,
+                 kv_dtype=jnp.float32, compute_dtype=jnp.float32, mesh=mesh)
+    got = eng.generate(PROMPTS, GenerationConfig(max_new_tokens=8))
+    assert got == expect
+    # params really are stage-sharded: a layer weight's sharding spans stage
+    w = eng.params["layers"]["attn"]["q"]["w"]
+    spec = w.sharding.spec
+    assert spec[0] == "stage", spec
+
+
+def test_stage_only_mesh(quantized):
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    cfg, qcfg, qparams = quantized
+    mesh = make_mesh(stage=2, data=1, model=1, devices=jax.devices()[:2])
+    eng = Engine(L, qparams, cfg, qcfg, max_batch=4, max_seq=64,
+                 kv_dtype=jnp.float32, compute_dtype=jnp.float32, mesh=mesh)
+    got = eng.generate(PROMPTS, GenerationConfig(max_new_tokens=8))
+    assert got == _reference_tokens(quantized)
