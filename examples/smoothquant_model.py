@@ -42,6 +42,11 @@ def parse_args():
     p.add_argument("--activation-scheme", default="dynamic",
                    choices=["static", "dynamic"])
     p.add_argument("--tokenizer-path", default=None)
+    p.add_argument("--ignore-patterns", nargs="*", default=["re:.*lm_head"],
+                   help="fp8: projections to exempt (literal or re:regex; "
+                        "ref calibration.py:259-278)")
+    p.add_argument("--quantize-output", action="store_true",
+                   help="fp8 static: observer-tracked output re-quantization")
     return p.parse_args()
 
 
@@ -96,13 +101,37 @@ def main():
         qcfg = QuantConfig.from_dict(raw, default_type=args.type,
                                      default_scheme=args.activation_scheme)
 
+        from autosmoothquant_tpu.convert.pipeline import resolve_ignore_keys
+
+        is_fp8 = qcfg.type in ("fp8_e4m3", "fp8_e5m2")
+        ignore = resolve_ignore_keys(model_mod, cfg,
+                                     tuple(args.ignore_patterns)) \
+            if is_fp8 else frozenset()
         scales = None
-        if qcfg.is_int8 or (qcfg.type == "fp8_e4m3"
-                            and qcfg.activation_scheme == "static"):
+        if qcfg.is_int8:
             stats_sm = calibrate(model_mod, smoothed, cfg, batches())
             scales = model_mod.layer_scales(stats_sm)
+            qparams = model_mod.quantize(smoothed, qcfg, scales, cfg=cfg)
+        elif qcfg.type == "fp8_e4m3" and qcfg.activation_scheme == "static":
+            # observer pass THROUGH the dynamically-quantized model
+            # (ref quantize_activations_fp8, calibration.py:292-338)
+            dyn_cfg = QuantConfig(type="fp8_e4m3", activation_scheme="dynamic")
+            dyn_params = model_mod.quantize(smoothed, dyn_cfg, None, cfg=cfg,
+                                            ignore=ignore)
+            stats_obs = calibrate(model_mod, dyn_params, cfg, batches(),
+                                  qcfg=dyn_cfg)
+            observer_scales = model_mod.fp8_observer_scales(stats_obs)
+            scales = model_mod.layer_scales(stats_obs)
+            qparams = model_mod.quantize(
+                smoothed, qcfg, scales, cfg=cfg, ignore=ignore,
+                quantize_output=args.quantize_output,
+                observer_scales=observer_scales)
+        else:
+            import inspect
 
-        qparams = model_mod.quantize(smoothed, qcfg, scales)
+            kw = {"ignore": ignore} if is_fp8 and "ignore" in inspect.signature(
+                model_mod.quantize).parameters else {}
+            qparams = model_mod.quantize(smoothed, qcfg, None, cfg=cfg, **kw)
         suffix = {"int8": "smoothquant-int8",
                   "fp8_e4m3": f"smoothquant-fp8-e4m3-{qcfg.activation_scheme}",
                   "fp8_e5m2": "smoothquant-fp8-e5m2"}[qcfg.type]
