@@ -23,6 +23,12 @@ def parse_args():
     p.add_argument("--max-new-tokens", type=int, default=20)
     p.add_argument("--temperature", type=float, default=0.0)
     p.add_argument("--max-seq", type=int, default=2048)
+    p.add_argument("--kv-dtype", default="bf16", choices=["bf16", "int8"],
+                   help="int8 selects the quantized KV cache (2x context "
+                        "per HBM byte)")
+    p.add_argument("--tp", type=int, default=0,
+                   help="tensor-parallel degree (0 = all devices when >1 "
+                        "device is visible, 1 = single device)")
     return p.parse_args()
 
 
@@ -41,8 +47,19 @@ def main():
     tok = AutoTokenizer.from_pretrained(args.tokenizer_path)
     ids = tok(args.prompt).input_ids
 
+    import jax
+    import jax.numpy as jnp
+
+    kv_dtype = jnp.int8 if args.kv_dtype == "int8" else jnp.bfloat16
+    mesh = None
+    n_dev = len(jax.devices())
+    tp = args.tp if args.tp else (n_dev if n_dev > 1 else 1)
+    if tp > 1:
+        from autosmoothquant_tpu.shard import make_mesh
+
+        mesh = make_mesh(data=1, model=tp, devices=jax.devices()[:tp])
     eng = Engine(model_mod, params, cfg, qcfg, max_batch=1,
-                 max_seq=args.max_seq)
+                 max_seq=args.max_seq, kv_dtype=kv_dtype, mesh=mesh)
     out = eng.generate(
         [ids],
         GenerationConfig(max_new_tokens=args.max_new_tokens,
