@@ -195,8 +195,85 @@ def decode_tps(L, cfg, qcfg, params, *, batch, prompt_len, s_max,
     return batch / per_step  # tokens/s across the batch
 
 
+def churn_tps(L, cfg, qcfg, params, *, slots=8, n_requests=32,
+              mean_prompt=128, max_new=64, s_max=1024, seed=0,
+              arrival_lam=4.0):
+    """Continuous-batching throughput under Poisson arrivals: requests are
+    injected between scheduler ticks at exponential spacing; returns
+    (generated_tokens/s wall-clock, static-batch baseline tokens/s on the
+    same workload). VERDICT r1 item 8's done-criterion harness."""
+    import time as _time
+
+    import jax.numpy as jnp
+
+    from autosmoothquant_tpu.serve.batching import ContinuousEngine
+
+    rng = np.random.default_rng(seed)
+    prompts = [rng.integers(1, cfg.vocab_size,
+                            size=max(4, int(rng.exponential(mean_prompt)))
+                            ).tolist()[: s_max - max_new - 1]
+               for _ in range(n_requests)]
+    gaps = rng.exponential(1.0 / arrival_lam, size=n_requests)  # ticks between arrivals
+
+    eng = ContinuousEngine(L, cfg=cfg, params=params, qcfg=qcfg,
+                           max_batch=slots, max_seq=s_max,
+                           kv_dtype=jnp.bfloat16, compute_dtype=jnp.bfloat16,
+                           steps_per_sync=8, prefill_chunk=256)
+    # warm compile: run one tiny request through before timing
+    eng.submit("warm", [1, 2, 3], max_new_tokens=2)
+    eng.run()
+
+    reqs = []
+    t0 = _time.perf_counter()
+    next_arrival = 0.0
+    tick = 0.0
+    i = 0
+    while i < n_requests or any(r is not None for r in eng.slot_req) \
+            or eng.waiting or eng._admitting:
+        while i < n_requests and tick >= next_arrival:
+            reqs.append(eng.submit(i, prompts[i], max_new_tokens=max_new))
+            next_arrival += gaps[i]
+            i += 1
+        eng.step()
+        tick += 1.0
+    wall = _time.perf_counter() - t0
+    total_toks = sum(len(r.output) for r in reqs)
+    churn = total_toks / wall
+
+    # static-batch baseline: same prompts, fixed batches of `slots`
+    from autosmoothquant_tpu.serve.engine import Engine, GenerationConfig
+
+    seng = Engine(L, params, cfg, qcfg, max_batch=slots, max_seq=s_max,
+                  kv_dtype=jnp.bfloat16, compute_dtype=jnp.bfloat16)
+    seng.generate([prompts[0][:16]], GenerationConfig(max_new_tokens=2))  # warm
+    t0 = _time.perf_counter()
+    static_toks = 0
+    for j in range(0, n_requests, slots):
+        chunk = prompts[j:j + slots]
+        outs = seng.generate(chunk, GenerationConfig(max_new_tokens=max_new))
+        static_toks += sum(len(o) for o in outs)
+    static = static_toks / (_time.perf_counter() - t0)
+    return churn, static
+
+
 def main():
     _enable_compile_cache()
+    if os.environ.get("ASQ_BENCH_MODE") == "churn":
+        from autosmoothquant_tpu.models import llama as L
+        from autosmoothquant_tpu.quant.config import QuantConfig
+
+        preset = os.environ.get("ASQ_BENCH_PRESET", "tinyllama")
+        cfg = get_cfg(preset)
+        qcfg = QuantConfig(type="int8")
+        params = build_params(cfg, "int8")
+        churn, static = churn_tps(L, cfg, qcfg, params)
+        print(json.dumps({
+            "metric": f"churn_tok_per_s_w8a8_int8_{preset}",
+            "value": round(churn, 2), "unit": "tok/s",
+            "vs_baseline": round(churn / static, 4),
+            "static_batch_tok_per_s": round(static, 2),
+        }))
+        return
     preset = os.environ.get("ASQ_BENCH_PRESET", "tinyllama")
     batch = int(os.environ.get("ASQ_BENCH_BATCH", "1"))
     prompt_len = int(os.environ.get("ASQ_BENCH_PROMPT", "128"))
