@@ -29,7 +29,10 @@ def parse_args():
     p.add_argument("--tasks", default="")
     p.add_argument("--num-fewshot", type=int, default=0)
     p.add_argument("--batch-size", type=int, default=1)
-    p.add_argument("--dataset", default="wikitext2")
+    p.add_argument("--dataset", default="wikitext2",
+                   help="wikitext2 | ptb | ptb_new | c4 | c4_new | pile | mix")
+    p.add_argument("--pile-path", default=None,
+                   help="local pile val jsonl(.zst) for --dataset pile")
     return p.parse_args()
 
 
@@ -59,10 +62,21 @@ def main():
     results = {}
 
     if args.eval_ppl:
-        from autosmoothquant_tpu.utils.datautils import load_wikitext2, load_ptb
+        from autosmoothquant_tpu.utils.datautils import (
+            get_loaders, load_ptb, load_wikitext2)
 
-        stream = (load_wikitext2 if args.dataset == "wikitext2" else load_ptb)(
-            tokenizer, "test")
+        # wikitext2/ptb: tokenize only the test split; other names go
+        # through get_loaders (ptb_new / c4(_new) / pile / mix)
+        if args.dataset == "wikitext2":
+            stream = load_wikitext2(tokenizer, "test")
+        elif args.dataset == "ptb":
+            stream = load_ptb(tokenizer, "test")
+        else:
+            _, stream = get_loaders(args.dataset, tokenizer, nsamples=1,
+                                    seqlen=args.max_length,
+                                    pile_path=args.pile_path)
+            if stream is None:
+                raise ValueError(f"dataset {args.dataset!r} has no eval split")
         ppl = perplexity_from_tokens(
             model_mod, params, cfg, stream, max_length=args.max_length,
             qcfg=qcfg, compute_dtype=jnp.bfloat16, progress=True)
