@@ -112,3 +112,61 @@ def test_rolling_ppl_task_matches_ppl_harness(setup):
     expect = float(np.exp(-ll / len(doc)))
     assert abs(res["perplexity"] - expect) / expect < 1e-6
     assert res["bits_per_token"] > 0
+
+
+def test_evaluate_multirank_merge(setup, monkeypatch):
+    """world_size=2 path: each rank computes its request slice; gather merges
+    by request id; aggregate sees the full ordered results. The gather is
+    faked (single process) to exercise the merge logic for all task types."""
+    cfg, params, stream = setup
+    from autosmoothquant_tpu.eval import harness
+    from autosmoothquant_tpu.eval.lm_adapter import JaxLM
+    from autosmoothquant_tpu.eval.harness import (
+        MultipleChoiceTask, RollingPPLTask, evaluate)
+
+    lm = JaxLM(L, params, cfg, max_length=64, batch_size=2,
+               compute_dtype=jnp.float32)
+    docs = [([1, 2, 3], [[4, 5], [6]], 0), ([7, 8], [[9], [10, 11]], 1)]
+    task = MultipleChoiceTask(name="mc", docs=docs)
+    expect = evaluate(lm, [task])["mc"]
+
+    # fake 2-rank gather: run both rank slices locally and concatenate
+    store = {}
+
+    def fake_gather(local, world_size):
+        key = tuple(i for i, _ in local)
+        store[key] = local
+        # emulate the other rank by computing its slice here
+        reqs, _ = task.build_requests()
+        other_rank = 1 if key and key[0] == 0 else 0
+        other_ids = [i for i in range(len(reqs)) if i % 2 == other_rank]
+        other = lm.loglikelihood([reqs[i] for i in other_ids])
+        return local + list(zip(other_ids, other))
+
+    monkeypatch.setattr(harness, "gather_results", fake_gather)
+    got = evaluate(lm, [task], rank=0, world_size=2)["mc"]
+    assert got == expect
+
+
+def test_evaluate_multirank_rolling(setup, monkeypatch):
+    cfg, params, stream = setup
+    from autosmoothquant_tpu.eval import harness
+    from autosmoothquant_tpu.eval.lm_adapter import JaxLM
+    from autosmoothquant_tpu.eval.harness import RollingPPLTask, evaluate
+
+    lm = JaxLM(L, params, cfg, max_length=64, batch_size=1,
+               compute_dtype=jnp.float32)
+    docs = [stream[:64].tolist(), stream[64:128].tolist()]
+    task = RollingPPLTask(name="ppl2", docs=docs)
+    expect = evaluate(lm, [task])["ppl2"]
+
+    def fake_gather(local, world_size):
+        reqs, _ = task.build_requests()
+        done = {i for i, _ in local}
+        other_ids = [i for i in range(len(reqs)) if i not in done]
+        other = task.run(lm, [reqs[i] for i in other_ids])
+        return local + list(zip(other_ids, other))
+
+    monkeypatch.setattr(harness, "gather_results", fake_gather)
+    got = evaluate(lm, [task], rank=1, world_size=2)["ppl2"]
+    assert abs(got["perplexity"] - expect["perplexity"]) < 1e-9
