@@ -148,3 +148,25 @@ def test_stage_only_mesh(quantized):
                  kv_dtype=jnp.float32, compute_dtype=jnp.float32, mesh=mesh)
     got = eng.generate(PROMPTS, GenerationConfig(max_new_tokens=8))
     assert got == _reference_tokens(quantized)
+
+
+def test_continuous_engine_sharded_chunked_prefill(quantized):
+    """TP mesh + chunked prefill: the row slice-extend-writeback must
+    preserve the pool's head sharding and outputs."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    cfg, qcfg, qparams = quantized
+    rng = np.random.default_rng(0)
+    long_prompt = rng.integers(1, 250, size=50).tolist()
+
+    def run(mesh, chunk):
+        eng = ContinuousEngine(L, qparams, cfg, qcfg, max_batch=2, max_seq=64,
+                               compute_dtype=jnp.float32, kv_dtype=jnp.float32,
+                               steps_per_sync=4, mesh=mesh, prefill_chunk=chunk)
+        reqs = [Request(uid=0, prompt=long_prompt, max_new_tokens=6),
+                Request(uid=1, prompt=[5, 4, 3], max_new_tokens=6)]
+        return eng.run(reqs)
+
+    plain = run(None, None)
+    sharded_chunked = run(make_mesh(data=1, model=8), 32)
+    assert sharded_chunked == plain
