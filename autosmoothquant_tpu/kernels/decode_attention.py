@@ -39,7 +39,7 @@ MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 
 def _decode_kernel(q_ref, k_ref, v_ref, ks_ref, vs_ref, starts_ref,
                    lengths_ref, o_ref, m_ref, l_ref, acc_ref, *, sm_scale,
-                   block_k, hkv, groups, quantized):
+                   block_k, hkv, groups, quantized, int8_dots):
     # starts/lengths ride as whole [B, 1] SMEM arrays indexed by program_id,
     # NOT scalar prefetch: on this environment's axon runtime a
     # PrefetchScalarGridSpec kernel nested two loop levels deep (the
@@ -69,20 +69,36 @@ def _decode_kernel(q_ref, k_ref, v_ref, ks_ref, vs_ref, starts_ref,
             # bf16 caches (f32 caches keep f32 dots — exactness for tests);
             # the int8 dequant scales FACTOR OUT of the [block_k, d] matrices
             # into the [*, block_k] score/probability vectors: s_j *= ks_j
-            # and p_j *= vs_j — 1/d the VPU work of scaling K/V elementwise
+            # and p_j *= vs_j — 1/d the VPU work of scaling K/V elementwise.
+            # int8_dots additionally row-quantizes q and p so BOTH attention
+            # matmuls run int8×int8→int32 on the MXU — the literal semantics
+            # of the reference's bmm_s8t_s8n_* stack
+            # (ref: csrc/kernels/bmm.cu:10-211).
             ct = jnp.float32 if k_ref.dtype == jnp.float32 else jnp.bfloat16
-            q = q_ref[0, h * groups:(h + 1) * groups, :].astype(ct)
-            k = k_ref[0][:, h * d:(h + 1) * d].astype(ct)
-            v = v_ref[0][:, h * d:(h + 1) * d].astype(ct)
-            s = jax.lax.dot_general(
-                q, k, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32) * sm_scale  # [G, block_k]
-            if quantized:
+            rows = slice(h * groups, (h + 1) * groups)
+            qf = q_ref[0, h * groups:(h + 1) * groups, :].astype(jnp.float32)
+            if quantized and int8_dots:
+                k8 = k_ref[0][:, h * d:(h + 1) * d]            # int8
+                q_s = jnp.maximum(jnp.max(jnp.abs(qf), axis=1, keepdims=True),
+                                  1e-8) / 127.0                # [G, 1]
+                q8 = jnp.clip(jnp.round(qf / q_s), -128, 127).astype(jnp.int8)
+                acc32 = jax.lax.dot_general(
+                    q8, k8, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.int32)          # [G, block_k]
                 ks_row = ks_ref[0][:, h:h + 1].reshape(1, block_k)
-                s = s * ks_row.astype(jnp.float32)
+                s = (acc32.astype(jnp.float32) * q_s
+                     * ks_row.astype(jnp.float32) * sm_scale)
+            else:
+                q = qf.astype(ct)
+                k = k_ref[0][:, h * d:(h + 1) * d].astype(ct)
+                s = jax.lax.dot_general(
+                    q, k, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32) * sm_scale
+                if quantized:
+                    ks_row = ks_ref[0][:, h:h + 1].reshape(1, block_k)
+                    s = s * ks_row.astype(jnp.float32)
             s = jnp.where(valid1, s, MASK_VALUE)
 
-            rows = slice(h * groups, (h + 1) * groups)
             m_prev, l_prev = m_ref[rows], l_ref[rows]
             m_curr = jnp.max(s, axis=1, keepdims=True)
             m_next = jnp.maximum(m_prev, m_curr)
@@ -92,9 +108,27 @@ def _decode_kernel(q_ref, k_ref, v_ref, ks_ref, vs_ref, starts_ref,
             m_ref[rows] = m_next
             if quantized:
                 vs_row = vs_ref[0][:, h:h + 1].reshape(1, block_k)
-                p = p * vs_row.astype(jnp.float32)
-            acc_ref[rows] = acc_ref[rows] * alpha + jax.lax.dot(
-                p.astype(ct), v, preferred_element_type=jnp.float32)
+                p_eff = p * vs_row.astype(jnp.float32)
+                if int8_dots:
+                    v8 = v_ref[0][:, h * d:(h + 1) * d]        # int8
+                    p_s = jnp.maximum(
+                        jnp.max(p_eff, axis=1, keepdims=True), 1e-8) / 127.0
+                    p8 = jnp.clip(jnp.round(p_eff / p_s), -128,
+                                  127).astype(jnp.int8)
+                    pv32 = jax.lax.dot_general(
+                        p8, v8, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.int32)
+                    acc_ref[rows] = (acc_ref[rows] * alpha
+                                     + pv32.astype(jnp.float32) * p_s)
+                else:
+                    v = v_ref[0][:, h * d:(h + 1) * d].astype(ct)
+                    acc_ref[rows] = acc_ref[rows] * alpha + jax.lax.dot(
+                        p_eff.astype(ct), v,
+                        preferred_element_type=jnp.float32)
+            else:
+                v = v_ref[0][:, h * d:(h + 1) * d].astype(ct)
+                acc_ref[rows] = acc_ref[rows] * alpha + jax.lax.dot(
+                    p.astype(ct), v, preferred_element_type=jnp.float32)
 
     @pl.when(s_idx == pl.num_programs(1) - 1)
     def _store():
@@ -104,12 +138,13 @@ def _decode_kernel(q_ref, k_ref, v_ref, ks_ref, vs_ref, starts_ref,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("sm_scale", "block_k", "interpret"))
+    jax.jit, static_argnames=("sm_scale", "block_k", "interpret", "int8_dots"))
 def flash_decode(q: jnp.ndarray, k_cache: jnp.ndarray, v_cache: jnp.ndarray,
                  lengths: jnp.ndarray, *, sm_scale: float,
                  starts: jnp.ndarray = None,
                  k_scale: jnp.ndarray = None, v_scale: jnp.ndarray = None,
-                 block_k: int = 512, interpret: bool = False) -> jnp.ndarray:
+                 block_k: int = 512, interpret: bool = False,
+                 int8_dots: bool = False) -> jnp.ndarray:
     """q: [B, Hq, D] (one token per row); k/v_cache: [B, S, Hkv, D] (bf16/f32
     or int8 with k/v_scale [B, S, Hkv]); lengths: int32 [B] end of the valid
     window (exclusive); starts: int32 [B] beginning of the valid window
@@ -140,7 +175,8 @@ def flash_decode(q: jnp.ndarray, k_cache: jnp.ndarray, v_cache: jnp.ndarray,
     grid = (b, s // block_k)
     kernel = functools.partial(_decode_kernel, sm_scale=sm_scale,
                                block_k=block_k, hkv=hkv, groups=g,
-                               quantized=quantized)
+                               quantized=quantized,
+                               int8_dots=int8_dots and quantized)
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((b, hq, d), q.dtype),

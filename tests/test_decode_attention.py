@@ -145,3 +145,29 @@ def test_head_dim_64(d):
     v_de = np.asarray(vq, np.float32) * np.asarray(vs)[..., None]
     expected = oracle(q, jnp.asarray(k_de), jnp.asarray(v_de), lengths, d ** -0.5)
     np.testing.assert_allclose(np.asarray(out), expected, rtol=2e-2, atol=2e-2)
+
+
+def test_int8_dots_variant_matches_oracle():
+    """int8 QK^T / PV MXU dots (the reference's bmm_s8t_s8n_* semantics,
+    csrc/kernels/bmm.cu): row-quantized q and p with int8 cache values.
+    Added quantization error stays well under the int8-KV noise floor."""
+    rng = np.random.default_rng(9)
+    b, s, hq, hkv, d = 2, 256, 8, 4, 128
+    q = jnp.asarray(rng.normal(size=(b, hq, d)), jnp.float32)
+    kf = jnp.asarray(rng.normal(size=(b, s, hkv, d)) * 2, jnp.float32)
+    vf = jnp.asarray(rng.normal(size=(b, s, hkv, d)) * 2, jnp.float32)
+    kq, ks = _quantize_kv(kf)
+    vq, vs = _quantize_kv(vf)
+    lengths = jnp.asarray([130, 256], jnp.int32)
+    out = flash_decode(q, kq, vq, lengths, sm_scale=d ** -0.5,
+                       k_scale=ks, v_scale=vs, block_k=128,
+                       int8_dots=True, interpret=INTERPRET)
+    k_de = np.asarray(kq, np.float32) * np.asarray(ks)[..., None]
+    v_de = np.asarray(vq, np.float32) * np.asarray(vs)[..., None]
+    expected = oracle(q, jnp.asarray(k_de), jnp.asarray(v_de), lengths, d ** -0.5)
+    np.testing.assert_allclose(np.asarray(out), expected, rtol=5e-2, atol=5e-2)
+    # and it must differ from the bf16-dot path (i.e. actually engaged)
+    out_bf = flash_decode(q, kq, vq, lengths, sm_scale=d ** -0.5,
+                          k_scale=ks, v_scale=vs, block_k=128,
+                          interpret=INTERPRET)
+    assert np.abs(np.asarray(out) - np.asarray(out_bf)).max() > 0
