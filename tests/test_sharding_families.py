@@ -68,3 +68,31 @@ def test_mixtral_ep_quantized():
     qparams, _ = calibrate_smooth_quantize(M, params, cfg, qcfg, lambda: [ids])
     mesh = make_mesh(data=1, model=2, expert=4)
     _check(M, "mixtral", cfg, qparams, jnp.asarray(ids), qcfg=qcfg, mesh=mesh)
+
+
+def test_mixtral_ep_sparse_path(monkeypatch):
+    """Routed (capacity-bucketed) expert compute under EP sharding: the
+    batched [E, C, .] expert GEMMs ride the expert axis; outputs must match
+    the replicated dense path."""
+    from autosmoothquant_tpu.models import mixtral as M
+    from autosmoothquant_tpu.convert.pipeline import calibrate_smooth_quantize
+
+    cfg = M.MixtralConfig(vocab_size=256, hidden_size=64, intermediate_size=96,
+                          num_hidden_layers=2, num_attention_heads=8,
+                          num_key_value_heads=4, num_local_experts=4,
+                          max_position_embeddings=64)
+    params = M.init_params(cfg, jax.random.PRNGKey(4))
+    ids = np.random.default_rng(4).integers(0, 256, size=(2, 32))
+    qcfg = QuantConfig(type="int8")
+    qparams, _ = calibrate_smooth_quantize(M, params, cfg, qcfg, lambda: [ids])
+
+    monkeypatch.setenv("ASQ_MOE", "dense")
+    jax.clear_caches()
+    ref = np.asarray(M.forward_jit(qparams, jnp.asarray(ids), cfg, qcfg)[0])
+
+    monkeypatch.setenv("ASQ_MOE", "sparse")
+    jax.clear_caches()
+    mesh = make_mesh(data=1, model=2, expert=4)
+    sharded = shard_params(qparams, mesh, param_specs("mixtral", cfg, mesh))
+    got = np.asarray(M.forward_jit(sharded, jnp.asarray(ids), cfg, qcfg)[0])
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
