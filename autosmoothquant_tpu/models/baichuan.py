@@ -185,9 +185,15 @@ def _layer_forward(h, lp, cfg, qcfg, cos, sin, mask, alibi, cache,
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
 
-    new_cache, ctx = update_and_attend(
-        q, k, v, cache, cache_index, mask, 1.0 / math.sqrt(hd), compute_dtype,
-        window=window, alibi_bias=alibi, plain_causal=plain_causal)
+    if isinstance(cache, tuple):  # carry mode: (full [L,...] cache, layer l)
+        new_cache, ctx = update_and_attend(
+            q, k, v, None, cache_index, mask, 1.0 / math.sqrt(hd),
+            compute_dtype, window=window, alibi_bias=alibi, carry=cache)
+    else:
+        new_cache, ctx = update_and_attend(
+            q, k, v, cache, cache_index, mask, 1.0 / math.sqrt(hd),
+            compute_dtype, window=window, alibi_bias=alibi,
+            plain_causal=plain_causal)
     ctx = ctx.reshape(b, t, d)
     if capture:
         stats["o_in_ch_absmax"] = jnp.max(jnp.abs(ctx.reshape(-1, d)), axis=0)
@@ -275,9 +281,17 @@ def forward(params, input_ids: jnp.ndarray, cfg: BaichuanConfig,
             lambda c, lp: step(c, (lp, None)), h, params["layers"])
         new_kv = None
     else:
-        h, (new_caches, stats) = jax.lax.scan(
-            step, (h), (params["layers"], kv_cache))
-        new_kv = new_caches
+        # cache rides in the scan CARRY with token-only scatter writes
+        # (see common.carry_update_and_attend; ALiBi handled in the split)
+        def step_carry(carry, lp):
+            hh, cache, l = carry
+            hh, cache, st = _layer_forward(
+                hh, lp, cfg, quant_config, cos, sin, mask, alibi, (cache, l),
+                cache_index, capture_stats, compute_dtype, window=window)
+            return (hh, cache, l + 1), (st if capture_stats else None)
+
+        (h, new_kv, _), stats = jax.lax.scan(
+            step_carry, (h, kv_cache, jnp.int32(0)), params["layers"])
 
     h = rms_norm(h, params["final_norm"]["w"], cfg.rms_norm_eps).astype(compute_dtype)
     return h, new_kv, (stats if capture_stats else None)

@@ -409,7 +409,8 @@ def _flash_decode_mode() -> str:
 
 
 def update_and_attend(q, k, v, cache, cache_index, mask, scale, compute_dtype,
-                      *, window=None, alibi_bias=None, plain_causal=False):
+                      *, window=None, alibi_bias=None, plain_causal=False,
+                      carry=None):
     """Cache write + attention for one layer, routing the single-token decode
     step through the flash-decode Pallas kernel when possible (in-VMEM int8
     dequant — the production form of the reference's vestigial int8 BMM
@@ -420,11 +421,14 @@ def update_and_attend(q, k, v, cache, cache_index, mask, scale, compute_dtype,
     everywhere else (prefill, ALiBi, unsupported shapes, non-TPU)."""
     b, t = q.shape[:2]
     mode = _flash_decode_mode()
-    if (cache is not None and t == 1 and window is not None
+    full_cache = carry[0] if carry is not None else cache
+    if (full_cache is not None and t == 1 and window is not None
             and alibi_bias is None and mode in ("on", "force")):
         from ..kernels.decode_attention import decode_attend_supported, flash_decode
 
-        shapes_ok = decode_attend_supported(q.shape, cache.k.shape)
+        cache_shape = (full_cache.k.shape[1:] if carry is not None
+                       else full_cache.k.shape)
+        shapes_ok = decode_attend_supported(q.shape, cache_shape)
         on_tpu = jax.default_backend() == "tpu"
         # single-device only for now: pallas_call has no custom partitioning
         # registered, so under a >1-device mesh the partitioner would
@@ -432,8 +436,20 @@ def update_and_attend(q, k, v, cache, cache_index, mask, scale, compute_dtype,
         # keeps the XLA path until the kernel is shard_map-wrapped.
         single = jax.device_count() == 1
         if shapes_ok and ((on_tpu and single) or mode == "force"):
-            new_cache = cache_write(cache, k, v, cache_index)
             starts, lengths = window
+            if carry is not None:
+                cache_full, l = carry
+                quant = isinstance(cache_full, QuantKVCacheLayer)
+                new_cache = _carry_write(cache_full, l, k, v, cache_index, b, t)
+                out = flash_decode(
+                    q[:, 0], _layer_slice(new_cache.k, l),
+                    _layer_slice(new_cache.v, l), lengths, sm_scale=scale,
+                    starts=starts,
+                    k_scale=_layer_slice(new_cache.k_scale, l) if quant else None,
+                    v_scale=_layer_slice(new_cache.v_scale, l) if quant else None,
+                    interpret=not on_tpu)
+                return new_cache, out[:, None].astype(compute_dtype)
+            new_cache = cache_write(cache, k, v, cache_index)
             quant = isinstance(cache, QuantKVCacheLayer)
             out = flash_decode(
                 q[:, 0], new_cache.k, new_cache.v, lengths, sm_scale=scale,
@@ -443,10 +459,161 @@ def update_and_attend(q, k, v, cache, cache_index, mask, scale, compute_dtype,
                 interpret=not on_tpu)
             return new_cache, out[:, None].astype(compute_dtype)
 
-    new_cache, k_att, v_att = cache_update_and_read(
-        cache, k, v, cache_index, compute_dtype)
+    if carry is not None:
+        cache_full, l = carry
+        new_cache, ctx = carry_update_and_attend(
+            q, k, v, cache_full, l, cache_index, mask, scale, compute_dtype,
+            alibi_bias=alibi_bias)
+        return new_cache, ctx
+
+    new_cache, k_att, v_att, ks, vs = cache_update_and_read_raw(
+        cache, k, v, cache_index)
     return new_cache, attend(q, k_att, v_att, mask, scale,
-                             alibi_bias=alibi_bias, plain_causal=plain_causal)
+                             alibi_bias=alibi_bias, plain_causal=plain_causal,
+                             k_scale=ks, v_scale=vs)
+
+
+def cache_update_and_read_raw(cache, k, v, cache_index):
+    """Write new k/v, return (new_cache, k_all, v_all, k_scale, v_scale)
+    where k_all/v_all are the RAW cache values (int8 for quant caches —
+    never dequantized into a copy; scales are returned for attend()'s
+    factored dequant) and scales are None for plain caches."""
+    if cache is None:
+        return None, k, v, None, None
+    if isinstance(cache, QuantKVCacheLayer):
+        kq, ks = _quantize_kv(k)
+        vq, vs = _quantize_kv(v)
+        new_cache = QuantKVCacheLayer(
+            k=_write(cache.k, kq, cache_index),
+            v=_write(cache.v, vq, cache_index),
+            k_scale=_write(cache.k_scale, ks, cache_index),
+            v_scale=_write(cache.v_scale, vs, cache_index))
+        return (new_cache, new_cache.k, new_cache.v,
+                new_cache.k_scale, new_cache.v_scale)
+    k_all = _write(cache.k, k.astype(cache.k.dtype), cache_index)
+    v_all = _write(cache.v, v.astype(cache.v.dtype), cache_index)
+    return KVCacheLayer(k=k_all, v=v_all), k_all, v_all, None, None
+
+
+def _layer_slice(full, l):
+    """cache leaf [L, B, S, ...] -> layer l's [B, S, ...] (a leading-dim
+    dynamic slice — fuses into the consuming dot's operand read)."""
+    return jax.lax.dynamic_index_in_dim(full, l, 0, keepdims=False)
+
+
+def _scatter_tokens(full, val, l, cache_index, batch, t):
+    """Write val [B, T, ...] into full [L, B, S, ...] at layer l, slots
+    cache_index..cache_index+T (scalar) or per-row offsets (vector) —
+    touching ONLY the new tokens' slices."""
+    rows = jnp.arange(batch, dtype=jnp.int32)[:, None]
+    slots = cache_slots(cache_index, batch, t)
+    return full.at[l, rows, slots].set(val)
+
+
+def _carry_write(cache, l, k, v, cache_index, b, t):
+    """Scatter ONLY the new tokens' (quantized) K/V into the carried
+    [L, B, S, ...] cache at layer l."""
+    if isinstance(cache, QuantKVCacheLayer):
+        kq, ks_new = _quantize_kv(k)
+        vq, vs_new = _quantize_kv(v)
+        return QuantKVCacheLayer(
+            k=_scatter_tokens(cache.k, kq, l, cache_index, b, t),
+            v=_scatter_tokens(cache.v, vq, l, cache_index, b, t),
+            k_scale=_scatter_tokens(cache.k_scale, ks_new, l, cache_index, b, t),
+            v_scale=_scatter_tokens(cache.v_scale, vs_new, l, cache_index, b, t))
+    return KVCacheLayer(
+        k=_scatter_tokens(cache.k, k.astype(cache.k.dtype), l, cache_index, b, t),
+        v=_scatter_tokens(cache.v, v.astype(cache.v.dtype), l, cache_index, b, t))
+
+
+def carry_update_and_attend(q, k, v, cache, l, cache_index, mask, scale,
+                            compute_dtype, *, window=None, alibi_bias=None):
+    """Carry-mode cache update + attention for one layer of a scan whose
+    CARRY holds the full [L, B, S, ...] cache (vs the round-1 xs/ys layout,
+    which forced a full-cache rewrite into the stacked scan outputs every
+    step — ~2x the cache bytes per decode step in pure copy traffic).
+
+    Only the new tokens' K/V (quantized for int8 caches) are scattered into
+    the carry; attention runs SPLIT: scores over the untouched cache slice
+    (masked to exclude the slots being written) concatenated with scores
+    over the in-register new tokens, one softmax across both. No full-cache
+    write and no dequantized copy ever materializes.
+
+    q/k/v: [B, T, H(,kv), Dh] post-RoPE. mask: bool [B, 1, T, S] (the
+    standard slot mask INCLUDING the new tokens' columns). Returns
+    (new_full_cache, ctx [B, T, H*Dh-shaped like attend's output])."""
+    b, t = q.shape[:2]
+    s_max = cache.k.shape[2]
+    quant = isinstance(cache, QuantKVCacheLayer)
+    if quant:
+        kq, ks_new = _quantize_kv(k)
+        vq, vs_new = _quantize_kv(v)
+        # self-attention sees the round-tripped values so future steps (which
+        # read the quantized cache) agree exactly with the current step
+        k_self = (kq.astype(jnp.float32) * ks_new[..., None]).astype(compute_dtype)
+        v_self = (vq.astype(jnp.float32) * vs_new[..., None]).astype(compute_dtype)
+        new_cache = QuantKVCacheLayer(
+            k=_scatter_tokens(cache.k, kq, l, cache_index, b, t),
+            v=_scatter_tokens(cache.v, vq, l, cache_index, b, t),
+            k_scale=_scatter_tokens(cache.k_scale, ks_new, l, cache_index, b, t),
+            v_scale=_scatter_tokens(cache.v_scale, vs_new, l, cache_index, b, t))
+        ks_l = _layer_slice(cache.k_scale, l)
+        vs_l = _layer_slice(cache.v_scale, l)
+    else:
+        k_self = k.astype(compute_dtype)
+        v_self = v.astype(compute_dtype)
+        new_cache = KVCacheLayer(
+            k=_scatter_tokens(cache.k, k.astype(cache.k.dtype), l,
+                              cache_index, b, t),
+            v=_scatter_tokens(cache.v, v.astype(cache.v.dtype), l,
+                              cache_index, b, t))
+        ks_l = vs_l = None
+    k_l = _layer_slice(cache.k, l)
+    v_l = _layer_slice(cache.v, l)
+
+    slots = cache_slots(cache_index, b, t)                      # [B, T]
+    # cache-part mask: the base mask minus the columns being written now
+    written = jnp.zeros((b, s_max), bool).at[
+        jnp.arange(b)[:, None], slots].set(True)
+    mask_c = mask & ~written[:, None, None, :]
+    # self-part mask: gather the base mask at the written columns — inherits
+    # causality, kv_valid and padding semantics in one shot
+    mask_s = jnp.take_along_axis(
+        mask | jnp.zeros((b, 1, t, s_max), bool),               # broadcast B
+        slots[:, None, None, :], axis=3)                        # [B, 1, T, T]
+
+    h = q.shape[2]
+    hkv = k_l.shape[2]
+    g = h // hkv
+    dh = q.shape[3]
+    qf = q.astype(jnp.float32).reshape(b, t, hkv, g, dh)
+    sc = jnp.einsum("bqkgd,bskd->bkgqs", qf, k_l.astype(jnp.float32)) * scale
+    if ks_l is not None:
+        sc = sc * jnp.transpose(ks_l.astype(jnp.float32),
+                                (0, 2, 1))[:, :, None, None, :]
+    ss = jnp.einsum("bqkgd,btkd->bkgqt", qf,
+                    k_self.astype(jnp.float32)) * scale
+    if alibi_bias is not None:
+        # alibi_bias: [H, Tq, S] (shift-invariant m_h * key_slot form);
+        # self-part bias = the bias at the written slots' columns
+        sc = sc + alibi_bias.reshape(1, hkv, g, t, s_max)
+    sc = jnp.where(mask_c[:, :, None, :, :], sc, -1e30)
+    if alibi_bias is not None:
+        ali_b = jnp.broadcast_to(alibi_bias[None],
+                                 (b,) + alibi_bias.shape)     # [B, H, T, S]
+        ss_bias = jnp.take_along_axis(
+            ali_b, slots[:, None, None, :], axis=3)           # [B, H, T, T]
+        ss = ss + ss_bias.reshape(b, hkv, g, t, t)
+    ss = jnp.where(mask_s[:, :, None, :, :], ss, -1e30)
+    probs = jax.nn.softmax(jnp.concatenate([sc, ss], axis=-1), axis=-1)
+    pc, ps = probs[..., :s_max], probs[..., s_max:]
+    if vs_l is not None:
+        pc = pc * jnp.transpose(vs_l.astype(jnp.float32),
+                                (0, 2, 1))[:, :, None, None, :]
+    out = (jnp.einsum("bkgqs,bskd->bqkgd", pc, v_l.astype(jnp.float32))
+           + jnp.einsum("bkgqt,btkd->bqkgd", ps, v_self.astype(jnp.float32)))
+    ctx = out.reshape(b, t, h * dh).astype(q.dtype)
+    return new_cache, ctx
 
 
 def cache_slots(cache_index, batch: int, t: int) -> jnp.ndarray:
@@ -461,16 +628,24 @@ def cache_slots(cache_index, batch: int, t: int) -> jnp.ndarray:
 def attend(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
            mask: jnp.ndarray, scale: float,
            alibi_bias: Optional[jnp.ndarray] = None,
-           plain_causal: bool = False) -> jnp.ndarray:
+           plain_causal: bool = False,
+           k_scale: Optional[jnp.ndarray] = None,
+           v_scale: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """q: [B, Tq, H, Dh]; k/v: [B, Tk, H_kv, Dh]; mask: bool [B, 1, Tq, Tk]
     (True = attend). GQA via head-group reshape. Softmax in f32.
 
-    plain_causal=True (prefill, no padding, no bias) routes to the Pallas
-    flash kernel on TPU when shapes align — the [Tq, Tk] score matrix then
-    never touches HBM."""
+    k/v may be RAW int8 cache values with per-token-per-head scales
+    k_scale/v_scale [B, Tk, H_kv]: the dequant factors OUT of the matmuls
+    exactly (ks/vs don't depend on Dh) — scores *= ks, probs *= vs — so no
+    dequantized cache copy is ever materialized
+    (sum_d q_d·k8_sd·ks_s == ks_s·sum_d q_d·k8_sd).
+
+    plain_causal=True (prefill, no padding, no bias, unquantized) routes to
+    the Pallas flash kernel on TPU when shapes align — the [Tq, Tk] score
+    matrix then never touches HBM."""
     import os
 
-    if (plain_causal and alibi_bias is None
+    if (plain_causal and alibi_bias is None and k_scale is None
             and os.environ.get("ASQ_NO_FLASH") != "1"
             and jax.default_backend() == "tpu"):
         from ..kernels.attention import flash_attention, flash_supported
@@ -481,13 +656,21 @@ def attend(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     _, tk, h_kv, _ = k.shape
     groups = h // h_kv
     qf = q.astype(jnp.float32).reshape(b, tq, h_kv, groups, dh)
+    # int8 cache values convert inside the dot's operand fusion — no copy
     kf = k.astype(jnp.float32)
     scores = jnp.einsum("bqkgd,bskd->bkgqs", qf, kf) * scale  # [B,Hkv,G,Tq,Tk]
+    if k_scale is not None:
+        # [B, Tk, Hkv] -> [B, Hkv, 1, 1, Tk]
+        scores = scores * jnp.transpose(
+            k_scale.astype(jnp.float32), (0, 2, 1))[:, :, None, None, :]
     if alibi_bias is not None:
         # alibi_bias: [H, Tq, Tk], H = h_kv * groups (Baichuan-13B)
         scores = scores + alibi_bias.reshape(1, h_kv, groups, tq, tk)
     # mask: bool [B, 1, Tq, Tk] -> broadcast over (Hkv, G)
     scores = jnp.where(mask[:, :, None, :, :], scores, -1e30)
     probs = jax.nn.softmax(scores, axis=-1)
+    if v_scale is not None:
+        probs = probs * jnp.transpose(
+            v_scale.astype(jnp.float32), (0, 2, 1))[:, :, None, None, :]
     out = jnp.einsum("bkgqs,bskd->bqkgd", probs, v.astype(jnp.float32))
     return out.reshape(b, tq, h, dh).astype(q.dtype)

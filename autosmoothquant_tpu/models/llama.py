@@ -173,9 +173,14 @@ def _layer_forward(h, lp, cfg: LlamaConfig, qcfg: Optional[QuantConfig],
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
 
-    new_cache, ctx = update_and_attend(
-        q, k, v, cache, cache_index, mask, 1.0 / math.sqrt(hd), compute_dtype,
-        window=window, plain_causal=plain_causal)
+    if isinstance(cache, tuple):  # carry mode: (full [L,...] cache, layer l)
+        new_cache, ctx = update_and_attend(
+            q, k, v, None, cache_index, mask, 1.0 / math.sqrt(hd),
+            compute_dtype, window=window, carry=cache)
+    else:
+        new_cache, ctx = update_and_attend(
+            q, k, v, cache, cache_index, mask, 1.0 / math.sqrt(hd),
+            compute_dtype, window=window, plain_causal=plain_causal)
     ctx = ctx.reshape(b, t, n_q * hd)
     if capture:
         stats["o_in_ch_absmax"] = jnp.max(jnp.abs(ctx.reshape(-1, n_q * hd)), axis=0)
@@ -301,18 +306,26 @@ def forward(params, input_ids: jnp.ndarray, cfg: LlamaConfig,
         ys = (new_cache, stats) if capture_stats else (new_cache, None)
         return hh, ys
 
-    layer_caches = kv_cache if kv_cache is not None else None
-    if layer_caches is None:
+    if kv_cache is None:
         # scan needs a pytree with a leading L axis; use a dummy per-layer None
         h, (new_caches, stats) = jax.lax.scan(
             lambda c, lp: step(c, (lp, None)), h, params["layers"]
         )
         new_kv = None
     else:
-        h, (new_caches, stats) = jax.lax.scan(
-            step, h, (params["layers"], layer_caches)
-        )
-        new_kv = new_caches
+        # the cache rides in the scan CARRY (token-only scatter writes per
+        # layer) — the round-1 xs/ys layout rewrote the ENTIRE cache into
+        # the stacked scan outputs every step, ~2x the cache bytes in pure
+        # copy traffic (see common.carry_update_and_attend)
+        def step_carry(carry, lp):
+            hh, cache, l = carry
+            hh, cache, st = _layer_forward(
+                hh, lp, cfg, quant_config, cos, sin, mask, (cache, l),
+                cache_index, capture_stats, compute_dtype, window=window)
+            return (hh, cache, l + 1), (st if capture_stats else None)
+
+        (h, new_kv, _), stats = jax.lax.scan(
+            step_carry, (h, kv_cache, jnp.int32(0)), params["layers"])
 
     h = rms_norm(h, params["final_norm"]["w"], cfg.rms_norm_eps).astype(compute_dtype)
     return h, new_kv, (stats if capture_stats else None)

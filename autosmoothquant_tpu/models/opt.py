@@ -160,9 +160,14 @@ def _layer_forward(h, lp, cfg: OPTConfig, qcfg: Optional[QuantConfig],
     k = k.reshape(b, t, n_h, hd)
     v = v.reshape(b, t, n_h, hd)
 
-    new_cache, ctx = update_and_attend(
-        q, k, v, cache, cache_index, mask, 1.0 / math.sqrt(hd), compute_dtype,
-        window=window, plain_causal=plain_causal)
+    if isinstance(cache, tuple):  # carry mode: (full [L,...] cache, layer l)
+        new_cache, ctx = update_and_attend(
+            q, k, v, None, cache_index, mask, 1.0 / math.sqrt(hd),
+            compute_dtype, window=window, carry=cache)
+    else:
+        new_cache, ctx = update_and_attend(
+            q, k, v, cache, cache_index, mask, 1.0 / math.sqrt(hd),
+            compute_dtype, window=window, plain_causal=plain_causal)
     ctx = ctx.reshape(b, t, d)
     if capture:
         stats["o_in_ch_absmax"] = jnp.max(jnp.abs(ctx.reshape(-1, d)), axis=0)
@@ -275,9 +280,17 @@ def forward(params, input_ids: jnp.ndarray, cfg: OPTConfig,
             lambda c, lp: step(c, (lp, None)), h, params["layers"])
         new_kv = None
     else:
-        h, (new_caches, stats) = jax.lax.scan(
-            step, h, (params["layers"], kv_cache))
-        new_kv = new_caches
+        # cache rides in the scan CARRY with token-only scatter writes
+        # (see common.carry_update_and_attend)
+        def step_carry(carry, lp):
+            hh, cache, l = carry
+            hh, cache, st = _layer_forward(
+                hh, lp, cfg, quant_config, mask, (cache, l), cache_index,
+                capture_stats, compute_dtype, window=window)
+            return (hh, cache, l + 1), (st if capture_stats else None)
+
+        (h, new_kv, _), stats = jax.lax.scan(
+            step_carry, (h, kv_cache, jnp.int32(0)), params["layers"])
 
     if cfg.do_layer_norm_before and "final_norm" in params:
         h = layer_norm(h, params["final_norm"]["w"], params["final_norm"]["b"],
