@@ -146,12 +146,30 @@ def model_gemm_shapes(cfg, batch: int = 8, fused: bool = True
             (batch, i, d), (batch, d, i)]
 
 
+QUICK_CANDIDATES = [
+    # curated high-yield tiles (compile cost bounds a tuning session on the
+    # tunnel; the exhaustive sweep is for dedicated tuning runs)
+    (256, 256, 512), (256, 512, 512), (256, 256, 1024), (512, 256, 512),
+    (128, 512, 1024), (256, 128, 2048), (512, 512, 256),
+]
+
+
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--out", default="gemm_table.json")
     ap.add_argument("--shapes", nargs="*", default=None,
                     help="M,N,K triples; default = tinyllama+7b decode/prefill set")
+    ap.add_argument("--quick", action="store_true",
+                    help="curated candidate list instead of the full sweep")
     args = ap.parse_args()
+    if args.quick:
+        global candidate_blocks
+        full = candidate_blocks
+
+        def candidate_blocks(m, n, k, **kw):  # noqa: F811
+            legal = set(full(m, n, k, **kw))
+            return [c for c in QUICK_CANDIDATES if c in legal] or \
+                sorted(legal)[:6]
     if args.shapes:
         shapes = [tuple(int(x) for x in s.split(",")) for s in args.shapes]
     else:
