@@ -15,6 +15,13 @@ thirdparty/baichuan/modeling_baichuan.py). Key reference semantics kept:
     m_h * k_slot by softmax shift-invariance
   - NormHead: lm_head rows L2-normalized once at load (inference mode,
     modeling_baichuan.py:589-606), kept fp (baichuan.py:549)
+
+
+Tokenization: the reference vendors a SentencePiece wrapper
+(ref: thirdparty/baichuan/tokenization_baichuan.py); this framework
+delegates to HF AutoTokenizer (the same spm model loads through it)
+— sentencepiece is not available in this environment and the
+tokenizer is host-side I/O, not TPU surface.
 """
 
 from __future__ import annotations
