@@ -133,10 +133,15 @@ def build_params(cfg, kind: str):
 
 
 def decode_tps(L, cfg, qcfg, params, *, batch, prompt_len, s_max,
-               n_lo=8, n_hi=136, reps=5, kv_dtype=None):
+               n_lo=None, n_hi=None, reps=None, kv_dtype=None):
     """Tokens/s of the fused greedy decode loop via two-point slope."""
     import jax
     import jax.numpy as jnp
+
+    # shorter windows for opportunistic runs on a flaky tunnel
+    n_lo = n_lo or int(os.environ.get("ASQ_BENCH_NLO", "8"))
+    n_hi = n_hi or int(os.environ.get("ASQ_BENCH_NHI", "136"))
+    reps = reps or int(os.environ.get("ASQ_BENCH_REPS", "5"))
 
     if kv_dtype is None:
         kv_dtype = jnp.int8 if os.environ.get("ASQ_BENCH_KV") == "int8" \
