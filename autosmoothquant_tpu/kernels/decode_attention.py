@@ -216,6 +216,100 @@ def flash_decode(q: jnp.ndarray, k_cache: jnp.ndarray, v_cache: jnp.ndarray,
     return out
 
 
+def _decode_simple_kernel(q_ref, k_ref, v_ref, ks_ref, vs_ref, starts_ref,
+                          lengths_ref, o_ref, *, sm_scale, hkv, groups,
+                          quantized):
+    """Whole-row variant: grid (B,), each cell holds the row's ENTIRE
+    [S, Hkv*D] K and V in VMEM — no cross-step scratch, no online softmax,
+    the structurally simplest possible formulation (built as a workaround
+    candidate for the axon nested-loop hang; see BENCHMARKS.md)."""
+    b = pl.program_id(0)
+    start = starts_ref[b, 0]
+    length = lengths_ref[b, 0]
+    s = k_ref.shape[1]
+    d = q_ref.shape[-1]
+    cols1 = jax.lax.broadcasted_iota(jnp.int32, (1, s), 1)
+    valid1 = (cols1 >= start) & (cols1 < length)
+    for h in range(hkv):
+        ct = jnp.float32 if k_ref.dtype == jnp.float32 else jnp.bfloat16
+        q = q_ref[0, h * groups:(h + 1) * groups, :].astype(ct)
+        k = k_ref[0][:, h * d:(h + 1) * d].astype(ct)
+        v = v_ref[0][:, h * d:(h + 1) * d].astype(ct)
+        sc = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * sm_scale      # [G, S]
+        if quantized:
+            sc = sc * ks_ref[0][:, h:h + 1].reshape(1, s).astype(jnp.float32)
+        sc = jnp.where(valid1, sc, MASK_VALUE)
+        m = jnp.max(sc, axis=1, keepdims=True)
+        p = jnp.exp(sc - m)
+        l = jnp.sum(p, axis=1, keepdims=True)
+        if quantized:
+            p = p * vs_ref[0][:, h:h + 1].reshape(1, s).astype(jnp.float32)
+        out = jax.lax.dot(p.astype(ct), v, preferred_element_type=jnp.float32)
+        o_ref[0, h * groups:(h + 1) * groups, :] = (
+            out / l).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("sm_scale", "interpret"))
+def flash_decode_simple(q: jnp.ndarray, k_cache: jnp.ndarray,
+                        v_cache: jnp.ndarray, lengths: jnp.ndarray, *,
+                        sm_scale: float, starts: jnp.ndarray = None,
+                        k_scale: jnp.ndarray = None,
+                        v_scale: jnp.ndarray = None,
+                        interpret: bool = False) -> jnp.ndarray:
+    """Same contract as flash_decode but whole-row blocks (use
+    simple_supported() to check the VMEM budget first)."""
+    b, hq, d = q.shape
+    _, s, hkv, _ = k_cache.shape
+    g = hq // hkv
+    quantized = k_cache.dtype == jnp.int8
+    if not quantized:
+        k_scale = jnp.ones((b, 1, hkv), jnp.float32)
+        v_scale = jnp.ones((b, 1, hkv), jnp.float32)
+    if starts is None:
+        starts = jnp.zeros((b,), jnp.int32)
+    k2 = k_cache.reshape(b, s, hkv * d)
+    v2 = v_cache.reshape(b, s, hkv * d)
+    sc_s = s if quantized else 1
+    kernel = functools.partial(_decode_simple_kernel, sm_scale=sm_scale,
+                               hkv=hkv, groups=g, quantized=quantized)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b, hq, d), q.dtype),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=0,
+            grid=(b,),
+            in_specs=[
+                pl.BlockSpec((1, hq, d), lambda bb: (bb, 0, 0)),
+                pl.BlockSpec((1, s, hkv * d), lambda bb: (bb, 0, 0)),
+                pl.BlockSpec((1, s, hkv * d), lambda bb: (bb, 0, 0)),
+                pl.BlockSpec((1, sc_s, hkv), lambda bb: (bb, 0, 0)),
+                pl.BlockSpec((1, sc_s, hkv), lambda bb: (bb, 0, 0)),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+            ],
+            out_specs=pl.BlockSpec((1, hq, d), lambda bb: (bb, 0, 0)),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(q, k2, v2, k_scale, v_scale,
+      starts.reshape(b, 1).astype(jnp.int32),
+      lengths.reshape(b, 1).astype(jnp.int32))
+
+
+def simple_supported(q_shape, cache_shape, itemsize: int,
+                     vmem_budget: int = 10 * 1024 * 1024) -> bool:
+    """Whole-row K+V (double-buffered) must fit the VMEM budget."""
+    b, t, hq, d = q_shape
+    s, hkv = cache_shape[1], cache_shape[2]
+    row_bytes = 2 * s * hkv * d * itemsize          # K + V
+    return (t == 1 and d % 64 == 0 and hq % hkv == 0
+            and 2 * row_bytes <= vmem_budget)
+
+
 def decode_attend_supported(q_shape, cache_shape, block_k: int = 512) -> bool:
     """Whether flash_decode's shape constraints hold for this decode step:
     single query token, cache length divisible by a usable block, head_dim

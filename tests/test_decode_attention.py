@@ -171,3 +171,38 @@ def test_int8_dots_variant_matches_oracle():
                           k_scale=ks, v_scale=vs, block_k=128,
                           interpret=INTERPRET)
     assert np.abs(np.asarray(out) - np.asarray(out_bf)).max() > 0
+
+
+@pytest.mark.parametrize("quant", [False, True])
+def test_flash_decode_simple_matches(quant):
+    """The whole-row no-scratch variant must match the blocked kernel's
+    oracle for bf16 and int8 caches with [start, length) windows."""
+    from autosmoothquant_tpu.kernels.decode_attention import (
+        flash_decode_simple, simple_supported)
+
+    rng = np.random.default_rng(11)
+    b, s, hq, hkv, d = 2, 256, 8, 4, 64
+    q = jnp.asarray(rng.normal(size=(b, hq, d)), jnp.float32)
+    kf = jnp.asarray(rng.normal(size=(b, s, hkv, d)) * 2, jnp.float32)
+    vf = jnp.asarray(rng.normal(size=(b, s, hkv, d)) * 2, jnp.float32)
+    starts = jnp.asarray([3, 0], jnp.int32)
+    lengths = jnp.asarray([129, 256], jnp.int32)
+    assert simple_supported((b, 1, hq, d), (b, s, hkv, d), 1 if quant else 4)
+    if quant:
+        kq, ks = _quantize_kv(kf)
+        vq, vs = _quantize_kv(vf)
+        out = flash_decode_simple(q, kq, vq, lengths, sm_scale=d ** -0.5,
+                                  starts=starts, k_scale=ks, v_scale=vs,
+                                  interpret=INTERPRET)
+        k_de = np.asarray(kq, np.float32) * np.asarray(ks)[..., None]
+        v_de = np.asarray(vq, np.float32) * np.asarray(vs)[..., None]
+        expected = oracle(q, jnp.asarray(k_de), jnp.asarray(v_de), lengths,
+                          d ** -0.5, starts)
+        np.testing.assert_allclose(np.asarray(out), expected, rtol=2e-2,
+                                   atol=2e-2)
+    else:
+        out = flash_decode_simple(q, kf, vf, lengths, sm_scale=d ** -0.5,
+                                  starts=starts, interpret=INTERPRET)
+        expected = oracle(q, kf, vf, lengths, d ** -0.5, starts)
+        np.testing.assert_allclose(np.asarray(out), expected, rtol=2e-5,
+                                   atol=2e-5)
