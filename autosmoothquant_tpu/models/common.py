@@ -424,11 +424,16 @@ def update_and_attend(q, k, v, cache, cache_index, mask, scale, compute_dtype,
     full_cache = carry[0] if carry is not None else cache
     if (full_cache is not None and t == 1 and window is not None
             and alibi_bias is None and mode in ("on", "force")):
-        from ..kernels.decode_attention import decode_attend_supported, flash_decode
+        from ..kernels.decode_attention import (
+            decode_attend_supported, flash_decode, flash_decode_simple,
+            simple_supported)
 
-        cache_shape = (full_cache.k.shape[1:] if carry is not None
-                       else full_cache.k.shape)
-        shapes_ok = decode_attend_supported(q.shape, cache_shape)
+        cache_shape = ((full_cache.k.shape[0],) + full_cache.k.shape[2:]
+                       if carry is not None else full_cache.k.shape)
+        quant_cache = isinstance(full_cache, QuantKVCacheLayer)
+        itemsize = 1 if quant_cache else full_cache.k.dtype.itemsize
+        use_simple = simple_supported(q.shape, cache_shape, itemsize)
+        shapes_ok = use_simple or decode_attend_supported(q.shape, cache_shape)
         on_tpu = jax.default_backend() == "tpu"
         # single-device only for now: pallas_call has no custom partitioning
         # registered, so under a >1-device mesh the partitioner would
@@ -437,25 +442,26 @@ def update_and_attend(q, k, v, cache, cache_index, mask, scale, compute_dtype,
         single = jax.device_count() == 1
         if shapes_ok and ((on_tpu and single) or mode == "force"):
             starts, lengths = window
+            kern = flash_decode_simple if use_simple else flash_decode
             if carry is not None:
                 cache_full, l = carry
-                quant = isinstance(cache_full, QuantKVCacheLayer)
                 new_cache = _carry_write(cache_full, l, k, v, cache_index, b, t)
-                out = flash_decode(
+                out = kern(
                     q[:, 0], _layer_slice(new_cache.k, l),
                     _layer_slice(new_cache.v, l), lengths, sm_scale=scale,
                     starts=starts,
-                    k_scale=_layer_slice(new_cache.k_scale, l) if quant else None,
-                    v_scale=_layer_slice(new_cache.v_scale, l) if quant else None,
+                    k_scale=(_layer_slice(new_cache.k_scale, l)
+                             if quant_cache else None),
+                    v_scale=(_layer_slice(new_cache.v_scale, l)
+                             if quant_cache else None),
                     interpret=not on_tpu)
                 return new_cache, out[:, None].astype(compute_dtype)
             new_cache = cache_write(cache, k, v, cache_index)
-            quant = isinstance(cache, QuantKVCacheLayer)
-            out = flash_decode(
+            out = kern(
                 q[:, 0], new_cache.k, new_cache.v, lengths, sm_scale=scale,
                 starts=starts,
-                k_scale=new_cache.k_scale if quant else None,
-                v_scale=new_cache.v_scale if quant else None,
+                k_scale=new_cache.k_scale if quant_cache else None,
+                v_scale=new_cache.v_scale if quant_cache else None,
                 interpret=not on_tpu)
             return new_cache, out[:, None].astype(compute_dtype)
 
