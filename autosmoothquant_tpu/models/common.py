@@ -236,10 +236,43 @@ def fused_block_enabled(qcfg: Optional[QuantConfig], capture: bool) -> bool:
         return False
     if not (qcfg.is_int8 and qcfg.fc1 == PER_TENSOR):
         return False
-    # single-device only (like flash-decode): a pallas call under a >1-device
-    # mesh would be replicated by the partitioner, de-sharding DP activations
+    # multi-device traces need an ambient mesh (the engines set one) so the
+    # kernel can run per-shard via shard_map; a bare >1-device jit would let
+    # the partitioner replicate the un-partitioned pallas call
     return mode == "force" or (jax.default_backend() == "tpu"
-                               and jax.device_count() == 1)
+                               and (jax.device_count() == 1
+                                    or ambient_mesh() is not None))
+
+
+def fused_add_norm_quant(h, x, gamma, beta=None, *, eps, interpret=False):
+    """[T, D] fused residual-add + (RMS|Layer)Norm + int8-quantize, routed
+    through kernels/fused.py — shard_mapped over the row dim when an ambient
+    mesh is present (rows ride the data axis; gamma/beta replicate; each
+    model/stage shard computes its replica locally, exactly like XLA would
+    for the unfused chain)."""
+    from ..kernels.fused import (fused_add_layernorm_quant,
+                                 fused_add_rmsnorm_quant)
+
+    if beta is None:
+        kern = lambda h_, x_, g_: fused_add_rmsnorm_quant(
+            h_, x_, g_, eps=eps, interpret=interpret)
+        operands = (h, x, gamma)
+    else:
+        kern = lambda h_, x_, g_, b_: fused_add_layernorm_quant(
+            h_, x_, g_, b_, eps=eps, interpret=interpret)
+        operands = (h, x, gamma, beta)
+    mesh = ambient_mesh()
+    dp = _mesh_axis(mesh, "data")
+    if mesh is None or h.shape[0] % dp != 0:
+        return kern(*operands)
+    from jax.sharding import PartitionSpec as P
+
+    dn = "data" if dp > 1 else None
+    row = P(dn, None)
+    vec = P(None, )
+    in_specs = (row, row, vec) if beta is None else (row, row, vec, vec)
+    return jax.shard_map(kern, mesh=mesh, in_specs=in_specs,
+                         out_specs=(row, row), check_vma=False)(*operands)
 
 
 def float_linear(x: jnp.ndarray, p: dict, out_dtype=None) -> jnp.ndarray:
@@ -408,6 +441,58 @@ def _flash_decode_mode() -> str:
     return os.environ.get("ASQ_FLASH_DECODE", "auto")
 
 
+def ambient_mesh():
+    """The mesh made ambient by the serving engines via
+    ``jax.sharding.set_mesh`` (None outside any multi-device mesh). Lets the
+    functional model code route Pallas kernels through ``jax.shard_map``
+    per-shard without threading a mesh argument through every forward."""
+    try:
+        am = jax.sharding.get_abstract_mesh()
+    except Exception:
+        return None
+    if am is None or am.empty or am.size == 1:
+        return None
+    return am
+
+
+def _mesh_axis(mesh, name: str) -> int:
+    if mesh is None or name not in mesh.axis_names:
+        return 1
+    return dict(mesh.shape)[name]
+
+
+def _run_decode_kernel(kern, mesh, q1, k, v, lengths, *, scale, starts,
+                       k_scale, v_scale, interpret):
+    """Invoke a flash-decode kernel, shard_mapped over (data->batch,
+    model->kv heads) when an ambient mesh is present. The kernel is
+    embarrassingly parallel over both axes, so the per-shard call needs no
+    collectives; in_specs match the framework's KV-cache layout
+    (shard/sharding.py kv_cache_specs) so no resharding traffic is added."""
+    if mesh is None:
+        return kern(q1, k, v, lengths, sm_scale=scale, starts=starts,
+                    k_scale=k_scale, v_scale=v_scale, interpret=interpret)
+    from jax.sharding import PartitionSpec as P
+
+    b, s, hkv, _ = k.shape
+    if k_scale is None:
+        k_scale = jnp.ones((b, 1, hkv), jnp.float32)
+        v_scale = jnp.ones((b, 1, hkv), jnp.float32)
+    dn = "data" if _mesh_axis(mesh, "data") > 1 else None
+    mn = "model" if _mesh_axis(mesh, "model") > 1 else None
+
+    def local(q_, k_, v_, ks_, vs_, st_, ln_):
+        return kern(q_, k_, v_, ln_, sm_scale=scale, starts=st_,
+                    k_scale=ks_, v_scale=vs_, interpret=interpret)
+
+    return jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(dn, mn, None), P(dn, None, mn, None),
+                  P(dn, None, mn, None), P(dn, None, mn), P(dn, None, mn),
+                  P(dn), P(dn)),
+        out_specs=P(dn, mn, None), check_vma=False,
+    )(q1, k, v, k_scale, v_scale, starts, lengths)
+
+
 def update_and_attend(q, k, v, cache, cache_index, mask, scale, compute_dtype,
                       *, window=None, alibi_bias=None, plain_causal=False,
                       carry=None):
@@ -432,23 +517,35 @@ def update_and_attend(q, k, v, cache, cache_index, mask, scale, compute_dtype,
                        if carry is not None else full_cache.k.shape)
         quant_cache = isinstance(full_cache, QuantKVCacheLayer)
         itemsize = 1 if quant_cache else full_cache.k.dtype.itemsize
-        use_simple = simple_supported(q.shape, cache_shape, itemsize)
-        shapes_ok = use_simple or decode_attend_supported(q.shape, cache_shape)
+        # under an ambient mesh the kernel runs per-shard via shard_map —
+        # support checks use the LOCAL (per-shard) shapes, and the data/model
+        # axes must divide batch and both head counts congruently (so each
+        # shard keeps whole GQA groups)
+        mesh = ambient_mesh()
+        dp = _mesh_axis(mesh, "data")
+        mp = _mesh_axis(mesh, "model")
+        bq, tq, hq_, dh = q.shape
+        hkv_ = cache_shape[2]
+        mesh_ok = (bq % dp == 0 and hq_ % mp == 0 and hkv_ % mp == 0)
+        q_local = (bq // dp, tq, hq_ // mp, dh)
+        cache_local = (cache_shape[0] // dp, cache_shape[1], hkv_ // mp,
+                       cache_shape[3])
+        use_simple = simple_supported(q_local, cache_local, itemsize)
+        shapes_ok = mesh_ok and (
+            use_simple or decode_attend_supported(q_local, cache_local))
         on_tpu = jax.default_backend() == "tpu"
-        # single-device only for now: pallas_call has no custom partitioning
-        # registered, so under a >1-device mesh the partitioner would
-        # replicate the sharded KV cache into every shard. Meshed decode
-        # keeps the XLA path until the kernel is shard_map-wrapped.
-        single = jax.device_count() == 1
-        if shapes_ok and ((on_tpu and single) or mode == "force"):
+        # without an ambient mesh a >1-device trace would let the partitioner
+        # replicate the un-partitioned pallas call; keep the XLA path there
+        partitionable = jax.device_count() == 1 or mesh is not None
+        if shapes_ok and ((on_tpu and partitionable) or mode == "force"):
             starts, lengths = window
             kern = flash_decode_simple if use_simple else flash_decode
             if carry is not None:
                 cache_full, l = carry
                 new_cache = _carry_write(cache_full, l, k, v, cache_index, b, t)
-                out = kern(
-                    q[:, 0], _layer_slice(new_cache.k, l),
-                    _layer_slice(new_cache.v, l), lengths, sm_scale=scale,
+                out = _run_decode_kernel(
+                    kern, mesh, q[:, 0], _layer_slice(new_cache.k, l),
+                    _layer_slice(new_cache.v, l), lengths, scale=scale,
                     starts=starts,
                     k_scale=(_layer_slice(new_cache.k_scale, l)
                              if quant_cache else None),
@@ -457,9 +554,9 @@ def update_and_attend(q, k, v, cache, cache_index, mask, scale, compute_dtype,
                     interpret=not on_tpu)
                 return new_cache, out[:, None].astype(compute_dtype)
             new_cache = cache_write(cache, k, v, cache_index)
-            out = kern(
-                q[:, 0], new_cache.k, new_cache.v, lengths, sm_scale=scale,
-                starts=starts,
+            out = _run_decode_kernel(
+                kern, mesh, q[:, 0], new_cache.k, new_cache.v, lengths,
+                scale=scale, starts=starts,
                 k_scale=new_cache.k_scale if quant_cache else None,
                 v_scale=new_cache.v_scale if quant_cache else None,
                 interpret=not on_tpu)

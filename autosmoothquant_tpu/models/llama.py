@@ -37,6 +37,7 @@ from .common import (
     KVCacheLayer,
     cache_slots,
     decode_window,
+    fused_add_norm_quant,
     fused_block_enabled,
     make_kv_cache,
     update_and_attend,
@@ -198,9 +199,7 @@ def _layer_forward(h, lp, cfg: LlamaConfig, qcfg: Optional[QuantConfig],
         # TPU realization of the reference's dq_add_layernorm_q,
         # csrc/kernels/fused.cu:5-25) feeding a prequantized int8 GEMM —
         # the activation never returns to fp in HBM between norm and MXU
-        from ..kernels.fused import fused_add_rmsnorm_quant
-
-        h2, x2_q = fused_add_rmsnorm_quant(
+        h2, x2_q = fused_add_norm_quant(
             h.reshape(b * t, d), attn_out.reshape(b * t, d),
             lp["ln2"]["w"], eps=cfg.rms_norm_eps,
             interpret=jax.default_backend() != "tpu")

@@ -35,6 +35,7 @@ from .common import (
     KVCacheLayer,
     cache_slots,
     decode_window,
+    fused_add_norm_quant,
     fused_block_enabled,
     update_and_attend,
     make_kv_cache,
@@ -178,9 +179,7 @@ def _layer_forward(h, lp, cfg: OPTConfig, qcfg: Optional[QuantConfig],
         # fused residual-add + LayerNorm + int8-quantize feeding a
         # prequantized fc1 (one HBM pass; TPU form of the reference's
         # dq_add_layernorm_q, csrc/kernels/fused.cu:5-25)
-        from ..kernels.fused import fused_add_layernorm_quant
-
-        h2, x2_q = fused_add_layernorm_quant(
+        h2, x2_q = fused_add_norm_quant(
             residual.reshape(b * t, d), attn_out.reshape(b * t, d),
             lp["ln2"]["w"], lp["ln2"]["b"], eps=eps,
             interpret=jax.default_backend() != "tpu")

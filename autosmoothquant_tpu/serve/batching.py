@@ -77,6 +77,7 @@ class ContinuousEngine:
         self._admitting: Dict[int, dict] = {}  # row -> {req, pos, ids}
         self._chunk_cache = {}
         self._kv_shardings = None
+        self._repl = None
         if mesh is not None:
             from ..shard.sharding import (
                 param_specs as _family_specs, shard_params, with_stage_axis)
@@ -100,6 +101,12 @@ class ContinuousEngine:
             self._kv_shardings = jax.tree.map(
                 lambda s: jax.sharding.NamedSharding(mesh, s), spec_tree,
                 is_leaf=lambda x: isinstance(x, jax.sharding.PartitionSpec))
+            # explicit jit out_shardings: under an ambient mesh (mesh_context)
+            # jax tries to express every inferred output sharding in mesh
+            # axes, which fails when GSPMD picks a tiling the mesh can't
+            # express (e.g. splitting one axis across two tensor dims)
+            self._repl = jax.sharding.NamedSharding(
+                mesh, jax.sharding.PartitionSpec())
         self.lens = np.zeros(max_batch, np.int32)        # tokens in cache per slot
         self.slot_req: List[Optional[Request]] = [None] * max_batch
         self.pending_tok = np.zeros(max_batch, np.int32)  # next token to feed
@@ -115,8 +122,10 @@ class ContinuousEngine:
             model, cfg, qcfg, cdt = self.model, self.cfg, self.qcfg, self.compute_dtype
             kv_dtype = self.kv_dtype
             kv_shardings = self._kv_shardings
+            out_sh = ((kv_shardings, self._repl)
+                      if kv_shardings is not None else None)
 
-            @jax.jit
+            @functools.partial(jax.jit, out_shardings=out_sh)
             def prefill(params, ids, length):
                 """ids [1, bucket] right-padded; returns (temp_cache, logits
                 of the last real token)."""
@@ -136,7 +145,8 @@ class ContinuousEngine:
 
     def _insert(self, bucket: int):
         if bucket not in self._insert_cache:
-            @functools.partial(jax.jit, donate_argnums=(0,), static_argnums=())
+            @functools.partial(jax.jit, donate_argnums=(0,), static_argnums=(),
+                               out_shardings=self._kv_shardings)
             def insert(pool, temp, row):
                 def put(p, t):
                     # p: [L, B, S, ...]; t: [L, 1, bucket, ...]
@@ -154,8 +164,10 @@ class ContinuousEngine:
         jit, donated pool, a single compile variant per chunk size."""
         if chunk not in self._chunk_cache:
             model, cfg, qcfg, cdt = self.model, self.cfg, self.qcfg, self.compute_dtype
+            out_sh = ((self._kv_shardings, self._repl)
+                      if self._kv_shardings is not None else None)
 
-            @functools.partial(jax.jit, donate_argnums=(1,))
+            @functools.partial(jax.jit, donate_argnums=(1,), out_shardings=out_sh)
             def prefill_chunk(params, pool, ids, row, pos, valid_len):
                 """ids [1, chunk] right-padded; pos = tokens already in the
                 row; valid_len = real tokens in this chunk. Returns
@@ -183,8 +195,10 @@ class ContinuousEngine:
     def _decode(self, n: int):
         if n not in self._decode_fns:
             model, cfg, qcfg, cdt = self.model, self.cfg, self.qcfg, self.compute_dtype
+            out_sh = ((self._repl, self._kv_shardings, self._repl)
+                      if self._kv_shardings is not None else None)
 
-            @functools.partial(jax.jit, donate_argnums=(1,))
+            @functools.partial(jax.jit, donate_argnums=(1,), out_shardings=out_sh)
             def decode(params, pool, toks, lens, active):
                 """n greedy steps for all slots. toks/lens/active: [B].
                 Returns (tokens [B, n], pool, lens)."""
@@ -304,6 +318,12 @@ class ContinuousEngine:
     def step(self):
         """One scheduler tick: admit, advance in-flight prefills by one
         chunk each, then steps_per_sync decode steps for active slots."""
+        from .engine import mesh_context
+
+        with mesh_context(self.mesh):
+            self._step()
+
+    def _step(self):
         self._admit()
         if self._admitting:
             self._advance_prefills()

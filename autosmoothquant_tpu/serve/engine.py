@@ -10,6 +10,7 @@ identical; kv_valid masks the pad slots out of attention.
 
 from __future__ import annotations
 
+import contextlib
 import dataclasses
 import functools
 from typing import Any, List, Optional, Sequence
@@ -20,6 +21,16 @@ import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..quant.config import QuantConfig
+
+
+def mesh_context(mesh):
+    """Ambient-mesh context for the jitted stages: under ``set_mesh`` the
+    functional model code can see the mesh (models/common.ambient_mesh) and
+    shard_map its Pallas kernels per-shard instead of falling back to the
+    XLA attention/norm paths."""
+    if mesh is None:
+        return contextlib.nullcontext()
+    return jax.sharding.set_mesh(mesh)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -186,16 +197,17 @@ class Engine:
 
             cache = shard_kv_cache(cache, self.mesh, self.cfg)
         dp = "data" if self._dp > 1 else None
-        first_logits, cache = self._prefill_fn(max_len)(
-            self.params, self._put(ids, P(dp, None)),
-            self._put(positions, P(dp, None)),
-            self._put(valid, P(dp, None)), cache)
+        with mesh_context(self.mesh):
+            first_logits, cache = self._prefill_fn(max_len)(
+                self.params, self._put(ids, P(dp, None)),
+                self._put(positions, P(dp, None)),
+                self._put(valid, P(dp, None)), cache)
 
-        n = gen_cfg.max_new_tokens
-        toks, _, _ = self._decode_fn(n - 1)(
-            self.params, first_logits, cache, self._put(valid, P(dp, None)),
-            jnp.int32(max_len), self._put(pad_lens, P(dp)),
-            jax.random.PRNGKey(seed), gen_cfg)
+            n = gen_cfg.max_new_tokens
+            toks, _, _ = self._decode_fn(n - 1)(
+                self.params, first_logits, cache, self._put(valid, P(dp, None)),
+                jnp.int32(max_len), self._put(pad_lens, P(dp)),
+                jax.random.PRNGKey(seed), gen_cfg)
         out = np.asarray(jax.device_get(toks))
         results = []
         for i in range(n_real):

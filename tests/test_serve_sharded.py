@@ -150,6 +150,64 @@ def test_stage_only_mesh(quantized):
     assert got == _reference_tokens(quantized)
 
 
+KERN = dict(
+    vocab_size=256, hidden_size=256, intermediate_size=256,
+    num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+    max_position_embeddings=128,
+)  # head_dim=64 so the flash-decode kernels' lane constraint holds
+
+
+@pytest.fixture(scope="module")
+def quantized_kern():
+    cfg = L.LlamaConfig(**KERN)
+    params = L.init_params(cfg, jax.random.PRNGKey(1))
+    qcfg = QuantConfig(type="int8")
+    ones = jnp.ones((cfg.num_hidden_layers,), jnp.float32)
+    scales = {k: ones * s for k, s in [
+        ("attn_input_scale", 0.05), ("q_output_scale", 0.05),
+        ("k_output_scale", 0.05), ("v_output_scale", 0.05),
+        ("out_input_scale", 0.05), ("gate_input_scale", 0.05),
+        ("down_input_scale", 0.05),
+    ]}
+    return cfg, qcfg, L.quantize(params, qcfg, scales)
+
+
+@pytest.mark.parametrize("kv_dtype", [jnp.float32, jnp.int8])
+def test_engine_sharded_flash_decode(quantized_kern, kv_dtype, monkeypatch):
+    """Force-mode flash decode under a (data=2, model=2) mesh: the kernel is
+    shard_mapped per-shard (models/common._run_decode_kernel) and must emit
+    the same tokens as the single-device force path."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    cfg, qcfg, qparams = quantized_kern
+    monkeypatch.setenv("ASQ_FLASH_DECODE", "force")
+    single = Engine(L, qparams, cfg, qcfg, max_batch=4, max_seq=64,
+                    kv_dtype=kv_dtype, compute_dtype=jnp.float32)
+    expect = single.generate(PROMPTS, GenerationConfig(max_new_tokens=8))
+    mesh = make_mesh(data=2, model=2, devices=jax.devices()[:4])
+    eng = Engine(L, qparams, cfg, qcfg, max_batch=4, max_seq=64,
+                 kv_dtype=kv_dtype, compute_dtype=jnp.float32, mesh=mesh)
+    got = eng.generate(PROMPTS, GenerationConfig(max_new_tokens=8))
+    assert got == expect
+
+
+def test_engine_sharded_fused_block(quantized_kern, monkeypatch):
+    """Force-mode fused add+norm+quant under a TP mesh (shard_mapped over
+    the row dim) must match the single-device fused path."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    cfg, qcfg, qparams = quantized_kern
+    monkeypatch.setenv("ASQ_FUSED_BLOCK", "force")
+    single = Engine(L, qparams, cfg, qcfg, max_batch=4, max_seq=64,
+                    kv_dtype=jnp.float32, compute_dtype=jnp.float32)
+    expect = single.generate(PROMPTS, GenerationConfig(max_new_tokens=8))
+    mesh = make_mesh(data=2, model=2, devices=jax.devices()[:4])
+    eng = Engine(L, qparams, cfg, qcfg, max_batch=4, max_seq=64,
+                 kv_dtype=jnp.float32, compute_dtype=jnp.float32, mesh=mesh)
+    got = eng.generate(PROMPTS, GenerationConfig(max_new_tokens=8))
+    assert got == expect
+
+
 def test_continuous_engine_sharded_chunked_prefill(quantized):
     """TP mesh + chunked prefill: the row slice-extend-writeback must
     preserve the pool's head sharding and outputs."""
