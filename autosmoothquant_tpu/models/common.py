@@ -429,13 +429,15 @@ def _flash_decode_mode() -> str:
     """auto | on | off | force. (force = any backend, interpret off-TPU —
     used by the CI equality tests.)
 
-    auto currently resolves to OFF on this environment's axon TPU runtime:
-    a pallas_call nested two loop levels deep (the engines' decode scan over
-    the layer scan) hangs at EXECUTION time when fed operands derived from
-    the loop carry. A toy repro with loop-invariant scalars runs; the model
-    decode (lengths/slot from the carry) hangs; isolating further is blocked
-    by tunnel stalls — see BENCHMARKS.md "Axon runtime bug". Opt in with
-    ASQ_FLASH_DECODE=on once the runtime is fixed or on other TPU stacks."""
+    auto resolves to OFF: after the KV-carry refactor the XLA decode
+    attention reads the raw int8 cache with dequant scales factored into
+    scores/probabilities (attend()) and fuses the whole chain — measured
+    FASTER in the engines' nested loops than any of the Pallas decode
+    kernels, whose ~12us/call dispatch and lost fusion cost ~15% end-to-end
+    (b8 s2048 int8: XLA 2109 tok/s vs kernel 1831; see BENCHMARKS.md).
+    The whole-row kernel soak-tests clean nested (512-step) and stays the
+    right tool where XLA must materialize a copy (bare attention calls,
+    other runtimes); opt in with "on"."""
     import os
 
     return os.environ.get("ASQ_FLASH_DECODE", "auto")
@@ -493,6 +495,42 @@ def _run_decode_kernel(kern, mesh, q1, k, v, lengths, *, scale, starts,
     )(q1, k, v, k_scale, v_scale, starts, lengths)
 
 
+def _run_decode_layered(mesh, q1, k_full, v_full, layer, lengths, *, scale,
+                        starts, k_scale, v_scale, interpret):
+    """flash_decode_layered (full [L, B, S, Hkv, D] stack stays in HBM; the
+    kernel DMAs row (layer, b) itself), shard_mapped like
+    _run_decode_kernel when an ambient mesh is present. k/v_scale are the
+    PER-LAYER [B, S, Hkv] slices (tiny; XLA-sliced by the caller)."""
+    from ..kernels.decode_attention import flash_decode_layered
+
+    if mesh is None:
+        return flash_decode_layered(q1, k_full, v_full, layer, lengths,
+                                    sm_scale=scale, starts=starts,
+                                    k_scale=k_scale, v_scale=v_scale,
+                                    interpret=interpret)
+    from jax.sharding import PartitionSpec as P
+
+    b, s, hkv = k_full.shape[1], k_full.shape[2], k_full.shape[3]
+    if k_scale is None:
+        k_scale = jnp.ones((b, 1, hkv), jnp.float32)
+        v_scale = jnp.ones((b, 1, hkv), jnp.float32)
+    dn = "data" if _mesh_axis(mesh, "data") > 1 else None
+    mn = "model" if _mesh_axis(mesh, "model") > 1 else None
+
+    def local(q_, k_, v_, ks_, vs_, l_, st_, ln_):
+        return flash_decode_layered(q_, k_, v_, l_, ln_, sm_scale=scale,
+                                    starts=st_, k_scale=ks_, v_scale=vs_,
+                                    interpret=interpret)
+
+    return jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(dn, mn, None), P(None, dn, None, mn, None),
+                  P(None, dn, None, mn, None), P(dn, None, mn),
+                  P(dn, None, mn), P(), P(dn), P(dn)),
+        out_specs=P(dn, mn, None), check_vma=False,
+    )(q1, k_full, v_full, k_scale, v_scale, layer, starts, lengths)
+
+
 def update_and_attend(q, k, v, cache, cache_index, mask, scale, compute_dtype,
                       *, window=None, alibi_bias=None, plain_causal=False,
                       carry=None):
@@ -543,6 +581,28 @@ def update_and_attend(q, k, v, cache, cache_index, mask, scale, compute_dtype,
             if carry is not None:
                 cache_full, l = carry
                 new_cache = _carry_write(cache_full, l, k, v, cache_index, b, t)
+                # layered kernel: the big K/V stack never leaves HBM (no
+                # XLA-materialized per-layer copy); needs the row slab's
+                # minor dim lane-aligned for the in-kernel DMA slice.
+                # OPT-IN (ASQ_LAYERED_DECODE=on): on this axon runtime a
+                # manual-DMA kernel inside lax.scan reads HBM at ~30 GB/s
+                # (277 us/layer b8 s2048 int8) while the same kernel
+                # standalone hits ~550 GB/s (20 us) — the XLA-sliced
+                # flash_decode_simple path (39 us incl. the slice copy)
+                # wins in-scan; see BENCHMARKS.md
+                import os
+
+                if (os.environ.get("ASQ_LAYERED_DECODE") == "on"
+                        and use_simple and ((hkv_ // mp) * dh) % 128 == 0):
+                    out = _run_decode_layered(
+                        mesh, q[:, 0], new_cache.k, new_cache.v, l, lengths,
+                        scale=scale, starts=starts,
+                        k_scale=(_layer_slice(new_cache.k_scale, l)
+                                 if quant_cache else None),
+                        v_scale=(_layer_slice(new_cache.v_scale, l)
+                                 if quant_cache else None),
+                        interpret=not on_tpu)
+                    return new_cache, out[:, None].astype(compute_dtype)
                 out = _run_decode_kernel(
                     kern, mesh, q[:, 0], _layer_slice(new_cache.k, l),
                     _layer_slice(new_cache.v, l), lengths, scale=scale,

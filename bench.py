@@ -284,6 +284,8 @@ def main():
     prompt_len = int(os.environ.get("ASQ_BENCH_PROMPT", "128"))
     s_max = int(os.environ.get("ASQ_BENCH_SMAX", "512"))
 
+    import jax.numpy as jnp
+
     from autosmoothquant_tpu.models import llama as L
     from autosmoothquant_tpu.quant.config import QuantConfig
 
@@ -294,8 +296,10 @@ def main():
                           prompt_len=prompt_len, s_max=s_max)
     del qparams  # free HBM before materializing the bf16 baseline
     params = build_params(cfg, "bf16")
+    # baseline is pure bf16 (weights AND cache) whatever ASQ_BENCH_KV says
     tps_bf16 = decode_tps(L, cfg, None, params, batch=batch,
-                          prompt_len=prompt_len, s_max=s_max)
+                          prompt_len=prompt_len, s_max=s_max,
+                          kv_dtype=jnp.bfloat16)
     result = {
         "metric": f"decode_tok_per_s_w8a8_int8_{preset}_b{batch}",
         "value": round(tps_int8, 2),

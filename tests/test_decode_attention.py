@@ -206,3 +206,64 @@ def test_flash_decode_simple_matches(quant):
         expected = oracle(q, kf, vf, lengths, d ** -0.5, starts)
         np.testing.assert_allclose(np.asarray(out), expected, rtol=2e-5,
                                    atol=2e-5)
+
+
+@pytest.mark.parametrize("quant", [False, True])
+def test_flash_decode_layered_matches(quant):
+    """The layer-indexed variant (full [L, B, S, Hkv, D] stack in HBM, row
+    DMA'd per layer inside the kernel) must match the per-layer whole-row
+    kernel for every layer, including an odd batch (DMA-pipeline tail)."""
+    from autosmoothquant_tpu.kernels.decode_attention import (
+        flash_decode_layered, flash_decode_simple)
+
+    rng = np.random.default_rng(13)
+    L, b, s, hq, hkv, d = 3, 5, 256, 8, 2, 128
+    q = jnp.asarray(rng.normal(size=(b, hq, d)), jnp.float32)
+    kf = jnp.asarray(rng.normal(size=(L, b, s, hkv, d)) * 2, jnp.float32)
+    vf = jnp.asarray(rng.normal(size=(L, b, s, hkv, d)) * 2, jnp.float32)
+    starts = jnp.asarray([0, 7, 130, 2, 50], jnp.int32)
+    lengths = jnp.asarray([100, 256, 200, 64, 51], jnp.int32)
+    if quant:
+        kq, ks = _quantize_kv(kf.reshape(L * b, s, hkv, d))
+        vq, vs = _quantize_kv(vf.reshape(L * b, s, hkv, d))
+        kf, ks = kq.reshape(L, b, s, hkv, d), ks.reshape(L, b, s, hkv)
+        vf, vs = vq.reshape(L, b, s, hkv, d), vs.reshape(L, b, s, hkv)
+    for l in range(L):
+        kw = dict(k_scale=ks[l], v_scale=vs[l]) if quant else {}
+        want = flash_decode_simple(q, kf[l], vf[l], lengths,
+                                   sm_scale=d ** -0.5, starts=starts,
+                                   interpret=INTERPRET, **kw)
+        got = flash_decode_layered(q, kf, vf, jnp.int32(l), lengths,
+                                   sm_scale=d ** -0.5, starts=starts,
+                                   interpret=INTERPRET, **kw)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-6, atol=1e-6)
+
+
+def test_int8_dots_simple_variant_matches_oracle():
+    """int8 QK^T / PV dots on the whole-row (production) kernel."""
+    from autosmoothquant_tpu.kernels.decode_attention import (
+        flash_decode_simple)
+
+    rng = np.random.default_rng(11)
+    b, s, hq, hkv, d = 2, 256, 8, 4, 128
+    q = jnp.asarray(rng.normal(size=(b, hq, d)), jnp.float32)
+    kf = jnp.asarray(rng.normal(size=(b, s, hkv, d)) * 2, jnp.float32)
+    vf = jnp.asarray(rng.normal(size=(b, s, hkv, d)) * 2, jnp.float32)
+    kq, ks = _quantize_kv(kf)
+    vq, vs = _quantize_kv(vf)
+    lengths = jnp.asarray([130, 256], jnp.int32)
+    out = flash_decode_simple(q, kq, vq, lengths, sm_scale=d ** -0.5,
+                              k_scale=ks, v_scale=vs, int8_dots=True,
+                              interpret=INTERPRET)
+    k_de = np.asarray(kq, np.float32) * np.asarray(ks)[..., None]
+    v_de = np.asarray(vq, np.float32) * np.asarray(vs)[..., None]
+    expected = oracle(q, jnp.asarray(k_de), jnp.asarray(v_de), lengths,
+                      d ** -0.5)
+    # whole-row p-quantization is coarser than the blocked kernel's
+    # (one absmax across all S probabilities) — slightly wider band
+    np.testing.assert_allclose(np.asarray(out), expected, rtol=5e-2,
+                               atol=8e-2)
+    out_bf = flash_decode_simple(q, kq, vq, lengths, sm_scale=d ** -0.5,
+                                 k_scale=ks, v_scale=vs, interpret=INTERPRET)
+    assert np.abs(np.asarray(out) - np.asarray(out_bf)).max() > 0
