@@ -1,4 +1,5 @@
 from .mesh import make_mesh
+from .pipeline import pipelined_forward
 from .sharding import (
     llama_param_specs,
     opt_param_specs,
@@ -12,6 +13,7 @@ from .sharding import (
 
 __all__ = [
     "make_mesh",
+    "pipelined_forward",
     "llama_param_specs",
     "opt_param_specs",
     "baichuan_param_specs",

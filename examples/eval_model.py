@@ -29,6 +29,15 @@ def parse_args():
     p.add_argument("--tasks", default="")
     p.add_argument("--num-fewshot", type=int, default=0)
     p.add_argument("--batch-size", type=int, default=1)
+    p.add_argument("--batch-windows", type=int, default=1,
+                   help="ppl windows evaluated per device dispatch")
+    p.add_argument("--stages", type=int, default=0,
+                   help="pipeline-parallel stages for ppl (0 = off); layer "
+                        "stack runs the microbatched GPipe schedule")
+    p.add_argument("--microbatches", type=int, default=4,
+                   help="pipeline microbatches per window batch")
+    p.add_argument("--tensor-parallel", type=int, default=0,
+                   help="TP ways inside each stage (0 = rest of devices)")
     p.add_argument("--dataset", default="wikitext2",
                    help="wikitext2 | ptb | ptb_new | c4 | c4_new | pile | mix")
     p.add_argument("--pile-path", default=None,
@@ -77,9 +86,22 @@ def main():
                                     pile_path=args.pile_path)
             if stream is None:
                 raise ValueError(f"dataset {args.dataset!r} has no eval split")
+        mesh = None
+        if args.stages > 1:
+            from autosmoothquant_tpu.shard import (make_mesh, param_specs,
+                                                   shard_params)
+            from autosmoothquant_tpu.shard.sharding import with_stage_axis
+
+            mesh = make_mesh(stage=args.stages,
+                             model=args.tensor_parallel or None)
+            specs = with_stage_axis(param_specs(family, cfg, mesh), mesh,
+                                    cfg.num_hidden_layers)
+            params = shard_params(params, mesh, specs)
         ppl = perplexity_from_tokens(
             model_mod, params, cfg, stream, max_length=args.max_length,
-            qcfg=qcfg, compute_dtype=jnp.bfloat16, progress=True)
+            qcfg=qcfg, compute_dtype=jnp.bfloat16, progress=True,
+            batch_windows=args.batch_windows, mesh=mesh,
+            microbatches=args.microbatches)
         results[args.dataset] = {"ppl": ppl}
         print({"results": results})
 
