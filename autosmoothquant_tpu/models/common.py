@@ -735,9 +735,14 @@ def carry_update_and_attend(q, k, v, cache, l, cache_index, mask, scale,
     v_l = _layer_slice(cache.v, l)
 
     slots = cache_slots(cache_index, b, t)                      # [B, T]
-    # cache-part mask: the base mask minus the columns being written now
-    written = jnp.zeros((b, s_max), bool).at[
-        jnp.arange(b)[:, None], slots].set(True)
+    # cache-part mask: the base mask minus the columns being written now.
+    # t=1 (the decode hot path, executed once per LAYER) uses a broadcast
+    # compare instead of a scatter
+    if t == 1:
+        written = jnp.arange(s_max, dtype=jnp.int32)[None, :] == slots
+    else:
+        written = jnp.zeros((b, s_max), bool).at[
+            jnp.arange(b)[:, None], slots].set(True)
     mask_c = mask & ~written[:, None, None, :]
     # self-part mask: gather the base mask at the written columns — inherits
     # causality, kv_valid and padding semantics in one shot
@@ -749,13 +754,19 @@ def carry_update_and_attend(q, k, v, cache, l, cache_index, mask, scale,
     hkv = k_l.shape[2]
     g = h // hkv
     dh = q.shape[3]
-    qf = q.astype(jnp.float32).reshape(b, t, hkv, g, dh)
-    sc = jnp.einsum("bqkgd,bskd->bkgqs", qf, k_l.astype(jnp.float32)) * scale
+    # bf16 MXU dots with f32 accumulation on the bf16 compute path: int8
+    # cache values are exact in bf16, and the f32 upcast of the whole layer
+    # slice materialized a 2x-bytes copy per layer (see attend())
+    ct = jnp.float32 if (q.dtype == jnp.float32
+                         or k_l.dtype == jnp.float32) else jnp.bfloat16
+    qf = q.astype(ct).reshape(b, t, hkv, g, dh)
+    sc = jnp.einsum("bqkgd,bskd->bkgqs", qf, k_l.astype(ct),
+                    preferred_element_type=jnp.float32) * scale
     if ks_l is not None:
         sc = sc * jnp.transpose(ks_l.astype(jnp.float32),
                                 (0, 2, 1))[:, :, None, None, :]
-    ss = jnp.einsum("bqkgd,btkd->bkgqt", qf,
-                    k_self.astype(jnp.float32)) * scale
+    ss = jnp.einsum("bqkgd,btkd->bkgqt", qf, k_self.astype(ct),
+                    preferred_element_type=jnp.float32) * scale
     if alibi_bias is not None:
         # alibi_bias: [H, Tq, S] (shift-invariant m_h * key_slot form);
         # self-part bias = the bias at the written slots' columns
@@ -773,8 +784,10 @@ def carry_update_and_attend(q, k, v, cache, l, cache_index, mask, scale,
     if vs_l is not None:
         pc = pc * jnp.transpose(vs_l.astype(jnp.float32),
                                 (0, 2, 1))[:, :, None, None, :]
-    out = (jnp.einsum("bkgqs,bskd->bqkgd", pc, v_l.astype(jnp.float32))
-           + jnp.einsum("bkgqt,btkd->bqkgd", ps, v_self.astype(jnp.float32)))
+    out = (jnp.einsum("bkgqs,bskd->bqkgd", pc.astype(ct), v_l.astype(ct),
+                      preferred_element_type=jnp.float32)
+           + jnp.einsum("bkgqt,btkd->bqkgd", ps.astype(ct), v_self.astype(ct),
+                        preferred_element_type=jnp.float32))
     ctx = out.reshape(b, t, h * dh).astype(q.dtype)
     return new_cache, ctx
 
@@ -818,10 +831,18 @@ def attend(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     b, tq, h, dh = q.shape
     _, tk, h_kv, _ = k.shape
     groups = h // h_kv
-    qf = q.astype(jnp.float32).reshape(b, tq, h_kv, groups, dh)
-    # int8 cache values convert inside the dot's operand fusion — no copy
-    kf = k.astype(jnp.float32)
-    scores = jnp.einsum("bqkgd,bskd->bkgqs", qf, kf) * scale  # [B,Hkv,G,Tq,Tk]
+    # dot dtype: f32 stays f32 (test/e2e parity); the bf16 compute path runs
+    # bf16 MXU dots with f32 accumulation — int8 cache values are EXACT in
+    # bf16 (|x| <= 127 < 2^8), and a bf16 operand halves (or fuses away) the
+    # int8->fp conversion copy that an f32 upcast of the whole cache
+    # materializes per layer (measured ~60 us/layer at b8 s2048)
+    ct = jnp.float32 if (q.dtype == jnp.float32
+                         or k.dtype == jnp.float32) else jnp.bfloat16
+    qf = q.astype(ct).reshape(b, tq, h_kv, groups, dh)
+    kf = k.astype(ct)
+    scores = jnp.einsum("bqkgd,bskd->bkgqs", qf, kf,
+                        preferred_element_type=jnp.float32
+                        ) * scale                             # [B,Hkv,G,Tq,Tk]
     if k_scale is not None:
         # [B, Tk, Hkv] -> [B, Hkv, 1, 1, Tk]
         scores = scores * jnp.transpose(
@@ -835,5 +856,6 @@ def attend(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     if v_scale is not None:
         probs = probs * jnp.transpose(
             v_scale.astype(jnp.float32), (0, 2, 1))[:, :, None, None, :]
-    out = jnp.einsum("bkgqs,bskd->bqkgd", probs, v.astype(jnp.float32))
+    out = jnp.einsum("bkgqs,bskd->bqkgd", probs.astype(ct), v.astype(ct),
+                     preferred_element_type=jnp.float32)
     return out.reshape(b, tq, h, dh).astype(q.dtype)
