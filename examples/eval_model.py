@@ -40,6 +40,9 @@ def parse_args():
                    help="TP ways inside each stage (0 = rest of devices)")
     p.add_argument("--dataset", default="wikitext2",
                    help="wikitext2 | ptb | ptb_new | c4 | c4_new | pile | mix")
+    p.add_argument("--dataset-path", default=None,
+                   help="local jsonl with a 'text' field — evaluates ppl on "
+                        "it directly (air-gapped runs)")
     p.add_argument("--pile-path", default=None,
                    help="local pile val jsonl(.zst) for --dataset pile")
     return p.parse_args()
@@ -76,7 +79,11 @@ def main():
 
         # wikitext2/ptb: tokenize only the test split; other names go
         # through get_loaders (ptb_new / c4(_new) / pile / mix)
-        if args.dataset == "wikitext2":
+        if args.dataset_path:
+            from autosmoothquant_tpu.utils.datautils import load_json_text
+
+            stream = load_json_text(args.dataset_path, tokenizer)
+        elif args.dataset == "wikitext2":
             stream = load_wikitext2(tokenizer, "test")
         elif args.dataset == "ptb":
             stream = load_ptb(tokenizer, "test")

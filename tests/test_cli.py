@@ -1,0 +1,123 @@
+"""End-to-end smoke tests for the three CLI scripts (the reference's actual
+user surface: smoothquant_model.py / test_model.py / eval_model.py), executed
+in-process on a real on-disk HF checkpoint with a real (word-level) tokenizer
+and a jsonl calibration file — the full quantize -> generate -> ppl loop the
+reference documents (ref: README.md usage), air-gapped."""
+
+import importlib.util
+import json
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+VOCAB = 512
+REPO = Path(__file__).resolve().parent.parent
+
+
+def _load_cli(name):
+    spec = importlib.util.spec_from_file_location(
+        name, REPO / "examples" / f"{name}.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+@pytest.fixture(scope="module")
+def hf_dir(tmp_path_factory):
+    torch = pytest.importorskip("torch")
+    from tokenizers import Tokenizer, models, pre_tokenizers
+    from transformers import (LlamaConfig, LlamaForCausalLM,
+                              PreTrainedTokenizerFast)
+
+    d = tmp_path_factory.mktemp("hf_ckpt")
+    torch.manual_seed(0)
+    hf = LlamaForCausalLM(LlamaConfig(
+        vocab_size=VOCAB, hidden_size=128, intermediate_size=256,
+        num_hidden_layers=2, num_attention_heads=8, num_key_value_heads=4,
+        max_position_embeddings=128, tie_word_embeddings=False,
+        attn_implementation="eager")).eval().float()
+    hf.save_pretrained(d, safe_serialization=True)
+
+    # word-level tokenizer over the integer "words" 0..VOCAB-1
+    tok = Tokenizer(models.WordLevel({str(i): i for i in range(VOCAB)},
+                                     unk_token="0"))
+    tok.pre_tokenizer = pre_tokenizers.Whitespace()
+    PreTrainedTokenizerFast(tokenizer_object=tok,
+                            unk_token="0").save_pretrained(d)
+
+    rng = np.random.default_rng(0)
+    with open(d / "val.jsonl", "w") as f:
+        for _ in range(32):
+            words = " ".join(str(x) for x in rng.integers(1, VOCAB, size=96))
+            f.write(json.dumps({"text": words}) + "\n")
+    return d
+
+
+@pytest.fixture(scope="module")
+def quantized_dir(hf_dir, tmp_path_factory, monkeypatch_module=None):
+    out = tmp_path_factory.mktemp("quant_out") / "model-int8"
+    cli = _load_cli("smoothquant_model")
+    argv = ["smoothquant_model.py",
+            "--model-path", str(hf_dir),
+            "--dataset-path", str(hf_dir / "val.jsonl"),
+            "--generate-scale", "--quantize-model",
+            "--scale-output", str(out.parent / "act_scales.pkl"),
+            "--scale-input", str(out.parent / "act_scales.pkl"),
+            "--num-samples", "16", "--seq-len", "32",
+            "--model-output", str(out)]
+    old = sys.argv
+    sys.argv = argv
+    try:
+        cli.main()
+    finally:
+        sys.argv = old
+    # the CLI mirrors the reference's output naming: a
+    # <model>-smoothquant-<type> dir under --model-output
+    sub = list(out.glob("*smoothquant*"))
+    return sub[0] if sub else out
+
+
+def test_quantize_cli(quantized_dir):
+    assert (quantized_dir / "quant_config.json").exists()
+    qc = json.load(open(quantized_dir / "quant_config.json"))
+    assert qc["type"] == "int8"
+    assert any(quantized_dir.glob("*.safetensors"))
+
+
+def test_generate_cli(hf_dir, quantized_dir, capsys):
+    cli = _load_cli("test_model")
+    argv = ["test_model.py",
+            "--quantized-model-path", str(quantized_dir),
+            "--tokenizer-path", str(hf_dir),
+            "--prompt", "7 12 9 101 44",
+            "--max-new-tokens", "4", "--max-seq", "64"]
+    old = sys.argv
+    sys.argv = argv
+    try:
+        cli.main()
+    finally:
+        sys.argv = old
+    assert capsys.readouterr().out.strip()
+
+
+def test_eval_cli_ppl_pipelined(hf_dir, quantized_dir, capsys):
+    """eval CLI over a local jsonl, batched windows + the stage-pipelined
+    layer stack on the virtual 8-device mesh."""
+    cli = _load_cli("eval_model")
+    argv = ["eval_model.py",
+            "--model-path", str(quantized_dir),
+            "--tokenizer-path", str(hf_dir),
+            "--eval-ppl", "--dataset-path", str(hf_dir / "val.jsonl"),
+            "--max-length", "32", "--batch-windows", "4",
+            "--stages", "2", "--microbatches", "2",
+            "--tensor-parallel", "4"]
+    old = sys.argv
+    sys.argv = argv
+    try:
+        cli.main()
+    finally:
+        sys.argv = old
+    out = capsys.readouterr().out
+    assert "ppl" in out
