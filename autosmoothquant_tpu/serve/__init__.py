@@ -1,3 +1,6 @@
+from .batching import ContinuousEngine, Request
 from .engine import Engine, GenerationConfig
+from .multihost import MultiHostEngine, ShardedServingPool
 
-__all__ = ["Engine", "GenerationConfig"]
+__all__ = ["ContinuousEngine", "Engine", "GenerationConfig",
+           "MultiHostEngine", "Request", "ShardedServingPool"]

@@ -1,0 +1,176 @@
+"""Multi-host serving coordination over DCN.
+
+The single-host engines (serve/engine.py, serve/batching.py) already run
+sharded over a Mesh. Across HOSTS, JAX is SPMD: every process must execute
+the same jitted computations in the same order, so the scheduler state that
+drives those computations (which requests exist, in what order) must be
+identical everywhere. This module provides the two production topologies:
+
+  1. ``MultiHostEngine`` — one global mesh spanning all hosts (TP and/or DP
+     axes over the pod). Requests enter at process 0 and are BROADCAST to
+     every host as fixed-shape int32 arrays
+     (``multihost_utils.broadcast_one_to_all`` — object pickles cannot
+     cross hosts); from identical queues + greedy decoding, every host's
+     deterministic scheduler makes identical decisions with no further
+     coordination, keeping all hosts in jit lockstep.
+
+  2. ``ShardedServingPool`` — engine-per-replica data parallelism: each
+     host (or host group) runs an independent ContinuousEngine on its local
+     devices with its own queue; requests are routed by stable uid hash and
+     results gathered with the same fixed-shape allgather marshalling used
+     by eval/lm_adapter.gather_results. This matches how production TPU
+     serving splits DP (the batching engine's documented DP story,
+     serve/batching.py:50-57).
+
+The reference has no distributed serving at all (SURVEY.md §2.6: its only
+multi-process code is lm-eval's rank-gather paths,
+ref: benchmarks/evaluator.py:442-491); this subsystem is north-star scope.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from .batching import ContinuousEngine, Request
+
+
+def _process_info() -> Tuple[int, int]:
+    import jax
+
+    return jax.process_index(), jax.process_count()
+
+
+def broadcast_requests(requests: Optional[Sequence[Request]],
+                       max_prompt: int = 4096,
+                       max_requests: int = 1024) -> List[Request]:
+    """Make process 0's request list identical on every host.
+
+    Marshals to THREE fixed-shape int32 arrays (counts, metadata, padded
+    prompt tokens) because multihost broadcast moves device arrays, not
+    Python objects. Non-zero processes pass requests=None (ignored).
+    uids are replaced by dense indices so they are broadcastable; callers
+    keep their own uid mapping via the returned order (process 0's order).
+    """
+    import jax
+    from jax.experimental import multihost_utils
+
+    _, nproc = _process_info()
+    reqs = list(requests or [])
+    if len(reqs) > max_requests:
+        raise ValueError(f"{len(reqs)} requests > max_requests={max_requests}")
+    n = np.zeros((1,), np.int32)
+    meta = np.zeros((max_requests, 3), np.int32)   # [plen, max_new, eos+1]
+    toks = np.zeros((max_requests, max_prompt), np.int32)
+    n[0] = len(reqs)
+    for i, r in enumerate(reqs):
+        p = list(r.prompt)[:max_prompt]
+        meta[i] = (len(p), r.max_new_tokens,
+                   (r.eos_token_id + 1) if r.eos_token_id is not None else 0)
+        toks[i, :len(p)] = p
+    if nproc > 1:
+        n = np.asarray(multihost_utils.broadcast_one_to_all(n))
+        meta = np.asarray(multihost_utils.broadcast_one_to_all(meta))
+        toks = np.asarray(multihost_utils.broadcast_one_to_all(toks))
+    out = []
+    for i in range(int(n[0])):
+        plen, max_new, eos1 = (int(meta[i, 0]), int(meta[i, 1]),
+                               int(meta[i, 2]))
+        out.append(Request(uid=i, prompt=toks[i, :plen].tolist(),
+                           max_new_tokens=max_new,
+                           eos_token_id=(eos1 - 1) if eos1 > 0 else None))
+    return out
+
+
+class MultiHostEngine:
+    """Continuous batching over a global mesh spanning every host.
+
+    All constructor args pass through to ContinuousEngine; ``mesh`` should
+    be built over ``jax.devices()`` (all hosts). ``serve`` takes the
+    request list ON PROCESS 0 (None elsewhere), broadcasts it, and runs the
+    deterministic scheduler in lockstep on every host. Greedy decoding only
+    — sampling would need a broadcast seed per step (the engines are
+    greedy, matching the reference's test_model.py flow)."""
+
+    def __init__(self, model_mod, params, cfg, qcfg=None, *,
+                 max_prompt: int = 4096, **engine_kw):
+        self.engine = ContinuousEngine(model_mod, params, cfg, qcfg,
+                                       **engine_kw)
+        self.max_prompt = max_prompt
+
+    def serve(self, requests: Optional[Sequence[Request]] = None,
+              max_ticks: int = 10000) -> Dict[int, List[int]]:
+        """Returns {index-in-process-0-order: output token list}; identical
+        on every host (every host computed every token)."""
+        reqs = broadcast_requests(requests, self.max_prompt)
+        self.engine.run(reqs, max_ticks=max_ticks)
+        return {r.uid: list(r.output) for r in reqs}
+
+
+class ShardedServingPool:
+    """Engine-per-replica DP: this process serves the requests whose stable
+    hash lands on it; ``gather`` merges every host's outputs into the full
+    result dict on all hosts (fixed-shape allgather marshalling)."""
+
+    def __init__(self, model_mod, params, cfg, qcfg=None, *,
+                 max_new_cap: int = 512, **engine_kw):
+        self.engine = ContinuousEngine(model_mod, params, cfg, qcfg,
+                                       **engine_kw)
+        self.max_new_cap = max_new_cap
+        self._local: List[Request] = []
+
+    @staticmethod
+    def _owner(uid: int, nproc: int) -> int:
+        # stable integer mix (splitmix64 tail) — hash() is salted per process
+        h = (uid * 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+        h ^= h >> 31
+        return int(h % nproc)
+
+    def submit(self, uid: int, prompt: List[int], **kw) -> bool:
+        """Routes by uid hash; returns True if this process owns it."""
+        rank, nproc = _process_info()
+        if self._owner(uid, nproc) != rank:
+            return False
+        self._local.append(self.engine.submit(uid, list(prompt), **kw))
+        return True
+
+    def run(self, max_ticks: int = 10000) -> None:
+        out = self.engine.run(max_ticks=max_ticks)
+        for r in self._local:
+            if r.uid in out:
+                r.output = out[r.uid]
+                r.done = True
+
+    def gather(self) -> Dict[int, List[int]]:
+        """All-hosts merge of {uid: output tokens} (identical everywhere).
+        Outputs are padded to ``max_new_cap`` int32 and exchanged with
+        process_allgather — the same fixed-shape marshalling that replaced
+        the object-gather in eval/lm_adapter (object arrays cannot cross
+        process_allgather)."""
+        import jax
+        from jax.experimental import multihost_utils
+
+        _, nproc = _process_info()
+        n = len(self._local)
+        uids = np.zeros((max(n, 1),), np.int64)
+        lens = np.zeros((max(n, 1),), np.int32)
+        toks = np.zeros((max(n, 1), self.max_new_cap), np.int32)
+        for i, r in enumerate(self._local):
+            out = list(r.output)[: self.max_new_cap]
+            uids[i], lens[i] = r.uid, len(out)
+            toks[i, :len(out)] = out
+        counts = np.asarray([n], np.int32)
+        if nproc > 1:
+            counts = np.asarray(
+                multihost_utils.process_allgather(counts)).reshape(nproc)
+            uids = np.asarray(multihost_utils.process_allgather(uids))
+            lens = np.asarray(multihost_utils.process_allgather(lens))
+            toks = np.asarray(multihost_utils.process_allgather(toks))
+            merged: Dict[int, List[int]] = {}
+            for p in range(nproc):
+                for i in range(int(counts[p])):
+                    merged[int(uids[p, i])] = toks[p, i, :int(lens[p, i])].tolist()
+            return merged
+        return {int(uids[i]): toks[i, :int(lens[i])].tolist()
+                for i in range(n)}
