@@ -35,6 +35,11 @@ class Request:
     prompt: List[int]
     max_new_tokens: int = 64
     eos_token_id: Optional[int] = None
+    # sampling (temperature 0 = greedy; per-request — one compiled decode
+    # step serves a mixed greedy/sampled batch via per-row parameter arrays)
+    temperature: float = 0.0
+    top_k: int = 0
+    top_p: float = 1.0
     # filled by the engine:
     output: List[int] = dataclasses.field(default_factory=list)
     done: bool = False
@@ -60,7 +65,7 @@ class ContinuousEngine:
                  *, max_batch: int = 8, max_seq: int = 2048,
                  kv_dtype=jnp.bfloat16, compute_dtype=jnp.bfloat16,
                  steps_per_sync: int = 8, mesh=None, param_shardings=None,
-                 prefill_chunk: Optional[int] = None):
+                 prefill_chunk: Optional[int] = None, seed: int = 0):
         self.model = model_mod
         self.cfg = cfg
         self.qcfg = qcfg
@@ -110,10 +115,20 @@ class ContinuousEngine:
         self.lens = np.zeros(max_batch, np.int32)        # tokens in cache per slot
         self.slot_req: List[Optional[Request]] = [None] * max_batch
         self.pending_tok = np.zeros(max_batch, np.int32)  # next token to feed
+        # per-slot sampling parameters (temperature 0 = greedy row)
+        self.temps = np.zeros(max_batch, np.float32)
+        self.topks = np.zeros(max_batch, np.int32)
+        self.topps = np.ones(max_batch, np.float32)
+        # sampling determinism: every key is fold_in(PRNGKey(seed), event#);
+        # the event counter advances with the (deterministic) schedule, so
+        # equal seeds give equal tokens — incl. multi-host lockstep serving
+        self.seed = seed
+        self._event = 0
         self.waiting: List[Request] = []
         self._prefill_cache = {}
         self._insert_cache = {}
         self._decode_fns = {}
+        self._sample1 = None
 
     # -- jitted pieces ------------------------------------------------------
 
@@ -192,39 +207,50 @@ class ContinuousEngine:
             self._chunk_cache[chunk] = prefill_chunk
         return self._chunk_cache[chunk]
 
-    def _decode(self, n: int):
-        if n not in self._decode_fns:
+    def _decode(self, n: int, sampling: bool = False):
+        if (n, sampling) not in self._decode_fns:
             model, cfg, qcfg, cdt = self.model, self.cfg, self.qcfg, self.compute_dtype
             out_sh = ((self._repl, self._kv_shardings, self._repl)
                       if self._kv_shardings is not None else None)
 
             @functools.partial(jax.jit, donate_argnums=(1,), out_shardings=out_sh)
-            def decode(params, pool, toks, lens, active):
-                """n greedy steps for all slots. toks/lens/active: [B].
-                Returns (tokens [B, n], pool, lens)."""
-                def step(carry, _):
+            def decode(params, pool, toks, lens, active, temps, topks, topps,
+                       key):
+                """n decode steps for all slots. toks/lens/active and the
+                sampling params: [B]. With sampling=False compiles to plain
+                argmax (no sort, key unused). Returns (tokens [B, n], pool,
+                lens)."""
+                def step(carry, skey):
                     toks, pool, lens = carry
                     positions = lens[:, None]
                     h, pool, _ = model.forward(
                         params, toks[:, None], cfg, qcfg, kv_cache=pool,
                         cache_index=lens, positions=positions,
                         compute_dtype=cdt)
-                    nxt = jnp.argmax(model.logits(params, h)[:, 0], -1).astype(jnp.int32)
+                    logits = model.logits(params, h)[:, 0]
+                    if sampling:
+                        from .sampling import sample_per_row
+
+                        nxt = sample_per_row(logits, skey, temps, topks, topps)
+                    else:
+                        nxt = jnp.argmax(logits, -1).astype(jnp.int32)
                     lens = lens + active.astype(jnp.int32)
                     return (nxt, pool, lens), nxt
 
                 (_, pool, lens), ys = jax.lax.scan(
-                    step, (toks, pool, lens), None, length=n)
+                    step, (toks, pool, lens), jax.random.split(key, n))
                 return ys.T, pool, lens
 
-            self._decode_fns[n] = decode
-        return self._decode_fns[n]
+            self._decode_fns[(n, sampling)] = decode
+        return self._decode_fns[(n, sampling)]
 
     # -- scheduler ----------------------------------------------------------
 
     def submit(self, uid, prompt: List[int], max_new_tokens: int = 64,
-               eos_token_id: Optional[int] = None) -> Request:
-        req = Request(uid, list(prompt), max_new_tokens, eos_token_id)
+               eos_token_id: Optional[int] = None, temperature: float = 0.0,
+               top_k: int = 0, top_p: float = 1.0) -> Request:
+        req = Request(uid, list(prompt), max_new_tokens, eos_token_id,
+                      temperature, top_k, top_p)
         self.waiting.append(req)
         return req
 
@@ -238,12 +264,31 @@ class ContinuousEngine:
             # remain or the first generated token would be dropped
             req.prompt = req.prompt[-(self.max_seq - 1):]
 
+    def _first_token(self, last_logits, req: Request) -> int:
+        """Sample (or argmax) the first post-prefill token [V] -> id."""
+        if req.temperature <= 0.0:
+            return int(np.asarray(jax.device_get(jnp.argmax(last_logits))))
+        from .sampling import sample_per_row
+
+        if self._sample1 is None:
+            self._sample1 = jax.jit(sample_per_row)
+        key = jax.random.fold_in(jax.random.PRNGKey(self.seed), self._event)
+        self._event += 1
+        tok = self._sample1(last_logits[None], key,
+                            jnp.asarray([req.temperature], jnp.float32),
+                            jnp.asarray([req.top_k], jnp.int32),
+                            jnp.asarray([req.top_p], jnp.float32))
+        return int(np.asarray(jax.device_get(tok))[0])
+
     def _activate(self, row: int, req: Request, last_logits):
-        first = int(np.asarray(jax.device_get(jnp.argmax(last_logits))))
+        first = self._first_token(last_logits, req)
         req.output.append(first)
         self.slot_req[row] = req
         self.lens[row] = len(req.prompt)
         self.pending_tok[row] = first
+        self.temps[row] = req.temperature
+        self.topks[row] = req.top_k
+        self.topps[row] = req.top_p
         self._check_done(row)
 
     def _admit(self):
@@ -314,6 +359,7 @@ class ContinuousEngine:
             req.done = True
             self.slot_req[row] = None
             self.lens[row] = 0
+            self.temps[row] = 0.0  # freed row must not force the sampling variant
 
     def step(self):
         """One scheduler tick: admit, advance in-flight prefills by one
@@ -346,9 +392,14 @@ class ContinuousEngine:
         # write at lens=0 would corrupt it. Slot index max_seq is out of
         # bounds, so the scatter drops those writes entirely.
         lens_dec = np.where(active, self.lens, self.max_seq).astype(np.int32)
-        toks, pool, lens = self._decode(n)(
+        sampling = bool((self.temps > 0.0)[active].any())
+        key = jax.random.fold_in(jax.random.PRNGKey(self.seed), self._event)
+        self._event += 1
+        toks, pool, lens = self._decode(n, sampling)(
             self.params, self.pool, jnp.asarray(self.pending_tok),
-            jnp.asarray(lens_dec), jnp.asarray(active))
+            jnp.asarray(lens_dec), jnp.asarray(active),
+            jnp.asarray(self.temps), jnp.asarray(self.topks),
+            jnp.asarray(self.topps), key)
         toks = np.asarray(jax.device_get(toks))
         self.pool = pool
         # keep inactive rows' real lens (they ran with the out-of-bounds

@@ -38,18 +38,16 @@ class GenerationConfig:
     max_new_tokens: int = 20
     temperature: float = 0.0  # 0 => greedy (test_model.py uses greedy)
     top_k: int = 0            # 0 => no top-k filter
+    top_p: float = 1.0        # 1 => no nucleus filter
     eos_token_id: Optional[int] = None
 
 
 def _sample(logits_f32, key, gen_cfg: GenerationConfig):
-    """logits [B, V] -> token ids [B]."""
-    if gen_cfg.temperature == 0.0:
-        return jnp.argmax(logits_f32, axis=-1).astype(jnp.int32)
-    scaled = logits_f32 / gen_cfg.temperature
-    if gen_cfg.top_k > 0:
-        kth = jnp.sort(scaled, axis=-1)[:, -gen_cfg.top_k][:, None]
-        scaled = jnp.where(scaled < kth, -jnp.inf, scaled)
-    return jax.random.categorical(key, scaled, axis=-1).astype(jnp.int32)
+    """logits [B, V] -> token ids [B] (serve/sampling.py, static config)."""
+    from .sampling import sample
+
+    return sample(logits_f32, key, gen_cfg.temperature, gen_cfg.top_k,
+                  gen_cfg.top_p)
 
 
 class Engine:

@@ -61,25 +61,32 @@ def broadcast_requests(requests: Optional[Sequence[Request]],
     if len(reqs) > max_requests:
         raise ValueError(f"{len(reqs)} requests > max_requests={max_requests}")
     n = np.zeros((1,), np.int32)
-    meta = np.zeros((max_requests, 3), np.int32)   # [plen, max_new, eos+1]
+    meta = np.zeros((max_requests, 4), np.int32)   # [plen, max_new, eos+1, top_k]
+    samp = np.zeros((max_requests, 2), np.float32)  # [temperature, top_p]
+    samp[:, 1] = 1.0
     toks = np.zeros((max_requests, max_prompt), np.int32)
     n[0] = len(reqs)
     for i, r in enumerate(reqs):
         p = list(r.prompt)[:max_prompt]
         meta[i] = (len(p), r.max_new_tokens,
-                   (r.eos_token_id + 1) if r.eos_token_id is not None else 0)
+                   (r.eos_token_id + 1) if r.eos_token_id is not None else 0,
+                   r.top_k)
+        samp[i] = (r.temperature, r.top_p)
         toks[i, :len(p)] = p
     if nproc > 1:
         n = np.asarray(multihost_utils.broadcast_one_to_all(n))
         meta = np.asarray(multihost_utils.broadcast_one_to_all(meta))
+        samp = np.asarray(multihost_utils.broadcast_one_to_all(samp))
         toks = np.asarray(multihost_utils.broadcast_one_to_all(toks))
     out = []
     for i in range(int(n[0])):
-        plen, max_new, eos1 = (int(meta[i, 0]), int(meta[i, 1]),
-                               int(meta[i, 2]))
+        plen, max_new, eos1, top_k = (int(meta[i, 0]), int(meta[i, 1]),
+                                      int(meta[i, 2]), int(meta[i, 3]))
         out.append(Request(uid=i, prompt=toks[i, :plen].tolist(),
                            max_new_tokens=max_new,
-                           eos_token_id=(eos1 - 1) if eos1 > 0 else None))
+                           eos_token_id=(eos1 - 1) if eos1 > 0 else None,
+                           temperature=float(samp[i, 0]), top_k=top_k,
+                           top_p=float(samp[i, 1])))
     return out
 
 
@@ -89,9 +96,10 @@ class MultiHostEngine:
     All constructor args pass through to ContinuousEngine; ``mesh`` should
     be built over ``jax.devices()`` (all hosts). ``serve`` takes the
     request list ON PROCESS 0 (None elsewhere), broadcasts it, and runs the
-    deterministic scheduler in lockstep on every host. Greedy decoding only
-    — sampling would need a broadcast seed per step (the engines are
-    greedy, matching the reference's test_model.py flow)."""
+    deterministic scheduler in lockstep on every host. Sampling stays in
+    lockstep too: every key is fold_in(PRNGKey(engine seed), event#), both
+    of which advance identically on every host — pass the same ``seed``
+    engine kwarg everywhere (default 0)."""
 
     def __init__(self, model_mod, params, cfg, qcfg=None, *,
                  max_prompt: int = 4096, **engine_kw):

@@ -21,7 +21,11 @@ def parse_args():
     p.add_argument("--tokenizer-path", required=True)
     p.add_argument("--prompt", default="Life is beautiful")
     p.add_argument("--max-new-tokens", type=int, default=20)
-    p.add_argument("--temperature", type=float, default=0.0)
+    p.add_argument("--temperature", type=float, default=0.0,
+                   help="0 = greedy; >0 samples (with --top-k/--top-p)")
+    p.add_argument("--top-k", type=int, default=0, help="0 = off")
+    p.add_argument("--top-p", type=float, default=1.0, help="1 = off")
+    p.add_argument("--seed", type=int, default=0, help="sampling PRNG seed")
     p.add_argument("--max-seq", type=int, default=2048)
     p.add_argument("--kv-dtype", default="bf16", choices=["bf16", "int8"],
                    help="int8 selects the quantized KV cache (2x context "
@@ -63,8 +67,9 @@ def main():
     out = eng.generate(
         [ids],
         GenerationConfig(max_new_tokens=args.max_new_tokens,
-                         temperature=args.temperature,
-                         eos_token_id=tok.eos_token_id),
+                         temperature=args.temperature, top_k=args.top_k,
+                         top_p=args.top_p, eos_token_id=tok.eos_token_id),
+        seed=args.seed,
     )[0]
     print(tok.decode(ids + out))
 
