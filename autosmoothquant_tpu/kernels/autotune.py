@@ -25,22 +25,35 @@ from .tuning import LANE, SUBLANE
 
 
 def candidate_blocks(m: int, n: int, k: int,
-                     vmem_budget: int = 12 * 1024 * 1024
+                     vmem_budget: int = 12 * 1024 * 1024,
+                     max_candidates: Optional[int] = None
                      ) -> List[Tuple[int, int, int]]:
-    """All legal (bm, bn, bk): divisible tiles within the VMEM budget."""
-    bms = [b for b in (32, 64, 128, 256, 512) if b <= m and m % b == 0]
-    bns = [b for b in (128, 256, 512, 1024) if b <= n and n % b == 0]
+    """Legal (bm, bn, bk) tiles within the VMEM budget, lowest predicted HBM
+    traffic first. Traffic = m*k*(n/bn) + k*n*(m/bm) — x is re-read once per
+    N-tile and w once per M-tile, so BIG bm x bn tiles matter far more than
+    bk (the round-2 finding: the 256x256 default was HBM-bound at 2x the
+    traffic XLA incurs)."""
+    bms = [b for b in (32, 64, 128, 256, 512, 1024) if b <= m and m % b == 0]
+    bns = [b for b in (128, 256, 512, 1024, 2048) if b <= n and n % b == 0]
     bks = [b for b in (128, 256, 512, 1024, 2048) if b <= k and k % b == 0]
     out = []
     for bm, bn, bk in itertools.product(bms, bns, bks):
-        if 2 * (bm * bk + bk * bn) + 4 * bm * bn <= vmem_budget:
+        # double-buffered int8 inputs + int32 acc scratch + out tile
+        if 2 * (bm * bk + bk * bn) + 8 * bm * bn <= vmem_budget:
             out.append((bm, bn, bk))
-    return out
+    out.sort(key=lambda c: (m * k * (n // c[1]) + k * n * (m // c[0]),
+                            -c[2]))
+    return out[:max_candidates] if max_candidates else out
 
 
-def _slope_time(fn, x, w, n_lo=8, n_hi=264, reps=3) -> float:
+def _slope_time(fn, x, w, n_lo=32, n_hi=2080, reps=5) -> float:
     """Per-call seconds via chained on-device loop (the carry threads x so
-    XLA cannot hoist the loop-invariant call)."""
+    XLA cannot hoist the loop-invariant call).
+
+    The iteration spread must be LARGE (2048 here): this runtime's dispatch
+    jitter is +-tens of ms, and a us-scale kernel slope over a few hundred
+    iterations drowns in it (round-2 sweeps read >peak TOPS). The estimator
+    is min-over-reps — jitter only ever ADDS time."""
     import jax
     import jax.numpy as jnp
 
@@ -50,7 +63,11 @@ def _slope_time(fn, x, w, n_lo=8, n_hi=264, reps=3) -> float:
             xx, acc = carry
             o = fn(xx, w)
             s = o.astype(jnp.float32).sum()
-            bump = (s * 0).astype(xx.dtype)
+            # data-dependent bump (cannot be constant-folded to 0 the way
+            # `s * 0` was — XLA hoisted the whole body for some shapes,
+            # yielding impossible >peak TOPS readings) keeps the chain live
+            # while barely perturbing x
+            bump = (s == jnp.float32(1.2345e30)).astype(xx.dtype)
             return (xx + bump, acc + s)
 
         _, acc = jax.lax.fori_loop(0, n, body, (x, jnp.float32(0)))
@@ -64,7 +81,7 @@ def _slope_time(fn, x, w, n_lo=8, n_hi=264, reps=3) -> float:
             t0 = time.perf_counter()
             np.asarray(jax.device_get(loop(n, x, w)))
             best.append(time.perf_counter() - t0)
-        ts[n] = float(np.median(best))
+        ts[n] = float(np.min(best))
     return max((ts[n_hi] - ts[n_lo]) / (n_hi - n_lo), 1e-9)
 
 
@@ -84,7 +101,7 @@ def tune_shape(m: int, n: int, k: int, *, include_xla: bool = True,
     cs = jnp.ones((1, n), jnp.float32)
 
     results = []
-    for bm, bn, bk in candidate_blocks(m, n, k):
+    for bm, bn, bk in candidate_blocks(m, n, k, max_candidates=16):
         try:
             t = _slope_time(
                 lambda xx, ww, bm=bm, bn=bn, bk=bk: _int8_matmul_pallas(

@@ -31,11 +31,14 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .tuning import pick_blocks
+from .tuning import pallas_wins, pick_blocks
 
 import os
 
-_FORCE_PALLAS = os.environ.get("ASQ_INT8_BACKEND", "xla") == "pallas"
+# auto (default): Pallas exactly on shapes where offline tuning MEASURED it
+# faster than the XLA int8 dot (kernels/gemm_table.json _meta); XLA else.
+# "pallas"/"xla" force one backend for every tileable shape.
+_BACKEND = os.environ.get("ASQ_INT8_BACKEND", "auto")
 
 INT8_MIN = -128.0
 INT8_MAX = 127.0
@@ -178,13 +181,14 @@ def int8_matmul(x_q: jnp.ndarray, w_q: jnp.ndarray,
 
     blocks = pick_blocks(m, n, k)
     if use_pallas is None:
-        # Measured on v5e: XLA's native int8 dot runs at ~peak MXU throughput
-        # (~400 TOPS) and beats the current Pallas kernel (~280 TOPS) even
-        # with the unfused scale epilogue, so XLA is the default. Flip with
-        # ASQ_INT8_BACKEND=pallas (the Pallas path remains required for the
-        # fused-requant/attention epilogues XLA cannot express).
+        # Backend policy (ASQ_INT8_BACKEND): "auto" uses the Pallas kernel on
+        # shapes where the offline autotune table measured it faster than
+        # XLA's int8 dot (traffic-minimizing big tiles win on prefill-sized
+        # GEMMs; XLA keeps small/decode shapes), "pallas"/"xla" force one.
+        want = _BACKEND == "pallas" or (_BACKEND == "auto"
+                                        and pallas_wins(m, n, k))
         use_pallas = (
-            _FORCE_PALLAS and jax.default_backend() == "tpu" and blocks is not None
+            want and jax.default_backend() == "tpu" and blocks is not None
         )
     if use_pallas and blocks is not None:
         bm, bn, bk = blocks

@@ -18,6 +18,10 @@ import os
 from typing import Dict, Optional, Tuple
 
 _TABLE: Dict[Tuple[int, int, int], Tuple[int, int, int]] = {}
+# shapes where the tuned Pallas kernel MEASURED faster than the XLA int8 dot
+# (from the table's _meta exec_time_us/xla_time_us) — the auto backend picks
+# Pallas exactly there, the cublasAlgoMap "is this algo a win" analog
+_PALLAS_WINS: set = set()
 
 # int8 min tile is (32, 128): sublane 32, lane 128 (pallas_guide: Tiling
 # Constraints). Block sizes must be multiples of these to hit the MXU cleanly.
@@ -26,13 +30,24 @@ LANE = 128
 
 
 def load_table(path: str) -> None:
-    global _TABLE
+    global _TABLE, _PALLAS_WINS
     with open(path, "r", encoding="utf-8") as f:
         raw = json.load(f)
     _TABLE = {
         tuple(int(x) for x in k.split(",")): tuple(v)
         for k, v in raw.items() if not k.startswith("_")  # skip _meta sidecar
     }
+    _PALLAS_WINS = set()
+    for k, meta in raw.get("_meta", {}).items():
+        t_p, t_x = meta.get("exec_time_us"), meta.get("xla_time_us")
+        if t_p is not None and t_x is not None and t_p < t_x:
+            _PALLAS_WINS.add(tuple(int(x) for x in k.split(",")))
+
+
+def pallas_wins(m: int, n: int, k: int) -> bool:
+    """True iff offline tuning measured the Pallas kernel faster than the
+    XLA int8 dot at exactly this shape."""
+    return (m, n, k) in _PALLAS_WINS
 
 
 # table resolution: ASQ_GEMM_TABLE env, else the shipped table produced by
@@ -58,29 +73,44 @@ def _largest_divisor_block(dim: int, cap: int, step: int) -> Optional[int]:
 
 def pick_blocks(m: int, n: int, k: int) -> Optional[Tuple[int, int, int]]:
     """Choose (bm, bn, bk) for an int8 [m,k]x[k,n] matmul, or None if the
-    shape can't be tiled (caller falls back to the XLA int8 dot)."""
+    shape can't be tiled (caller falls back to the XLA int8 dot).
+
+    Heuristic: minimize HBM traffic = m*k*(n/bn) + k*n*(m/bm) — x is
+    re-read once per N-tile and w once per M-tile — then prefer deeper bk
+    (pipeline depth / fewer accumulator revisits). The old 256x256-capped
+    tiles left the kernel HBM-bound at 2x XLA's traffic on prefill shapes;
+    1024x1024 int8 tiles fit VMEM comfortably and are compute-bound."""
     key = (m, n, k)
     if key in _TABLE:
         return _TABLE[key]
     if n % LANE != 0 or k % LANE != 0:
         return None
-    # M (tokens) can be small at decode time; sublane granularity is enough.
-    bm = _largest_divisor_block(m, 256, SUBLANE)
-    if bm is None:
-        return None
-    # Favor deep K blocks: int8 A/B tiles are 1 byte/elt so VMEM affords
-    # bk=512..1024; deeper K amortizes the fp32 epilogue and accumulator.
-    bk = _largest_divisor_block(k, 1024, LANE) or LANE
-    bn = _largest_divisor_block(n, 512, LANE) or LANE
-    # Keep A+B+acc within a conservative VMEM budget (~12 MiB of 16 MiB):
-    # A: bm*bk, B: bk*bn (int8), acc: bm*bn*4 (int32), double-buffered inputs.
-    while 2 * (bm * bk + bk * bn) + 4 * bm * bn > 12 * 1024 * 1024:
-        if bk > LANE and k % (bk // 2) == 0:
-            bk //= 2
-        elif bn > LANE and n % (bn // 2) == 0:
-            bn //= 2
-        elif bm > SUBLANE and m % (bm // 2) == 0:
-            bm //= 2
-        else:
-            return None
-    return bm, bn, bk
+    budget = 12 * 1024 * 1024
+    best = None
+    best_cost = None
+    bm = SUBLANE
+    while bm <= min(1024, m):
+        if m % bm:
+            bm += SUBLANE
+            continue
+        bn = LANE
+        while bn <= min(2048, n):
+            if n % bn:
+                bn += LANE
+                continue
+            # deepest bk that fits: double-buffered int8 inputs + int32 acc
+            # + out tile
+            bk = None
+            cand = LANE
+            while cand <= min(2048, k):
+                if k % cand == 0 and \
+                        2 * (bm * cand + cand * bn) + 8 * bm * bn <= budget:
+                    bk = cand
+                cand += LANE
+            if bk is not None:
+                cost = (m * k * (n // bn) + k * n * (m // bm), -bk)
+                if best_cost is None or cost < best_cost:
+                    best, best_cost = (bm, bn, bk), cost
+            bn += LANE
+        bm += SUBLANE
+    return best

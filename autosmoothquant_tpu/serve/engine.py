@@ -40,6 +40,10 @@ class GenerationConfig:
     top_k: int = 0            # 0 => no top-k filter
     top_p: float = 1.0        # 1 => no nucleus filter
     eos_token_id: Optional[int] = None
+    # speculative decoding (greedy only): draft length per verify step and
+    # the prompt-lookup match length; 0 disables (serve/speculative.py)
+    speculative_gamma: int = 0
+    speculative_ngram: int = 3
 
 
 def _sample(logits_f32, key, gen_cfg: GenerationConfig):
@@ -80,6 +84,7 @@ class Engine:
         self.mesh = mesh
         self._prefill = {}
         self._decode = {}
+        self._spec = {}
         if mesh is not None:
             from ..shard.sharding import (
                 param_specs as _family_specs, shard_params, with_stage_axis)
@@ -152,6 +157,24 @@ class Engine:
             self._decode[key_cfg] = decode
         return self._decode[key_cfg]
 
+    def _spec_fn(self, max_new: int, gamma: int, ngram: int):
+        key = (max_new, gamma, ngram)
+        if key not in self._spec:
+            from .speculative import speculative_decode
+
+            model, cfg, qcfg, cdt = (self.model, self.cfg, self.qcfg,
+                                     self.compute_dtype)
+
+            @jax.jit
+            def spec(params, cache, history, start_lens, pad_lens):
+                return speculative_decode(
+                    model, params, cfg, qcfg, cache, history, start_lens,
+                    pad_lens, max_new=max_new, gamma=gamma, ngram=ngram,
+                    compute_dtype=cdt)
+
+            self._spec[key] = spec
+        return self._spec[key]
+
     # -- public API ---------------------------------------------------------
 
     def generate(self, prompts: Sequence[Sequence[int]],
@@ -172,10 +195,12 @@ class Engine:
         # capacity guard: cache writes past max_seq would be silently clamped/
         # dropped by dynamic_update_slice / the kv_valid scatter, corrupting
         # generation instead of erroring
-        if max_len + gen_cfg.max_new_tokens > self.max_seq:
+        spec = gen_cfg.speculative_gamma if gen_cfg.temperature == 0.0 else 0
+        if max_len + gen_cfg.max_new_tokens + spec > self.max_seq:
             raise ValueError(
                 f"prompt ({max_len} tokens) + max_new_tokens "
-                f"({gen_cfg.max_new_tokens}) exceeds max_seq={self.max_seq}; "
+                f"({gen_cfg.max_new_tokens}) (+ speculative window {spec}) "
+                f"exceeds max_seq={self.max_seq}; "
                 "truncate the prompt or raise max_seq")
         # left-pad to common length so every sequence's next slot == max_len
         ids = np.zeros((b, max_len), np.int32)
@@ -202,10 +227,24 @@ class Engine:
                 self._put(valid, P(dp, None)), cache)
 
             n = gen_cfg.max_new_tokens
-            toks, _, _ = self._decode_fn(n - 1)(
-                self.params, first_logits, cache, self._put(valid, P(dp, None)),
-                jnp.int32(max_len), self._put(pad_lens, P(dp)),
-                jax.random.PRNGKey(seed), gen_cfg)
+            if spec > 0:
+                # greedy-exact speculative decode: history holds the padded
+                # prompt + the first generated token at slot max_len
+                history = jnp.zeros((b, self.max_seq), jnp.int32)
+                history = jax.lax.dynamic_update_slice(
+                    history, self._put(ids, P(dp, None)), (0, 0))
+                tok0 = jnp.argmax(first_logits, axis=-1).astype(jnp.int32)
+                history = history.at[:, max_len].set(tok0)
+                toks = self._spec_fn(n, spec, gen_cfg.speculative_ngram)(
+                    self.params, cache, history,
+                    jnp.full((b,), max_len, jnp.int32),
+                    self._put(pad_lens, P(dp)))
+            else:
+                toks, _, _ = self._decode_fn(n - 1)(
+                    self.params, first_logits, cache,
+                    self._put(valid, P(dp, None)),
+                    jnp.int32(max_len), self._put(pad_lens, P(dp)),
+                    jax.random.PRNGKey(seed), gen_cfg)
         out = np.asarray(jax.device_get(toks))
         results = []
         for i in range(n_real):

@@ -1,0 +1,122 @@
+"""Speculative decoding via prompt-lookup (n-gram) drafting.
+
+Beyond-reference serving capability (the reference generates strictly one
+token per forward through HF GenerationMixin, ref: examples/test_model.py:51).
+Greedy-exact: emitted tokens are IDENTICAL to plain greedy decoding — drafts
+only change how many true tokens each forward verifies.
+
+Scheme (prompt-lookup decoding / assisted generation):
+  1. DRAFT: find the most recent earlier occurrence of the last ``ngram``
+     known tokens in the token history; propose the ``gamma`` tokens that
+     followed it. No draft model, no extra weights — ideal for the
+     summarization/code/chat workloads where continuations repeat context.
+  2. VERIFY: one forward over [cur, d_0..d_{gamma-1}] (gamma+1 positions,
+     per-row cache offsets — the same vector-cache_index scatter path the
+     continuous-batching engine uses). Greedy targets t_0..t_gamma.
+  3. ACCEPT the longest prefix with d_i == t_i: emits n_acc+1 true tokens
+     per forward (>= 1, so progress is guaranteed).
+
+TPU shaping: the whole generate loop is ONE jitted ``lax.while_loop`` (host
+dispatch costs 30-80 ms/call in this runtime); all shapes static. Rejected
+draft positions leave garbage K/V in the cache, but every next step's write
+window [lens', lens'+gamma] always covers them (lens' <= old lens + gamma+1),
+so they are overwritten before any query can causally attend them; kv_valid
+is recomputed per step as (non-pad) & (col <= write_end).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def draft_ngram(history: jnp.ndarray, known: jnp.ndarray, gamma: int,
+                ngram: int) -> jnp.ndarray:
+    """Prompt-lookup draft. history: int32 [B, S] of tokens laid out at their
+    cache slots; known: int32 [B] — tokens at slots [0, known) are real (the
+    last one being the current input). Returns draft [B, gamma].
+
+    Matches the last ``ngram`` known tokens against every earlier position;
+    takes the continuation after the MOST RECENT match. Rows without a match
+    draft a repeat of the current token (cheap, and verification makes any
+    draft safe)."""
+    b, s = history.shape
+    pat_idx = known[:, None] - ngram + jnp.arange(ngram, dtype=jnp.int32)[None]
+    pattern = jnp.take_along_axis(history, jnp.maximum(pat_idx, 0), axis=1)
+    match = jnp.ones((b, s), bool)
+    for j in range(ngram):
+        # history[p + j] aligned at position p (static roll; wrapped tail
+        # positions are excluded by the validity bound below)
+        match = match & (jnp.roll(history, -j, axis=1) == pattern[:, j][:, None])
+    pos = jnp.arange(s, dtype=jnp.int32)[None]
+    # p + ngram - 1 must end BEFORE the pattern's own occurrence, and at
+    # least one continuation token must be known: p + ngram <= known - 1
+    valid = match & (pos + ngram <= known[:, None] - 1)
+    best = jnp.argmax(jnp.where(valid, pos, -1), axis=1)          # [B]
+    has = jnp.any(valid, axis=1)
+    src = best[:, None] + ngram + jnp.arange(gamma, dtype=jnp.int32)[None]
+    draft = jnp.take_along_axis(history, jnp.minimum(src, s - 1), axis=1)
+    cur = jnp.take_along_axis(history, jnp.maximum(known - 1, 0)[:, None],
+                              axis=1)
+    return jnp.where(has[:, None], draft, cur)
+
+
+def speculative_decode(model, params, cfg, qcfg, cache, history, start_lens,
+                       pad_lens, *, max_new: int, gamma: int, ngram: int,
+                       compute_dtype=jnp.bfloat16):
+    """Greedy-exact speculative generation after a prefill. Pure and
+    jit-wrappable (the Engine jits it per (max_new, gamma, ngram), closing
+    over model/cfg/qcfg like its other stages).
+
+    cache: KV cache with slots [0, start) filled per row; history: int32
+    [B, S_max] holding the prompt AND the first generated token at slot
+    ``start`` (from the prefill logits); start_lens/pad_lens: int32 [B].
+    Returns out [B, max_new] — out[:, 0] is that first token.
+    """
+    b, s_max = history.shape
+    rows = jnp.arange(b, dtype=jnp.int32)[:, None]
+    jr = jnp.arange(gamma + 1, dtype=jnp.int32)[None]
+    col = jnp.arange(s_max, dtype=jnp.int32)[None]
+
+    def cond(carry):
+        return jnp.any(carry[3] < max_new)
+
+    def body(carry):
+        cache, history, lens, n_emit, out = carry
+        cur = jnp.take_along_axis(history, lens[:, None], axis=1)[:, 0]
+        known = lens + 1  # tokens at [0, lens] are real (cur sits at slot lens)
+        draft = draft_ngram(history, known, gamma, ngram)
+        inputs = jnp.concatenate([cur[:, None], draft], axis=1)   # [B, g+1]
+        slots = lens[:, None] + jr                                # [B, g+1]
+        kv_valid = (col >= pad_lens[:, None]) & \
+                   (col <= (lens + gamma)[:, None])
+        h, cache, _ = model.forward(
+            params, inputs, cfg, qcfg, kv_cache=cache, cache_index=lens,
+            kv_valid=kv_valid, positions=slots - pad_lens[:, None],
+            compute_dtype=compute_dtype)
+        targets = jnp.argmax(model.logits(params, h), axis=-1).astype(jnp.int32)
+        ok = jnp.cumprod((draft == targets[:, :-1]).astype(jnp.int32), axis=1)
+        n_acc = jnp.sum(ok, axis=1)                               # [B] in [0,g]
+        emit = jr <= n_acc[:, None]                               # [B, g+1]
+        # input at slot lens+1+j is target_j (for accepted j): record it so
+        # later drafts can match into freshly generated text too. Masked
+        # writes are routed OUT of bounds (scatter drops OOB indices) —
+        # clamping them in-range would create DUPLICATE indices whose
+        # masked value clobbers the real write (round-2 bug)
+        hist_slots = jnp.where(emit, lens[:, None] + 1 + jr, s_max)
+        history = history.at[rows, hist_slots].set(targets)
+        # out[n_emit + j] = target_j for j <= n_acc
+        out_idx = n_emit[:, None] + jr
+        write = emit & (out_idx < max_new)
+        out = out.at[rows, jnp.where(write, out_idx, max_new)].set(targets)
+        return (cache, history, lens + n_acc + 1,
+                jnp.minimum(n_emit + n_acc + 1, max_new), out)
+
+    out0 = jnp.zeros((b, max_new), jnp.int32)
+    # slot `start` holds the first generated token = emitted token #0
+    out0 = out0.at[:, 0].set(
+        jnp.take_along_axis(history, start_lens[:, None], axis=1)[:, 0])
+    n_emit0 = jnp.ones((b,), jnp.int32)
+    carry = (cache, history, start_lens, n_emit0, out0)
+    _, _, _, _, out = jax.lax.while_loop(cond, body, carry)
+    return out

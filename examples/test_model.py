@@ -26,6 +26,10 @@ def parse_args():
     p.add_argument("--top-k", type=int, default=0, help="0 = off")
     p.add_argument("--top-p", type=float, default=1.0, help="1 = off")
     p.add_argument("--seed", type=int, default=0, help="sampling PRNG seed")
+    p.add_argument("--speculative-gamma", type=int, default=0,
+                   help="prompt-lookup speculative decoding draft length "
+                        "(greedy only; 0 = off)")
+    p.add_argument("--speculative-ngram", type=int, default=3)
     p.add_argument("--max-seq", type=int, default=2048)
     p.add_argument("--kv-dtype", default="bf16", choices=["bf16", "int8"],
                    help="int8 selects the quantized KV cache (2x context "
@@ -68,7 +72,9 @@ def main():
         [ids],
         GenerationConfig(max_new_tokens=args.max_new_tokens,
                          temperature=args.temperature, top_k=args.top_k,
-                         top_p=args.top_p, eos_token_id=tok.eos_token_id),
+                         top_p=args.top_p, eos_token_id=tok.eos_token_id,
+                         speculative_gamma=args.speculative_gamma,
+                         speculative_ngram=args.speculative_ngram),
         seed=args.seed,
     )[0]
     print(tok.decode(ids + out))

@@ -1,0 +1,124 @@
+"""Speculative decoding (serve/speculative.py): greedy-exact by construction
+— every test checks EXACT token equality with the plain greedy engine."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from autosmoothquant_tpu.serve.engine import Engine, GenerationConfig
+from autosmoothquant_tpu.serve.speculative import draft_ngram
+
+
+def _tiny():
+    from autosmoothquant_tpu.models import llama as L
+
+    cfg = L.LlamaConfig(vocab_size=128, hidden_size=64, intermediate_size=128,
+                        num_hidden_layers=2, num_attention_heads=4,
+                        num_key_value_heads=2, max_position_embeddings=256)
+    return L, cfg, L.init_params(cfg, jax.random.PRNGKey(0))
+
+
+def _engine(L, cfg, params, qcfg=None, max_batch=2, max_seq=128):
+    return Engine(L, params, cfg, qcfg, max_batch=max_batch, max_seq=max_seq,
+                  kv_dtype=jnp.float32, compute_dtype=jnp.float32)
+
+
+class TestDraftNgram:
+    def test_finds_most_recent_continuation(self):
+        # ... 5 6 7 9 | 5 6 -> continuation of the LAST earlier "5 6" is 7 9
+        hist = jnp.asarray([[1, 2, 5, 6, 3, 4, 5, 6, 7, 9, 5, 6, 0, 0]],
+                           jnp.int32)
+        known = jnp.asarray([12], jnp.int32)  # tokens [0, 12) known
+        d = draft_ngram(hist, known, gamma=2, ngram=2)
+        assert d.tolist() == [[7, 9]]
+
+    def test_no_match_repeats_current(self):
+        hist = jnp.asarray([[1, 2, 3, 4, 5, 0, 0, 0]], jnp.int32)
+        known = jnp.asarray([5], jnp.int32)
+        d = draft_ngram(hist, known, gamma=3, ngram=2)
+        assert d.tolist() == [[5, 5, 5]]  # current token (slot 4) repeated
+
+
+class TestGreedyEquivalence:
+    def test_random_prompt_matches_greedy(self):
+        L, cfg, params = _tiny()
+        eng = _engine(L, cfg, params)
+        rng = np.random.default_rng(0)
+        ps = [rng.integers(1, 128, size=9).tolist(),
+              rng.integers(1, 128, size=14).tolist()]
+        want = eng.generate(ps, GenerationConfig(max_new_tokens=16))
+        got = eng.generate(ps, GenerationConfig(
+            max_new_tokens=16, speculative_gamma=4))
+        assert got == want
+
+    def test_repetitive_prompt_matches_greedy(self):
+        # high-acceptance regime: the model tends to continue the repetition,
+        # so most drafts verify — the ragged per-row progress path is hot
+        L, cfg, params = _tiny()
+        eng = _engine(L, cfg, params)
+        ps = [[7, 8, 9, 10] * 6, [3, 4] * 10]
+        want = eng.generate(ps, GenerationConfig(max_new_tokens=20))
+        got = eng.generate(ps, GenerationConfig(
+            max_new_tokens=20, speculative_gamma=4, speculative_ngram=2))
+        assert got == want
+
+    def test_int8_quantized_path(self):
+        from autosmoothquant_tpu.convert.pipeline import calibrate_smooth_quantize
+        from autosmoothquant_tpu.quant.config import QuantConfig
+
+        L, cfg, params = _tiny()
+        rng = np.random.default_rng(1)
+        calib = [rng.integers(1, 128, size=(2, 16)).astype(np.int32)
+                 for _ in range(2)]
+        qcfg = QuantConfig(type="int8")
+        qparams, _ = calibrate_smooth_quantize(L, params, cfg, qcfg,
+                                               lambda: iter(calib))
+        eng = _engine(L, cfg, qparams, qcfg)
+        ps = [[5, 6] * 8]
+        want = eng.generate(ps, GenerationConfig(max_new_tokens=12))
+        got = eng.generate(ps, GenerationConfig(
+            max_new_tokens=12, speculative_gamma=3))
+        assert got == want
+
+    def test_eos_truncation(self):
+        L, cfg, params = _tiny()
+        eng = _engine(L, cfg, params)
+        ps = [[11, 12, 13, 14, 15]]
+        base = eng.generate(ps, GenerationConfig(max_new_tokens=12))[0]
+        assert len(base) == 12
+        eos = base[5]
+        want = eng.generate(ps, GenerationConfig(max_new_tokens=12,
+                                                 eos_token_id=eos))
+        got = eng.generate(ps, GenerationConfig(
+            max_new_tokens=12, eos_token_id=eos, speculative_gamma=4))
+        assert got == want
+
+    def test_sharded_mesh_matches_greedy(self):
+        """Speculative decode under a TP mesh must still equal plain greedy
+        (8-dev CPU mesh; forward shards, history/draft ops replicate)."""
+        import pytest
+
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 devices")
+        from autosmoothquant_tpu.shard import make_mesh
+
+        L, cfg, params = _tiny()
+        plain = _engine(L, cfg, params)
+        ps = [[7, 8, 9, 10] * 4, [3, 4] * 7]
+        want = plain.generate(ps, GenerationConfig(max_new_tokens=10))
+        mesh = make_mesh(data=2, model=4)
+        eng = Engine(L, params, cfg, max_batch=2, max_seq=128,
+                     kv_dtype=jnp.float32, compute_dtype=jnp.float32,
+                     mesh=mesh)
+        got = eng.generate(ps, GenerationConfig(
+            max_new_tokens=10, speculative_gamma=4, speculative_ngram=2))
+        assert got == want
+
+    def test_capacity_guard_includes_window(self):
+        import pytest
+
+        L, cfg, params = _tiny()
+        eng = _engine(L, cfg, params, max_seq=32)
+        with pytest.raises(ValueError, match="speculative"):
+            eng.generate([[1] * 20], GenerationConfig(
+                max_new_tokens=10, speculative_gamma=4))
