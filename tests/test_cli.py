@@ -121,3 +121,40 @@ def test_eval_cli_ppl_pipelined(hf_dir, quantized_dir, capsys):
         sys.argv = old
     out = capsys.readouterr().out
     assert "ppl" in out
+
+
+def test_serve_cli(hf_dir, quantized_dir):
+    """serve_model CLI: build the HTTP server from an on-disk quantized
+    checkpoint (text prompts via the local tokenizer) and round-trip a
+    generate request."""
+    import threading
+    import urllib.request
+
+    cli = _load_cli("serve_model")
+    argv = ["serve_model.py",
+            "--quantized-model-path", str(quantized_dir),
+            "--tokenizer-path", str(hf_dir),
+            "--port", "0", "--max-batch", "2", "--max-seq", "64",
+            "--prefill-chunk", "0"]
+    old = sys.argv
+    sys.argv = argv
+    try:
+        api, httpd, family = cli.build(cli.parse_args())
+    finally:
+        sys.argv = old
+    assert family == "llama"
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/generate",
+            data=json.dumps({"prompt": "7 12 9", "max_new_tokens": 4}).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=120) as r:
+            out = json.loads(r.read())
+        assert len(out["tokens"]) == 4
+        assert isinstance(out["text"], str) and out["text"]
+    finally:
+        httpd.shutdown()
+        api.stop()
