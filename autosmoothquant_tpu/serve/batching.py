@@ -40,6 +40,9 @@ class Request:
     temperature: float = 0.0
     top_k: int = 0
     top_p: float = 1.0
+    # id of an engine-registered shared prefix this prompt starts with
+    # (system-prompt KV reuse; see ContinuousEngine.register_prefix)
+    prefix: Any = None
     # filled by the engine:
     output: List[int] = dataclasses.field(default_factory=list)
     done: bool = False
@@ -129,6 +132,12 @@ class ContinuousEngine:
         self._insert_cache = {}
         self._decode_fns = {}
         self._sample1 = None
+        # prefix cache: prefix_id -> (temp_cache [L,1,bucket,...], plen,
+        # last_logits, tokens). Requests submitted with prefix=<id> copy the
+        # prefix K/V into their slot row and prefill only the suffix.
+        self._prefixes: Dict[Any, tuple] = {}
+        self._copy_prefix_cache = {}
+        self.prefill_tokens_processed = 0  # observability (tests assert it)
 
     # -- jitted pieces ------------------------------------------------------
 
@@ -248,11 +257,47 @@ class ContinuousEngine:
 
     def submit(self, uid, prompt: List[int], max_new_tokens: int = 64,
                eos_token_id: Optional[int] = None, temperature: float = 0.0,
-               top_k: int = 0, top_p: float = 1.0) -> Request:
+               top_k: int = 0, top_p: float = 1.0, prefix=None) -> Request:
         req = Request(uid, list(prompt), max_new_tokens, eos_token_id,
-                      temperature, top_k, top_p)
+                      temperature, top_k, top_p, prefix)
         self.waiting.append(req)
         return req
+
+    # -- prefix cache (shared system prompts) --------------------------------
+
+    def register_prefix(self, prefix_id, tokens: List[int]) -> None:
+        """Prefill ``tokens`` ONCE into a detached [L, 1, bucket, ...] cache;
+        requests submitted with prefix=prefix_id copy that K/V into their
+        slot row at admission and prefill only the suffix — prefill FLOPs for
+        a shared system prompt are paid once per prefix, not per request.
+        (The reference has no serving tier at all; this mirrors production
+        TPU serving's prefix caching.)"""
+        from .engine import mesh_context
+
+        toks = list(tokens)
+        assert 0 < len(toks) <= self.max_seq - 1, "prefix must fit max_seq"
+        bucket = min(_bucket(len(toks)), self.max_seq)
+        ids = np.zeros((1, bucket), np.int32)
+        ids[0, :len(toks)] = toks
+        with mesh_context(self.mesh):
+            temp, last = self._prefill(bucket)(self.params, jnp.asarray(ids),
+                                               len(toks))
+        self.prefill_tokens_processed += len(toks)
+        self._prefixes[prefix_id] = (temp, len(toks), last, toks)
+
+    def drop_prefix(self, prefix_id) -> None:
+        self._prefixes.pop(prefix_id, None)
+
+    def _prefix_for(self, req: Request):
+        """The registered prefix entry if the (possibly trimmed) prompt still
+        starts with its tokens, else None."""
+        if req.prefix is None or req.prefix not in self._prefixes:
+            return None
+        entry = self._prefixes[req.prefix]
+        _, plen, _, ptoks = entry
+        if len(req.prompt) < plen or req.prompt[:plen] != ptoks:
+            return None
+        return entry
 
     def _free_slots(self) -> List[int]:
         return [i for i, r in enumerate(self.slot_req)
@@ -297,6 +342,22 @@ class ContinuousEngine:
             req = self.waiting.pop(0)
             row = free.pop(0)
             self._trim(req)
+            pref = self._prefix_for(req)
+            if pref is not None:
+                # shared-prefix admission: copy the registered prefix K/V
+                # into the slot row (same insert jit as whole prefills), then
+                # only the suffix goes through prefill. Garbage in the copied
+                # bucket window beyond plen is never causally reachable and
+                # is overwritten by the suffix chunks.
+                temp, plen, last_logits, _ = pref
+                bucket = temp.k.shape[2] if hasattr(temp, "k") else \
+                    jax.tree.leaves(temp)[0].shape[2]
+                self.pool = self._insert(bucket)(self.pool, temp, row)
+                if len(req.prompt) == plen:
+                    self._activate(row, req, last_logits)
+                else:
+                    self._admitting[row] = {"req": req, "pos": plen}
+                continue
             if self.prefill_chunk is not None:
                 # chunked admission: enqueue; chunks advance one per tick in
                 # _advance_prefills so decode never stalls on a long prompt
@@ -307,6 +368,7 @@ class ContinuousEngine:
             ids[0, :len(req.prompt)] = req.prompt[:bucket]
             temp, last_logits = self._prefill(bucket)(
                 self.params, jnp.asarray(ids), len(req.prompt))
+            self.prefill_tokens_processed += len(req.prompt)
             self.pool = self._insert(bucket)(self.pool, temp, row)
             self._activate(row, req, last_logits)
 
@@ -317,13 +379,16 @@ class ContinuousEngine:
         consistent while holding the compile-variant count at
         log2(max_seq)."""
         done_rows = []
+        # prefix-suffix admissions reach here even with chunking disabled:
+        # treat "no chunking" as one max_seq-sized chunk (the bucket branch)
+        chunk_cap = self.prefill_chunk or self.max_seq
         for row, st in self._admitting.items():
             req, pos = st["req"], st["pos"]
             prompt = req.prompt
             n = len(prompt)
             remaining = n - pos
-            if remaining >= self.prefill_chunk:
-                chunk, start, valid = self.prefill_chunk, pos, self.prefill_chunk
+            if remaining >= chunk_cap:
+                chunk, start, valid = chunk_cap, pos, chunk_cap
                 ids = np.asarray(prompt[start:start + chunk], np.int32)[None]
             else:
                 bucket = min(_bucket(remaining), self.max_seq)
@@ -338,6 +403,7 @@ class ContinuousEngine:
                     ids[0, :n] = prompt
             self.pool, last_logits = self._chunk_prefill(chunk)(
                 self.params, self.pool, jnp.asarray(ids), row, start, valid)
+            self.prefill_tokens_processed += valid
             st["pos"] = start + valid
             if st["pos"] >= n:
                 done_rows.append(row)
