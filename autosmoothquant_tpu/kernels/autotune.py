@@ -25,24 +25,21 @@ from .tuning import LANE, SUBLANE
 
 
 def candidate_blocks(m: int, n: int, k: int,
-                     vmem_budget: int = 12 * 1024 * 1024,
                      max_candidates: Optional[int] = None
                      ) -> List[Tuple[int, int, int]]:
     """Legal (bm, bn, bk) tiles within the VMEM budget, lowest predicted HBM
-    traffic first. Traffic = m*k*(n/bn) + k*n*(m/bm) — x is re-read once per
-    N-tile and w once per M-tile, so BIG bm x bn tiles matter far more than
-    bk (the round-2 finding: the 256x256 default was HBM-bound at 2x the
-    traffic XLA incurs)."""
+    traffic first (tuning.tile_traffic: x is re-read once per N-tile and w
+    once per M-tile, so BIG bm x bn tiles matter far more than bk — the
+    round-2 finding: the 256x256 default was HBM-bound at 2x the traffic
+    XLA incurs). VMEM/traffic models live in kernels/tuning.py so the
+    autotuner and the runtime heuristic cannot drift apart."""
+    from .tuning import tile_fits, tile_traffic
+
     bms = [b for b in (32, 64, 128, 256, 512, 1024) if b <= m and m % b == 0]
     bns = [b for b in (128, 256, 512, 1024, 2048) if b <= n and n % b == 0]
     bks = [b for b in (128, 256, 512, 1024, 2048) if b <= k and k % b == 0]
-    out = []
-    for bm, bn, bk in itertools.product(bms, bns, bks):
-        # double-buffered int8 inputs + int32 acc scratch + out tile
-        if 2 * (bm * bk + bk * bn) + 8 * bm * bn <= vmem_budget:
-            out.append((bm, bn, bk))
-    out.sort(key=lambda c: (m * k * (n // c[1]) + k * n * (m // c[0]),
-                            -c[2]))
+    out = [c for c in itertools.product(bms, bns, bks) if tile_fits(*c)]
+    out.sort(key=lambda c: (tile_traffic(m, n, k, c[0], c[1]), -c[2]))
     return out[:max_candidates] if max_candidates else out
 
 
@@ -184,9 +181,12 @@ def main():
         full = candidate_blocks
 
         def candidate_blocks(m, n, k, **kw):  # noqa: F811
-            legal = set(full(m, n, k, **kw))
+            # legality must come from the UNtruncated list: the curated
+            # tiles are mid-size and would be filtered out by the
+            # traffic-sorted top-N that tune_shape requests
+            legal = set(full(m, n, k))
             return [c for c in QUICK_CANDIDATES if c in legal] or \
-                sorted(legal)[:6]
+                full(m, n, k, max_candidates=6)
     if args.shapes:
         shapes = [tuple(int(x) for x in s.split(",")) for s in args.shapes]
     else:

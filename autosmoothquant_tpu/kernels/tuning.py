@@ -13,6 +13,7 @@ A JSON table can override the heuristic, mirroring igemm_config.in
 
 from __future__ import annotations
 
+import functools
 import json
 import os
 from typing import Dict, Optional, Tuple
@@ -60,6 +61,22 @@ elif os.path.exists(_shipped):
     load_table(_shipped)
 
 
+VMEM_BUDGET = 12 * 1024 * 1024  # conservative slice of the ~16 MiB VMEM
+
+
+def tile_fits(bm: int, bn: int, bk: int, budget: int = VMEM_BUDGET) -> bool:
+    """Double-buffered int8 input tiles + int32 accumulator scratch + output
+    tile within the VMEM budget (single source of truth — the autotuner's
+    candidate filter and the runtime heuristic must agree)."""
+    return 2 * (bm * bk + bk * bn) + 8 * bm * bn <= budget
+
+
+def tile_traffic(m: int, n: int, k: int, bm: int, bn: int) -> int:
+    """Predicted HBM bytes(≈elements) for one GEMM: x is re-read once per
+    N-tile and w once per M-tile."""
+    return m * k * (n // bn) + k * n * (m // bm)
+
+
 def _largest_divisor_block(dim: int, cap: int, step: int) -> Optional[int]:
     """Largest multiple of ``step`` that divides ``dim``, at most ``cap``."""
     best = None
@@ -83,9 +100,17 @@ def pick_blocks(m: int, n: int, k: int) -> Optional[Tuple[int, int, int]]:
     key = (m, n, k)
     if key in _TABLE:
         return _TABLE[key]
+    return _heuristic_blocks(m, n, k)
+
+
+@functools.lru_cache(maxsize=1024)
+def _heuristic_blocks(m: int, n: int, k: int
+                      ) -> Optional[Tuple[int, int, int]]:
+    """The traffic-minimizing search, memoized — shapes recur on every trace
+    (each linear layer, every compile variant); the ~8k-combination scan
+    must not re-run per call."""
     if n % LANE != 0 or k % LANE != 0:
         return None
-    budget = 12 * 1024 * 1024
     best = None
     best_cost = None
     bm = SUBLANE
@@ -98,17 +123,15 @@ def pick_blocks(m: int, n: int, k: int) -> Optional[Tuple[int, int, int]]:
             if n % bn:
                 bn += LANE
                 continue
-            # deepest bk that fits: double-buffered int8 inputs + int32 acc
-            # + out tile
+            # deepest bk that fits the VMEM budget
             bk = None
             cand = LANE
             while cand <= min(2048, k):
-                if k % cand == 0 and \
-                        2 * (bm * cand + cand * bn) + 8 * bm * bn <= budget:
+                if k % cand == 0 and tile_fits(bm, bn, cand):
                     bk = cand
                 cand += LANE
             if bk is not None:
-                cost = (m * k * (n // bn) + k * n * (m // bm), -bk)
+                cost = (tile_traffic(m, n, k, bm, bn), -bk)
                 if best_cost is None or cost < best_cost:
                     best, best_cost = (bm, bn, bk), cost
             bn += LANE

@@ -37,6 +37,7 @@ class ServingAPI:
         self._inbox: List[dict] = []
         self._events: Dict[int, threading.Event] = {}
         self._results: Dict[int, List[int]] = {}
+        self._errors: Dict[int, str] = {}
         self._uid = 0
         self._stop = threading.Event()
         self._thread: Optional[threading.Thread] = None
@@ -58,9 +59,17 @@ class ServingAPI:
                 eos_token_id=eos_token_id, temperature=temperature,
                 top_k=top_k, top_p=top_p))
         if not ev.wait(timeout):
+            # deregister so the scheduler discards (not stores) the late
+            # result — otherwise _events/_results grow without bound
+            with self._lock:
+                self._events.pop(uid, None)
+                self._results.pop(uid, None)
             raise TimeoutError(f"request {uid} timed out")
         with self._lock:
             self._events.pop(uid, None)
+            err = self._errors.pop(uid, None)
+            if err is not None:
+                raise RuntimeError(f"engine error: {err}")
             return self._results.pop(uid)
 
     def stats(self) -> dict:
@@ -74,22 +83,35 @@ class ServingAPI:
     # -- scheduler thread (sole owner of the engine/device) -------------------
 
     def _loop(self):
+        import sys
         import time
+        import traceback
 
         eng = self.engine
         inflight: Dict[int, Any] = {}
         while not self._stop.is_set():
-            with self._lock:
-                new, self._inbox = self._inbox, []
-            for r in new:
-                uid = r.pop("uid")
-                inflight[uid] = eng.submit(uid, **r)
-            busy = (inflight or eng.waiting or eng._admitting
-                    or any(s is not None for s in eng.slot_req))
-            if not busy:
-                time.sleep(self.idle_sleep)
+            try:
+                with self._lock:
+                    new, self._inbox = self._inbox, []
+                for r in new:
+                    uid = r.pop("uid")
+                    inflight[uid] = eng.submit(uid, **r)
+                busy = (inflight or eng.waiting or eng._admitting
+                        or any(s is not None for s in eng.slot_req))
+                if not busy:
+                    time.sleep(self.idle_sleep)
+                    continue
+                eng.step()
+            except Exception as e:  # fail inflight FAST, keep serving
+                traceback.print_exc(file=sys.stderr)
+                with self._lock:
+                    for uid in list(inflight):
+                        self._errors[uid] = f"{type(e).__name__}: {e}"
+                        ev = self._events.get(uid)
+                        if ev is not None:
+                            ev.set()
+                inflight.clear()
                 continue
-            eng.step()
             done = [uid for uid, req in inflight.items() if req.done]
             for uid in done:
                 req = inflight.pop(uid)
@@ -98,8 +120,9 @@ class ServingAPI:
                         and req.eos_token_id in out):
                     out = out[:out.index(req.eos_token_id)]
                 with self._lock:
-                    self._results[uid] = out[:req.max_new_tokens]
                     ev = self._events.get(uid)
+                    if ev is not None:  # absent = client timed out: discard
+                        self._results[uid] = out[:req.max_new_tokens]
                 if ev is not None:
                     ev.set()
 

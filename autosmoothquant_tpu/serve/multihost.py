@@ -35,6 +35,8 @@ import numpy as np
 
 from .batching import ContinuousEngine, Request
 
+_PREFIX_BYTES = 64  # fixed utf-8 marshalling width for Request.prefix ids
+
 
 def _process_info() -> Tuple[int, int]:
     import jax
@@ -60,33 +62,50 @@ def broadcast_requests(requests: Optional[Sequence[Request]],
     reqs = list(requests or [])
     if len(reqs) > max_requests:
         raise ValueError(f"{len(reqs)} requests > max_requests={max_requests}")
+    for r in reqs:
+        if len(r.prompt) > max_prompt:
+            # raising beats silent front-truncation: dropping the TAIL of a
+            # prompt generates a continuation of the wrong text
+            raise ValueError(f"prompt of {len(r.prompt)} tokens exceeds "
+                             f"max_prompt={max_prompt}; raise max_prompt")
+        if r.prefix is not None and not isinstance(r.prefix, str):
+            raise ValueError("multi-host prefix ids must be strings "
+                             "(marshalled as fixed-size utf-8)")
     n = np.zeros((1,), np.int32)
     meta = np.zeros((max_requests, 4), np.int32)   # [plen, max_new, eos+1, top_k]
     samp = np.zeros((max_requests, 2), np.float32)  # [temperature, top_p]
     samp[:, 1] = 1.0
     toks = np.zeros((max_requests, max_prompt), np.int32)
+    pref = np.zeros((max_requests, _PREFIX_BYTES), np.int32)  # utf-8 bytes
     n[0] = len(reqs)
     for i, r in enumerate(reqs):
-        p = list(r.prompt)[:max_prompt]
+        p = list(r.prompt)
         meta[i] = (len(p), r.max_new_tokens,
                    (r.eos_token_id + 1) if r.eos_token_id is not None else 0,
                    r.top_k)
         samp[i] = (r.temperature, r.top_p)
         toks[i, :len(p)] = p
+        if r.prefix is not None:
+            b = r.prefix.encode()[:_PREFIX_BYTES]
+            pref[i, :len(b)] = np.frombuffer(b, np.uint8) + 1  # 0 = none
     if nproc > 1:
         n = np.asarray(multihost_utils.broadcast_one_to_all(n))
         meta = np.asarray(multihost_utils.broadcast_one_to_all(meta))
         samp = np.asarray(multihost_utils.broadcast_one_to_all(samp))
         toks = np.asarray(multihost_utils.broadcast_one_to_all(toks))
+        pref = np.asarray(multihost_utils.broadcast_one_to_all(pref))
     out = []
     for i in range(int(n[0])):
         plen, max_new, eos1, top_k = (int(meta[i, 0]), int(meta[i, 1]),
                                       int(meta[i, 2]), int(meta[i, 3]))
+        pb = pref[i][pref[i] > 0]
+        prefix = (bytes((pb - 1).astype(np.uint8)).decode()
+                  if pb.size else None)
         out.append(Request(uid=i, prompt=toks[i, :plen].tolist(),
                            max_new_tokens=max_new,
                            eos_token_id=(eos1 - 1) if eos1 > 0 else None,
                            temperature=float(samp[i, 0]), top_k=top_k,
-                           top_p=float(samp[i, 1])))
+                           top_p=float(samp[i, 1]), prefix=prefix))
     return out
 
 
@@ -137,6 +156,9 @@ class ShardedServingPool:
 
     def submit(self, uid: int, prompt: List[int], **kw) -> bool:
         """Routes by uid hash; returns True if this process owns it."""
+        if not (0 <= uid < 2**31):
+            raise ValueError(f"uid {uid} must fit int32 (gather marshalling; "
+                             "multi-process JAX disables x64)")
         rank, nproc = _process_info()
         if self._owner(uid, nproc) != rank:
             return False
@@ -155,30 +177,36 @@ class ShardedServingPool:
         Outputs are padded to ``max_new_cap`` int32 and exchanged with
         process_allgather — the same fixed-shape marshalling that replaced
         the object-gather in eval/lm_adapter (object arrays cannot cross
-        process_allgather)."""
-        import jax
+        process_allgather).
+
+        Collectives need IDENTICAL shapes on every process, but uid-hash
+        routing gives hosts different request counts — so the counts (fixed
+        [1] shape) are gathered FIRST and every per-request array is padded
+        to the global max count before its allgather. uids ride int32
+        (multi-process JAX runs with x64 disabled; int64 would be silently
+        downcast) — enforced at submit time via the int32 range check."""
         from jax.experimental import multihost_utils
 
         _, nproc = _process_info()
         n = len(self._local)
-        uids = np.zeros((max(n, 1),), np.int64)
-        lens = np.zeros((max(n, 1),), np.int32)
-        toks = np.zeros((max(n, 1), self.max_new_cap), np.int32)
+        if nproc == 1:
+            return {r.uid: list(r.output)[: self.max_new_cap]
+                    for r in self._local}
+        counts = np.asarray(multihost_utils.process_allgather(
+            np.asarray([n], np.int32))).reshape(nproc)
+        cap = max(int(counts.max()), 1)
+        uids = np.zeros((cap,), np.int32)
+        lens = np.zeros((cap,), np.int32)
+        toks = np.zeros((cap, self.max_new_cap), np.int32)
         for i, r in enumerate(self._local):
             out = list(r.output)[: self.max_new_cap]
             uids[i], lens[i] = r.uid, len(out)
             toks[i, :len(out)] = out
-        counts = np.asarray([n], np.int32)
-        if nproc > 1:
-            counts = np.asarray(
-                multihost_utils.process_allgather(counts)).reshape(nproc)
-            uids = np.asarray(multihost_utils.process_allgather(uids))
-            lens = np.asarray(multihost_utils.process_allgather(lens))
-            toks = np.asarray(multihost_utils.process_allgather(toks))
-            merged: Dict[int, List[int]] = {}
-            for p in range(nproc):
-                for i in range(int(counts[p])):
-                    merged[int(uids[p, i])] = toks[p, i, :int(lens[p, i])].tolist()
-            return merged
-        return {int(uids[i]): toks[i, :int(lens[i])].tolist()
-                for i in range(n)}
+        uids = np.asarray(multihost_utils.process_allgather(uids))
+        lens = np.asarray(multihost_utils.process_allgather(lens))
+        toks = np.asarray(multihost_utils.process_allgather(toks))
+        merged: Dict[int, List[int]] = {}
+        for p in range(nproc):
+            for i in range(int(counts[p])):
+                merged[int(uids[p, i])] = toks[p, i, :int(lens[p, i])].tolist()
+        return merged

@@ -301,9 +301,6 @@ def main():
         # Wall-clock of one full generate each (tokens are identical by
         # construction); the prompt steers generation into repetitive
         # continuation, the regime speculative decoding targets.
-        import jax
-        import jax.numpy as jnp
-
         from autosmoothquant_tpu.models import llama as L
         from autosmoothquant_tpu.quant.config import QuantConfig
         from autosmoothquant_tpu.serve.engine import Engine, GenerationConfig
@@ -324,9 +321,10 @@ def main():
                                     speculative_gamma=gamma)
 
         def run(gc):
+            # eng.generate device_gets the tokens, which is this runtime's
+            # only reliable completion barrier
             t0 = time.perf_counter()
             out = eng.generate(prompt, gc)
-            jax.block_until_ready  # completion via the host list itself
             return out[0], time.perf_counter() - t0
 
         run(plain_cfg)  # compile

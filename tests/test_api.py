@@ -97,6 +97,55 @@ def test_sampling_params_accepted(server):
     assert len(out["tokens"]) == 5
 
 
+def test_engine_error_fails_fast_and_keeps_serving():
+    """One engine exception must fail inflight requests promptly (not hang
+    until timeout), leave no leaked bookkeeping, and keep the API alive."""
+    L, cfg, params, eng = _engine()
+    api = ServingAPI(eng).start()
+    try:
+        boom = {"n": 0}
+        orig = eng.step
+
+        def flaky():
+            if boom["n"] == 0:
+                boom["n"] += 1
+                raise RuntimeError("injected device error")
+            return orig()
+
+        eng.step = flaky
+        with pytest.raises(RuntimeError, match="injected"):
+            api.submit([1, 2, 3], max_new_tokens=4, timeout=30)
+        # recovered: next request succeeds
+        out = api.submit([1, 2, 3], max_new_tokens=4, timeout=60)
+        assert len(out) == 4
+        assert not api._events and not api._results and not api._errors
+    finally:
+        api.stop()
+
+
+def test_timeout_cleans_up_bookkeeping():
+    L, cfg, params, eng = _engine()
+    api = ServingAPI(eng).start()
+    try:
+        # stall the scheduler so the request cannot finish in time
+        orig = eng.step
+        import time as _t
+
+        eng.step = lambda: (_t.sleep(0.4), orig())[1]
+        with pytest.raises(TimeoutError):
+            api.submit([1, 2, 3], max_new_tokens=64, timeout=0.05)
+        eng.step = orig
+        # the late result must be DISCARDED, not leaked
+        deadline = _t.time() + 60
+        while _t.time() < deadline and (api.engine.waiting
+                                        or any(r is not None
+                                               for r in api.engine.slot_req)):
+            _t.sleep(0.05)
+        assert not api._results and not api._events
+    finally:
+        api.stop()
+
+
 def test_health_and_errors(server):
     _, _, _, _, port = server
     with urllib.request.urlopen(f"http://127.0.0.1:{port}/health",

@@ -30,12 +30,35 @@ def _requests(n=3, seed=0):
 def test_broadcast_requests_marshalling():
     reqs = _requests()
     reqs[1].eos_token_id = 7
+    reqs[2].prefix = "system-v1"
     out = broadcast_requests(reqs, max_prompt=64)
     assert len(out) == len(reqs)
     for a, b in zip(reqs, out):
         assert a.prompt == b.prompt
         assert a.max_new_tokens == b.max_new_tokens
         assert a.eos_token_id == b.eos_token_id
+        assert a.prefix == b.prefix  # prefix-cache id survives marshalling
+
+
+def test_broadcast_rejects_oversized_prompt_and_nonstr_prefix():
+    import pytest
+
+    with pytest.raises(ValueError, match="max_prompt"):
+        broadcast_requests([Request(uid=0, prompt=list(range(65)),
+                                    max_new_tokens=2)], max_prompt=64)
+    with pytest.raises(ValueError, match="string"):
+        broadcast_requests([Request(uid=0, prompt=[1], max_new_tokens=2,
+                                    prefix=123)], max_prompt=64)
+
+
+def test_pool_submit_rejects_non_int32_uid():
+    import pytest
+
+    L, cfg, params = _tiny()
+    pool = ShardedServingPool(L, params, cfg, max_batch=2, max_seq=64,
+                              kv_dtype=jnp.float32, compute_dtype=jnp.float32)
+    with pytest.raises(ValueError, match="int32"):
+        pool.submit(2**31, [1, 2, 3])
 
 
 def test_multihost_engine_matches_plain_engine():
