@@ -172,7 +172,8 @@ def _wpack_apply(x, p, qcfg: Optional[QuantConfig], compute_dtype):
 
 def _layer_forward(h, lp, cfg, qcfg, cos, sin, mask, alibi, cache,
                    cache_index, capture, compute_dtype,
-                   plain_causal: bool = False, window=None):
+                   plain_causal: bool = False, window=None,
+                   chunk0: bool = False):
     b, t, d = h.shape
     hd = cfg.head_dim
     n_h = cfg.num_attention_heads
@@ -195,7 +196,8 @@ def _layer_forward(h, lp, cfg, qcfg, cos, sin, mask, alibi, cache,
     if isinstance(cache, tuple):  # carry mode: (full [L,...] cache, layer l)
         new_cache, ctx = update_and_attend(
             q, k, v, None, cache_index, mask, 1.0 / math.sqrt(hd),
-            compute_dtype, window=window, alibi_bias=alibi, carry=cache)
+            compute_dtype, window=window, alibi_bias=alibi, carry=cache,
+            chunk0_causal=chunk0)
     else:
         new_cache, ctx = update_and_attend(
             q, k, v, cache, cache_index, mask, 1.0 / math.sqrt(hd),
@@ -274,6 +276,11 @@ def forward(params, input_ids: jnp.ndarray, cfg: BaichuanConfig,
             alibi, (cfg.num_attention_heads, t, key_pos.shape[0]))
 
     plain_causal = kv_cache is None and attention_mask is None
+    # prefill into an EMPTY cache (static index 0, no pad/valid mask): the
+    # slot mask equals plain causality over the chunk -> flash-prefill path
+    # (Baichuan-13B ALiBi is gated off inside update_and_attend)
+    chunk0 = (kv_cache is not None and kv_valid is None and t > 1
+              and isinstance(cache_index, int) and cache_index == 0)
 
     def step(carry, layer_in):
         lp, layer_cache = layer_in
@@ -294,7 +301,8 @@ def forward(params, input_ids: jnp.ndarray, cfg: BaichuanConfig,
             hh, cache, l = carry
             hh, cache, st = _layer_forward(
                 hh, lp, cfg, quant_config, cos, sin, mask, alibi, (cache, l),
-                cache_index, capture_stats, compute_dtype, window=window)
+                cache_index, capture_stats, compute_dtype, window=window,
+                chunk0=chunk0)
             return (hh, cache, l + 1), (st if capture_stats else None)
 
         (h, new_kv, _), stats = jax.lax.scan(

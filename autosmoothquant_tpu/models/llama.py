@@ -135,7 +135,8 @@ def init_params(cfg: LlamaConfig, key, dtype=jnp.float32) -> Dict[str, Any]:
 def _layer_forward(h, lp, cfg: LlamaConfig, qcfg: Optional[QuantConfig],
                    cos, sin, mask, cache: Optional[KVCacheLayer],
                    cache_index, capture: bool, compute_dtype,
-                   plain_causal: bool = False, window=None):
+                   plain_causal: bool = False, window=None,
+                   chunk0: bool = False):
     """One decoder layer. h: [B, T, D] compute_dtype. Returns (h', cache',
     stats)."""
     b, t, d = h.shape
@@ -177,11 +178,12 @@ def _layer_forward(h, lp, cfg: LlamaConfig, qcfg: Optional[QuantConfig],
     if isinstance(cache, tuple):  # carry mode: (full [L,...] cache, layer l)
         new_cache, ctx = update_and_attend(
             q, k, v, None, cache_index, mask, 1.0 / math.sqrt(hd),
-            compute_dtype, window=window, carry=cache)
+            compute_dtype, window=window, carry=cache, chunk0_causal=chunk0)
     else:
         new_cache, ctx = update_and_attend(
             q, k, v, cache, cache_index, mask, 1.0 / math.sqrt(hd),
-            compute_dtype, window=window, plain_causal=plain_causal)
+            compute_dtype, window=window, plain_causal=plain_causal,
+            chunk0_causal=chunk0)
     ctx = ctx.reshape(b, t, n_q * hd)
     if capture:
         stats["o_in_ch_absmax"] = jnp.max(jnp.abs(ctx.reshape(-1, n_q * hd)), axis=0)
@@ -293,6 +295,10 @@ def forward(params, input_ids: jnp.ndarray, cfg: LlamaConfig,
     cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta)
 
     plain_causal = kv_cache is None and attention_mask is None
+    # prefill into an EMPTY cache (static index 0, no pad/valid mask): the
+    # slot mask equals plain causality over the chunk -> flash-prefill path
+    chunk0 = (kv_cache is not None and kv_valid is None and t > 1
+              and isinstance(cache_index, int) and cache_index == 0)
 
     def step(carry, layer_in):
         hh = carry
@@ -320,7 +326,8 @@ def forward(params, input_ids: jnp.ndarray, cfg: LlamaConfig,
             hh, cache, l = carry
             hh, cache, st = _layer_forward(
                 hh, lp, cfg, quant_config, cos, sin, mask, (cache, l),
-                cache_index, capture_stats, compute_dtype, window=window)
+                cache_index, capture_stats, compute_dtype, window=window,
+                chunk0=chunk0)
             return (hh, cache, l + 1), (st if capture_stats else None)
 
         (h, new_kv, _), stats = jax.lax.scan(

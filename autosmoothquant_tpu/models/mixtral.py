@@ -322,7 +322,8 @@ def _moe_block(x, mp, cfg: MixtralConfig, qcfg, capture, all_experts,
 
 def _layer_forward(h, lp, cfg, qcfg, cos, sin, mask, cache, cache_index,
                    capture, all_experts, compute_dtype,
-                   plain_causal: bool = False, window=None):
+                   plain_causal: bool = False, window=None,
+                   chunk0: bool = False):
     b, t, d = h.shape
     hd = cfg.head_dim
     n_q, n_kv = cfg.num_attention_heads, cfg.num_key_value_heads
@@ -348,7 +349,7 @@ def _layer_forward(h, lp, cfg, qcfg, cos, sin, mask, cache, cache_index,
     if isinstance(cache, tuple):  # carry mode: (full [L,...] cache, layer l)
         new_cache, ctx = update_and_attend(
             q, k, v, None, cache_index, mask, 1.0 / math.sqrt(hd),
-            compute_dtype, window=window, carry=cache)
+            compute_dtype, window=window, carry=cache, chunk0_causal=chunk0)
     else:
         new_cache, ctx = update_and_attend(
             q, k, v, cache, cache_index, mask, 1.0 / math.sqrt(hd),
@@ -407,6 +408,10 @@ def forward(params, input_ids: jnp.ndarray, cfg: MixtralConfig,
     cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta)
 
     plain_causal = kv_cache is None and attention_mask is None
+    # prefill into an EMPTY cache (static index 0, no pad/valid mask): the
+    # slot mask equals plain causality over the chunk -> flash-prefill path
+    chunk0 = (kv_cache is not None and kv_valid is None and t > 1
+              and isinstance(cache_index, int) and cache_index == 0)
 
     def step(carry, layer_in):
         lp, layer_cache = layer_in
@@ -428,7 +433,7 @@ def forward(params, input_ids: jnp.ndarray, cfg: MixtralConfig,
             hh, cache, st = _layer_forward(
                 hh, lp, cfg, quant_config, cos, sin, mask, (cache, l),
                 cache_index, capture_stats, calibrate_all_experts,
-                compute_dtype, window=window)
+                compute_dtype, window=window, chunk0=chunk0)
             return (hh, cache, l + 1), (st if capture_stats else None)
 
         (h, new_kv, _), stats = jax.lax.scan(

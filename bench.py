@@ -296,6 +296,54 @@ def main():
             "bf16kv_tok_per_s": round(tps_bf, 2),
         }))
         return
+    if os.environ.get("ASQ_BENCH_MODE") == "prefill":
+        # prompt-processing throughput (tokens/s through the full forward,
+        # cache writes included) int8 vs bf16 — the compute-bound side of
+        # serving (decode is weight-bandwidth-bound)
+        import jax
+        import jax.numpy as jnp
+
+        from autosmoothquant_tpu.models import llama as L
+        from autosmoothquant_tpu.quant.config import QuantConfig
+
+        preset = os.environ.get("ASQ_BENCH_PRESET", "tinyllama")
+        batch = int(os.environ.get("ASQ_BENCH_BATCH", "4"))
+        t_len = int(os.environ.get("ASQ_BENCH_PROMPT", "1024"))
+        cfg = get_cfg(preset)
+        ids = jnp.asarray(np.random.default_rng(0).integers(
+            0, cfg.vocab_size, size=(batch, t_len)), jnp.int32)
+
+        def tps(params, qcfg):
+            cache = L.init_kv_cache(cfg, batch, t_len, jnp.bfloat16)
+
+            @jax.jit
+            def pf(params, ids, cache):
+                h, cache, _ = L.forward(params, ids, cfg, qcfg,
+                                        kv_cache=cache, cache_index=0,
+                                        compute_dtype=jnp.bfloat16)
+                # consume h so nothing dead-codes; logits excluded (decode
+                # path's cost, not prompt processing)
+                return h.astype(jnp.float32).sum()
+
+            np.asarray(jax.device_get(pf(params, ids, cache)))  # compile
+            reps = int(os.environ.get("ASQ_BENCH_REPS", "7"))
+            ts = []
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                np.asarray(jax.device_get(pf(params, ids, cache)))
+                ts.append(time.perf_counter() - t0)
+            return batch * t_len / float(np.min(ts))
+
+        qcfg = QuantConfig(type="int8")
+        tp_i8 = tps(build_params(cfg, "int8"), qcfg)
+        tp_bf = tps(build_params(cfg, "bf16"), None)
+        print(json.dumps({
+            "metric": f"prefill_tok_per_s_w8a8_int8_{preset}_b{batch}_t{t_len}",
+            "value": round(tp_i8, 1), "unit": "tok/s",
+            "vs_baseline": round(tp_i8 / tp_bf, 4),
+            "bf16_tok_per_s": round(tp_bf, 1),
+        }))
+        return
     if os.environ.get("ASQ_BENCH_MODE") == "spec":
         # prompt-lookup speculative decoding vs plain greedy (b1, int8).
         # Wall-clock of one full generate each (tokens are identical by
