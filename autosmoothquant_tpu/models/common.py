@@ -531,9 +531,42 @@ def _run_decode_layered(mesh, q1, k_full, v_full, layer, lengths, *, scale,
     )(q1, k_full, v_full, k_scale, v_scale, layer, starts, lengths)
 
 
+def _banded_mode() -> str:
+    """auto | off | force (force = interpret off-TPU, for CI equality)."""
+    import os
+
+    return os.environ.get("ASQ_BANDED_PREFILL", "auto")
+
+
+def _run_banded_kernel(mesh, q, k_row, v_row, pos, *, scale, interpret=False):
+    """flash_attention_banded, shard_mapped over (data->batch, model->heads)
+    when an ambient mesh is present (embarrassingly parallel, no
+    collectives; specs match the KV-cache layout)."""
+    from ..kernels.attention import flash_attention_banded
+
+    if mesh is None:
+        return flash_attention_banded(q, k_row, v_row, pos, sm_scale=scale,
+                                      interpret=interpret)
+    from jax.sharding import PartitionSpec as P
+
+    dn = "data" if _mesh_axis(mesh, "data") > 1 else None
+    mn = "model" if _mesh_axis(mesh, "model") > 1 else None
+
+    def local(q_, k_, v_, p_):
+        return flash_attention_banded(q_, k_, v_, p_, sm_scale=scale,
+                                      interpret=interpret)
+
+    return jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(dn, None, mn, None), P(dn, None, mn, None),
+                  P(dn, None, mn, None), P(dn)),
+        out_specs=P(dn, None, mn, None), check_vma=False,
+    )(q, k_row, v_row, pos)
+
+
 def update_and_attend(q, k, v, cache, cache_index, mask, scale, compute_dtype,
                       *, window=None, alibi_bias=None, plain_causal=False,
-                      carry=None, chunk0_causal=False):
+                      carry=None, chunk0_causal=False, banded=False):
     """Cache write + attention for one layer, routing the single-token decode
     step through the flash-decode Pallas kernel when possible (in-VMEM int8
     dequant — the production form of the reference's vestigial int8 BMM
@@ -572,6 +605,57 @@ def update_and_attend(q, k, v, cache, cache_index, mask, scale, compute_dtype,
                   <= jnp.arange(t, dtype=jnp.int32)[:, None])[None, None]
         return new_cache, attend(q, k_att, v_att, causal, scale,
                                  plain_causal=True)
+    if banded and t > 1 and alibi_bias is None and full_cache is not None:
+        # mid-prompt CHUNK prefill (scalar traced cache_index, no kv_valid):
+        # queries at slots [pos, pos+t) attend cache cols <= pos+row — the
+        # banded flash kernel; eager materialized f32 [T, S_max] scores
+        from ..kernels.attention import banded_supported
+
+        mesh = ambient_mesh()
+        dp = _mesh_axis(mesh, "data")
+        mp = _mesh_axis(mesh, "model")
+        bq, tq, hq_, dh = q.shape
+        cache_shape = ((full_cache.k.shape[0],) + full_cache.k.shape[2:]
+                       if carry is not None else full_cache.k.shape)
+        hkv_ = cache_shape[2]
+        mesh_ok = (bq % dp == 0 and hq_ % mp == 0 and hkv_ % mp == 0)
+        ok = mesh_ok and banded_supported(
+            (bq // dp, tq, hq_ // mp, dh),
+            (cache_shape[0] // dp, cache_shape[1], hkv_ // mp, cache_shape[3]))
+        on_tpu = jax.default_backend() == "tpu"
+        partitionable = jax.device_count() == 1 or mesh is not None
+        bmode = _banded_mode()
+        if ok and bmode != "off" and ((on_tpu and partitionable)
+                                      or bmode == "force"):
+            if carry is not None:
+                cache_full, l = carry
+                new_cache = _carry_write(cache_full, l, k, v, cache_index, b, t)
+                k_l = _layer_slice(new_cache.k, l)
+                v_l = _layer_slice(new_cache.v, l)
+                ks_l = (_layer_slice(new_cache.k_scale, l)
+                        if isinstance(new_cache, QuantKVCacheLayer) else None)
+                vs_l = (_layer_slice(new_cache.v_scale, l)
+                        if isinstance(new_cache, QuantKVCacheLayer) else None)
+            else:
+                new_cache = cache_write(cache, k, v, cache_index)
+                k_l, v_l = new_cache.k, new_cache.v
+                ks_l = (new_cache.k_scale
+                        if isinstance(new_cache, QuantKVCacheLayer) else None)
+                vs_l = (new_cache.v_scale
+                        if isinstance(new_cache, QuantKVCacheLayer) else None)
+            ct = jnp.float32 if q.dtype == jnp.float32 else jnp.bfloat16
+            if ks_l is not None:
+                # int8 rows: dequantize into a [S] copy — 2x the int8 bytes,
+                # still far below the eager path's f32 score materialization
+                k_l = (k_l.astype(jnp.float32) * ks_l[..., None]).astype(ct)
+                v_l = (v_l.astype(jnp.float32) * vs_l[..., None]).astype(ct)
+            else:
+                k_l = k_l.astype(ct)
+                v_l = v_l.astype(ct)
+            pos = jnp.broadcast_to(jnp.asarray(cache_index, jnp.int32), (b,))
+            out = _run_banded_kernel(mesh, q.astype(ct), k_l, v_l, pos,
+                                     scale=scale, interpret=not on_tpu)
+            return new_cache, out.astype(q.dtype)
     mode = _flash_decode_mode()
     if (full_cache is not None and t == 1 and window is not None
             and alibi_bias is None and mode in ("on", "force")):

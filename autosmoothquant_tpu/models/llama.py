@@ -136,7 +136,7 @@ def _layer_forward(h, lp, cfg: LlamaConfig, qcfg: Optional[QuantConfig],
                    cos, sin, mask, cache: Optional[KVCacheLayer],
                    cache_index, capture: bool, compute_dtype,
                    plain_causal: bool = False, window=None,
-                   chunk0: bool = False):
+                   chunk0: bool = False, banded: bool = False):
     """One decoder layer. h: [B, T, D] compute_dtype. Returns (h', cache',
     stats)."""
     b, t, d = h.shape
@@ -178,7 +178,7 @@ def _layer_forward(h, lp, cfg: LlamaConfig, qcfg: Optional[QuantConfig],
     if isinstance(cache, tuple):  # carry mode: (full [L,...] cache, layer l)
         new_cache, ctx = update_and_attend(
             q, k, v, None, cache_index, mask, 1.0 / math.sqrt(hd),
-            compute_dtype, window=window, carry=cache, chunk0_causal=chunk0)
+            compute_dtype, window=window, carry=cache, chunk0_causal=chunk0, banded=banded)
     else:
         new_cache, ctx = update_and_attend(
             q, k, v, cache, cache_index, mask, 1.0 / math.sqrt(hd),
@@ -299,6 +299,9 @@ def forward(params, input_ids: jnp.ndarray, cfg: LlamaConfig,
     # slot mask equals plain causality over the chunk -> flash-prefill path
     chunk0 = (kv_cache is not None and kv_valid is None and t > 1
               and isinstance(cache_index, int) and cache_index == 0)
+    # mid-prompt chunk prefill (scalar index > 0, no pad mask): banded flash
+    chunkN = (kv_cache is not None and kv_valid is None and t > 1
+              and getattr(cache_index, "ndim", 0) == 0 and not chunk0)
 
     def step(carry, layer_in):
         hh = carry
@@ -327,7 +330,7 @@ def forward(params, input_ids: jnp.ndarray, cfg: LlamaConfig,
             hh, cache, st = _layer_forward(
                 hh, lp, cfg, quant_config, cos, sin, mask, (cache, l),
                 cache_index, capture_stats, compute_dtype, window=window,
-                chunk0=chunk0)
+                chunk0=chunk0, banded=chunkN)
             return (hh, cache, l + 1), (st if capture_stats else None)
 
         (h, new_kv, _), stats = jax.lax.scan(

@@ -131,7 +131,7 @@ def init_params(cfg: OPTConfig, key, dtype=jnp.float32) -> Dict[str, Any]:
 def _layer_forward(h, lp, cfg: OPTConfig, qcfg: Optional[QuantConfig],
                    mask, cache, cache_index, capture, compute_dtype,
                    plain_causal: bool = False, window=None,
-                   chunk0: bool = False):
+                   chunk0: bool = False, banded: bool = False):
     b, t, d = h.shape
     hd = cfg.head_dim
     n_h = cfg.num_attention_heads
@@ -165,7 +165,7 @@ def _layer_forward(h, lp, cfg: OPTConfig, qcfg: Optional[QuantConfig],
     if isinstance(cache, tuple):  # carry mode: (full [L,...] cache, layer l)
         new_cache, ctx = update_and_attend(
             q, k, v, None, cache_index, mask, 1.0 / math.sqrt(hd),
-            compute_dtype, window=window, carry=cache, chunk0_causal=chunk0)
+            compute_dtype, window=window, carry=cache, chunk0_causal=chunk0, banded=banded)
     else:
         new_cache, ctx = update_and_attend(
             q, k, v, cache, cache_index, mask, 1.0 / math.sqrt(hd),
@@ -270,6 +270,9 @@ def forward(params, input_ids: jnp.ndarray, cfg: OPTConfig,
     # slot mask equals plain causality over the chunk -> flash-prefill path
     chunk0 = (kv_cache is not None and kv_valid is None and t > 1
               and isinstance(cache_index, int) and cache_index == 0)
+    # mid-prompt chunk prefill (scalar index > 0, no pad mask): banded flash
+    chunkN = (kv_cache is not None and kv_valid is None and t > 1
+              and getattr(cache_index, "ndim", 0) == 0 and not chunk0)
 
     def step(carry, layer_in):
         lp, layer_cache = layer_in
@@ -290,7 +293,7 @@ def forward(params, input_ids: jnp.ndarray, cfg: OPTConfig,
             hh, cache, l = carry
             hh, cache, st = _layer_forward(
                 hh, lp, cfg, quant_config, mask, (cache, l), cache_index,
-                capture_stats, compute_dtype, window=window, chunk0=chunk0)
+                capture_stats, compute_dtype, window=window, chunk0=chunk0, banded=chunkN)
             return (hh, cache, l + 1), (st if capture_stats else None)
 
         (h, new_kv, _), stats = jax.lax.scan(
