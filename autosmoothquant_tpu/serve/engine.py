@@ -111,20 +111,25 @@ class Engine:
 
     # -- jitted stages ------------------------------------------------------
 
-    def _prefill_fn(self, prompt_len: int):
-        if prompt_len not in self._prefill:
+    def _prefill_fn(self, prompt_len: int, padded: bool = True):
+        """padded=False (no prompt in the batch needed left-padding — always
+        true at b1) drops kv_valid so the forward takes the chunk0 flash
+        path instead of eager whole-cache attention."""
+        key = (prompt_len, padded)
+        if key not in self._prefill:
             model, cfg, qcfg, cdt = self.model, self.cfg, self.qcfg, self.compute_dtype
 
             @jax.jit
             def prefill(params, ids, positions, kv_valid, cache):
                 h, cache, _ = model.forward(
                     params, ids, cfg, qcfg, kv_cache=cache, cache_index=0,
-                    kv_valid=kv_valid, positions=positions, compute_dtype=cdt)
+                    kv_valid=kv_valid if padded else None,
+                    positions=positions, compute_dtype=cdt)
                 logits = model.logits(params, h[:, -1:, :])[:, 0]
                 return logits, cache
 
-            self._prefill[prompt_len] = prefill
-        return self._prefill[prompt_len]
+            self._prefill[key] = prefill
+        return self._prefill[key]
 
     def _decode_fn(self, num_steps: int):
         key_cfg = num_steps
@@ -221,7 +226,8 @@ class Engine:
             cache = shard_kv_cache(cache, self.mesh, self.cfg)
         dp = "data" if self._dp > 1 else None
         with mesh_context(self.mesh):
-            first_logits, cache = self._prefill_fn(max_len)(
+            first_logits, cache = self._prefill_fn(
+                max_len, padded=bool(pad_lens.max() > 0))(
                 self.params, self._put(ids, P(dp, None)),
                 self._put(positions, P(dp, None)),
                 self._put(valid, P(dp, None)), cache)
