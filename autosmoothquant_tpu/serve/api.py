@@ -10,7 +10,9 @@ per-request events.
 Endpoints:
   POST /generate   {"prompt": [token ids] | "text" (with a tokenizer),
                     "max_new_tokens": int, "temperature": float,
-                    "top_k": int, "top_p": float, "eos_token_id": int|null}
+                    "top_k": int, "top_p": float,
+                    "repetition_penalty": float, "stop": [[ids...], ...],
+                    "eos_token_id": int|null}
                 -> {"tokens": [...], "text": str|null, "uid": int}
   GET  /health  -> {"ok": true, "active": int, "waiting": int}
 
@@ -47,6 +49,7 @@ class ServingAPI:
     def submit(self, prompt: List[int], *, max_new_tokens: int = 64,
                eos_token_id: Optional[int] = None, temperature: float = 0.0,
                top_k: int = 0, top_p: float = 1.0,
+               repetition_penalty: float = 1.0, stop=None,
                timeout: Optional[float] = None) -> List[int]:
         """Thread-safe blocking generate; returns the new tokens."""
         ev = threading.Event()
@@ -57,7 +60,8 @@ class ServingAPI:
             self._inbox.append(dict(
                 uid=uid, prompt=list(prompt), max_new_tokens=max_new_tokens,
                 eos_token_id=eos_token_id, temperature=temperature,
-                top_k=top_k, top_p=top_p))
+                top_k=top_k, top_p=top_p,
+                repetition_penalty=repetition_penalty, stop=stop))
         if not ev.wait(timeout):
             # deregister so the scheduler discards (not stores) the late
             # result — otherwise _events/_results grow without bound
@@ -180,6 +184,9 @@ def _make_handler(api: ServingAPI):
                     temperature=float(req.get("temperature", 0.0)),
                     top_k=int(req.get("top_k", 0)),
                     top_p=float(req.get("top_p", 1.0)),
+                    repetition_penalty=float(
+                        req.get("repetition_penalty", 1.0)),
+                    stop=req.get("stop"),
                     timeout=float(req.get("timeout", 600.0)))
                 text = (api.tokenizer.decode(toks)
                         if api.tokenizer is not None else None)

@@ -40,6 +40,11 @@ class Request:
     temperature: float = 0.0
     top_k: int = 0
     top_p: float = 1.0
+    repetition_penalty: float = 1.0  # 1 = off (HF convention)
+    # multi-token stop sequences (token-id lists); generation ends when the
+    # output ENDS WITH any of them (checked at sync boundaries) and the stop
+    # tokens are stripped from the result — the HF stopping-criteria analog
+    stop: Optional[List[List[int]]] = None
     # id of an engine-registered shared prefix this prompt starts with
     # (system-prompt KV reuse; see ContinuousEngine.register_prefix)
     prefix: Any = None
@@ -122,6 +127,10 @@ class ContinuousEngine:
         self.temps = np.zeros(max_batch, np.float32)
         self.topks = np.zeros(max_batch, np.int32)
         self.topps = np.ones(max_batch, np.float32)
+        self.reppens = np.ones(max_batch, np.float32)
+        # per-slot seen-token mask (repetition penalty); lives on host, is
+        # uploaded per decode call only when a penalized row is active
+        self._seen_np = np.zeros((max_batch, cfg.vocab_size), bool)
         # sampling determinism: every key is fold_in(PRNGKey(seed), event#);
         # the event counter advances with the (deterministic) schedule, so
         # equal seeds give equal tokens — incl. multi-host lockstep serving
@@ -216,50 +225,67 @@ class ContinuousEngine:
             self._chunk_cache[chunk] = prefill_chunk
         return self._chunk_cache[chunk]
 
-    def _decode(self, n: int, sampling: bool = False):
-        if (n, sampling) not in self._decode_fns:
+    def _decode(self, n: int, sampling: bool = False, penalize: bool = False):
+        key_ = (n, sampling, penalize)
+        if key_ not in self._decode_fns:
             model, cfg, qcfg, cdt = self.model, self.cfg, self.qcfg, self.compute_dtype
-            out_sh = ((self._repl, self._kv_shardings, self._repl)
-                      if self._kv_shardings is not None else None)
+            out_sh = None
+            if self._kv_shardings is not None:
+                out_sh = ((self._repl, self._kv_shardings, self._repl)
+                          + ((self._repl,) if penalize else ()))
 
             @functools.partial(jax.jit, donate_argnums=(1,), out_shardings=out_sh)
             def decode(params, pool, toks, lens, active, temps, topks, topps,
-                       key):
+                       key, reppens, seen):
                 """n decode steps for all slots. toks/lens/active and the
                 sampling params: [B]. With sampling=False compiles to plain
-                argmax (no sort, key unused). Returns (tokens [B, n], pool,
-                lens)."""
+                argmax (no sort, key unused); penalize threads the [B, V]
+                seen mask through the scan. Returns (tokens [B, n], pool,
+                lens[, seen])."""
+                rows = jnp.arange(toks.shape[0])
+
                 def step(carry, skey):
-                    toks, pool, lens = carry
+                    toks, pool, lens, seen = carry
                     positions = lens[:, None]
                     h, pool, _ = model.forward(
                         params, toks[:, None], cfg, qcfg, kv_cache=pool,
                         cache_index=lens, positions=positions,
                         compute_dtype=cdt)
                     logits = model.logits(params, h)[:, 0]
+                    if penalize:
+                        from .sampling import apply_repetition_penalty
+
+                        logits = apply_repetition_penalty(logits, seen, reppens)
                     if sampling:
                         from .sampling import sample_per_row
 
                         nxt = sample_per_row(logits, skey, temps, topks, topps)
                     else:
                         nxt = jnp.argmax(logits, -1).astype(jnp.int32)
+                    if penalize:
+                        seen = seen.at[rows, nxt].set(True)
                     lens = lens + active.astype(jnp.int32)
-                    return (nxt, pool, lens), nxt
+                    return (nxt, pool, lens, seen), nxt
 
-                (_, pool, lens), ys = jax.lax.scan(
-                    step, (toks, pool, lens), jax.random.split(key, n))
+                (_, pool, lens, seen), ys = jax.lax.scan(
+                    step, (toks, pool, lens, seen), jax.random.split(key, n))
+                if penalize:
+                    return ys.T, pool, lens, seen
                 return ys.T, pool, lens
 
-            self._decode_fns[(n, sampling)] = decode
-        return self._decode_fns[(n, sampling)]
+            self._decode_fns[key_] = decode
+        return self._decode_fns[key_]
 
     # -- scheduler ----------------------------------------------------------
 
     def submit(self, uid, prompt: List[int], max_new_tokens: int = 64,
                eos_token_id: Optional[int] = None, temperature: float = 0.0,
-               top_k: int = 0, top_p: float = 1.0, prefix=None) -> Request:
+               top_k: int = 0, top_p: float = 1.0,
+               repetition_penalty: float = 1.0, stop=None,
+               prefix=None) -> Request:
         req = Request(uid, list(prompt), max_new_tokens, eos_token_id,
-                      temperature, top_k, top_p, prefix)
+                      temperature, top_k, top_p, repetition_penalty,
+                      stop, prefix)
         self.waiting.append(req)
         return req
 
@@ -309,8 +335,14 @@ class ContinuousEngine:
             # remain or the first generated token would be dropped
             req.prompt = req.prompt[-(self.max_seq - 1):]
 
-    def _first_token(self, last_logits, req: Request) -> int:
+    def _first_token(self, last_logits, req: Request, row: int) -> int:
         """Sample (or argmax) the first post-prefill token [V] -> id."""
+        if req.repetition_penalty != 1.0:
+            # host-side penalty (exact f32, identical math to the device op)
+            lg = np.asarray(jax.device_get(last_logits), np.float32)
+            rp = req.repetition_penalty
+            pen = np.where(lg > 0, lg / rp, lg * rp)
+            last_logits = jnp.asarray(np.where(self._seen_np[row], pen, lg))
         if req.temperature <= 0.0:
             return int(np.asarray(jax.device_get(jnp.argmax(last_logits))))
         from .sampling import sample_per_row
@@ -326,7 +358,12 @@ class ContinuousEngine:
         return int(np.asarray(jax.device_get(tok))[0])
 
     def _activate(self, row: int, req: Request, last_logits):
-        first = self._first_token(last_logits, req)
+        if req.repetition_penalty != 1.0:
+            self._seen_np[row] = False
+            self._seen_np[row, req.prompt] = True
+        first = self._first_token(last_logits, req, row)
+        if req.repetition_penalty != 1.0:
+            self._seen_np[row, first] = True
         req.output.append(first)
         self.slot_req[row] = req
         self.lens[row] = len(req.prompt)
@@ -334,6 +371,7 @@ class ContinuousEngine:
         self.temps[row] = req.temperature
         self.topks[row] = req.top_k
         self.topps[row] = req.top_p
+        self.reppens[row] = req.repetition_penalty
         self._check_done(row)
 
     def _admit(self):
@@ -411,21 +449,36 @@ class ContinuousEngine:
         for row in done_rows:
             del self._admitting[row]
 
+    @staticmethod
+    def _stop_hit(output: List[int], stop) -> int:
+        """Length of the stop sequence the output ends with (0 = none)."""
+        if not stop:
+            return 0
+        for s in stop:
+            if s and len(output) >= len(s) and output[-len(s):] == list(s):
+                return len(s)
+        return 0
+
     def _check_done(self, row: int):
         req = self.slot_req[row]
         if req is None:
             return
         eos_hit = (req.eos_token_id is not None
                    and req.output and req.output[-1] == req.eos_token_id)
+        stop_n = self._stop_hit(req.output, req.stop)
         budget = len(req.output) >= req.max_new_tokens
         overflow = self.lens[row] + 1 >= self.max_seq
-        if eos_hit or budget or overflow:
+        if eos_hit or stop_n or budget or overflow:
             if eos_hit:
                 req.output = req.output[:-1]
+            elif stop_n:
+                req.output = req.output[:-stop_n]
             req.done = True
             self.slot_req[row] = None
             self.lens[row] = 0
-            self.temps[row] = 0.0  # freed row must not force the sampling variant
+            # freed row must not force the sampling/penalize variants
+            self.temps[row] = 0.0
+            self.reppens[row] = 1.0
 
     def step(self):
         """One scheduler tick: admit, advance in-flight prefills by one
@@ -459,13 +512,21 @@ class ContinuousEngine:
         # bounds, so the scatter drops those writes entirely.
         lens_dec = np.where(active, self.lens, self.max_seq).astype(np.int32)
         sampling = bool((self.temps > 0.0)[active].any())
+        penalize = bool((self.reppens != 1.0)[active].any())
         key = jax.random.fold_in(jax.random.PRNGKey(self.seed), self._event)
         self._event += 1
-        toks, pool, lens = self._decode(n, sampling)(
+        seen = (jnp.asarray(self._seen_np) if penalize
+                else jnp.zeros((self.max_batch, 1), bool))
+        out = self._decode(n, sampling, penalize)(
             self.params, self.pool, jnp.asarray(self.pending_tok),
             jnp.asarray(lens_dec), jnp.asarray(active),
             jnp.asarray(self.temps), jnp.asarray(self.topks),
-            jnp.asarray(self.topps), key)
+            jnp.asarray(self.topps), key, jnp.asarray(self.reppens), seen)
+        if penalize:
+            toks, pool, lens, seen_out = out
+            self._seen_np = np.asarray(jax.device_get(seen_out))
+        else:
+            toks, pool, lens = out
         toks = np.asarray(jax.device_get(toks))
         self.pool = pool
         # keep inactive rows' real lens (they ran with the out-of-bounds
@@ -478,6 +539,7 @@ class ContinuousEngine:
             for t in toks[row]:
                 req.output.append(int(t))
                 if ((req.eos_token_id is not None and int(t) == req.eos_token_id)
+                        or self._stop_hit(req.output, req.stop)
                         or len(req.output) >= req.max_new_tokens):
                     break
             self.pending_tok[row] = req.output[-1]

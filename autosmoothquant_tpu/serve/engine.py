@@ -39,7 +39,13 @@ class GenerationConfig:
     temperature: float = 0.0  # 0 => greedy (test_model.py uses greedy)
     top_k: int = 0            # 0 => no top-k filter
     top_p: float = 1.0        # 1 => no nucleus filter
+    repetition_penalty: float = 1.0  # 1 => off (HF convention; applies to
+    # greedy too — seen tokens' positive logits divide, negative multiply)
     eos_token_id: Optional[int] = None
+    # multi-token stop sequences as a TUPLE OF TUPLES of token ids (the
+    # config is a static jit argument, so it must stay hashable); output is
+    # truncated at the first occurrence, stop tokens stripped
+    stop: Optional[tuple] = None
     # speculative decoding (greedy only): draft length per verify step and
     # the prompt-lookup match length; 0 disables (serve/speculative.py)
     speculative_gamma: int = 0
@@ -52,6 +58,20 @@ def _sample(logits_f32, key, gen_cfg: GenerationConfig):
 
     return sample(logits_f32, key, gen_cfg.temperature, gen_cfg.top_k,
                   gen_cfg.top_p)
+
+
+def _truncate_at_stop(row, stop):
+    """Cut at the FIRST occurrence of any stop sequence (stop stripped)."""
+    cut = len(row)
+    for s in stop:
+        s = list(s)
+        if not s:
+            continue
+        for j in range(len(row) - len(s) + 1):
+            if row[j:j + len(s)] == s:
+                cut = min(cut, j)
+                break
+    return row[:cut]
 
 
 class Engine:
@@ -138,9 +158,23 @@ class Engine:
 
             @functools.partial(jax.jit, static_argnames=("gen_cfg",))
             def decode(params, first_logits, cache, kv_valid, start_slot,
-                       pad_lens, rng_key, gen_cfg: GenerationConfig):
+                       pad_lens, rng_key, seen, gen_cfg: GenerationConfig):
+                rp = gen_cfg.repetition_penalty
+                rows = jnp.arange(seen.shape[0])
+                rp_vec = jnp.full((seen.shape[0],), rp, jnp.float32)
+
+                def pick(logits, key, seen):
+                    if rp != 1.0:
+                        from .sampling import apply_repetition_penalty
+
+                        logits = apply_repetition_penalty(logits, seen, rp_vec)
+                    tok = _sample(logits, key, gen_cfg)
+                    if rp != 1.0:
+                        seen = seen.at[rows, tok].set(True)
+                    return tok, seen
+
                 def step(carry, key):
-                    tok, cache, kv_valid, slot = carry
+                    tok, cache, kv_valid, slot, seen = carry
                     positions = (slot - pad_lens)[:, None]
                     kv_valid = kv_valid.at[:, slot].set(True)
                     h, cache, _ = model.forward(
@@ -148,14 +182,14 @@ class Engine:
                         cache_index=slot, kv_valid=kv_valid,
                         positions=positions, compute_dtype=cdt)
                     logits = model.logits(params, h)[:, 0]
-                    next_tok = _sample(logits, key, gen_cfg)
-                    return (next_tok, cache, kv_valid, slot + 1), next_tok
+                    next_tok, seen = pick(logits, key, seen)
+                    return (next_tok, cache, kv_valid, slot + 1, seen), next_tok
 
                 key0, key_rest = jax.random.split(rng_key)
-                tok0 = _sample(first_logits, key0, gen_cfg)
+                tok0, seen = pick(first_logits, key0, seen)
                 keys = jax.random.split(key_rest, num_steps)
-                (_, cache, kv_valid, _), ys = jax.lax.scan(
-                    step, (tok0, cache, kv_valid, start_slot), keys)
+                (_, cache, kv_valid, _, _), ys = jax.lax.scan(
+                    step, (tok0, cache, kv_valid, start_slot, seen), keys)
                 all_toks = jnp.concatenate([tok0[:, None], ys.T], axis=1)
                 return all_toks, cache, kv_valid
 
@@ -200,7 +234,11 @@ class Engine:
         # capacity guard: cache writes past max_seq would be silently clamped/
         # dropped by dynamic_update_slice / the kv_valid scatter, corrupting
         # generation instead of erroring
-        spec = gen_cfg.speculative_gamma if gen_cfg.temperature == 0.0 else 0
+        # speculative decoding is plain-greedy only (sampling / repetition
+        # penalty fall back to the scan decode)
+        spec = gen_cfg.speculative_gamma if (
+            gen_cfg.temperature == 0.0
+            and gen_cfg.repetition_penalty == 1.0) else 0
         if max_len + gen_cfg.max_new_tokens + spec > self.max_seq:
             raise ValueError(
                 f"prompt ({max_len} tokens) + max_new_tokens "
@@ -246,16 +284,25 @@ class Engine:
                     jnp.full((b,), max_len, jnp.int32),
                     self._put(pad_lens, P(dp)))
             else:
+                if gen_cfg.repetition_penalty != 1.0:
+                    seen = np.zeros((b, self.cfg.vocab_size), bool)
+                    for i, p in enumerate(prompts):
+                        seen[i, list(p)] = True
+                else:
+                    seen = np.zeros((b, 1), bool)  # dummy (rp is static)
                 toks, _, _ = self._decode_fn(n - 1)(
                     self.params, first_logits, cache,
                     self._put(valid, P(dp, None)),
                     jnp.int32(max_len), self._put(pad_lens, P(dp)),
-                    jax.random.PRNGKey(seed), gen_cfg)
+                    jax.random.PRNGKey(seed), self._put(seen, P(dp, None)),
+                    gen_cfg)
         out = np.asarray(jax.device_get(toks))
         results = []
         for i in range(n_real):
             row = out[i].tolist()
             if gen_cfg.eos_token_id is not None and gen_cfg.eos_token_id in row:
                 row = row[: row.index(gen_cfg.eos_token_id)]
+            if gen_cfg.stop:
+                row = _truncate_at_stop(row, gen_cfg.stop)
             results.append(row)
         return results

@@ -73,8 +73,9 @@ def broadcast_requests(requests: Optional[Sequence[Request]],
                              "(marshalled as fixed-size utf-8)")
     n = np.zeros((1,), np.int32)
     meta = np.zeros((max_requests, 4), np.int32)   # [plen, max_new, eos+1, top_k]
-    samp = np.zeros((max_requests, 2), np.float32)  # [temperature, top_p]
+    samp = np.zeros((max_requests, 3), np.float32)  # [temp, top_p, rep_pen]
     samp[:, 1] = 1.0
+    samp[:, 2] = 1.0
     toks = np.zeros((max_requests, max_prompt), np.int32)
     pref = np.zeros((max_requests, _PREFIX_BYTES), np.int32)  # utf-8 bytes
     n[0] = len(reqs)
@@ -83,7 +84,7 @@ def broadcast_requests(requests: Optional[Sequence[Request]],
         meta[i] = (len(p), r.max_new_tokens,
                    (r.eos_token_id + 1) if r.eos_token_id is not None else 0,
                    r.top_k)
-        samp[i] = (r.temperature, r.top_p)
+        samp[i] = (r.temperature, r.top_p, r.repetition_penalty)
         toks[i, :len(p)] = p
         if r.prefix is not None:
             b = r.prefix.encode()[:_PREFIX_BYTES]
@@ -105,7 +106,9 @@ def broadcast_requests(requests: Optional[Sequence[Request]],
                            max_new_tokens=max_new,
                            eos_token_id=(eos1 - 1) if eos1 > 0 else None,
                            temperature=float(samp[i, 0]), top_k=top_k,
-                           top_p=float(samp[i, 1]), prefix=prefix))
+                           top_p=float(samp[i, 1]),
+                           repetition_penalty=float(samp[i, 2]),
+                           prefix=prefix))
     return out
 
 

@@ -52,6 +52,20 @@ def _thresholds_per_row(scaled, top_k, top_p):
     return jnp.maximum(kth, pth)
 
 
+def apply_repetition_penalty(logits, seen, penalty):
+    """HF-convention repetition penalty: for vocabulary entries already seen
+    in the context (prompt + generated), positive logits divide by the
+    penalty and negative ones multiply (ref behavior of the HF generate the
+    reference drives, examples/test_model.py:51).
+
+    logits: [B, V] f32; seen: bool [B, V]; penalty: [B] f32 (1 = off).
+    """
+    logits = logits.astype(jnp.float32)
+    p = penalty[:, None]
+    pen = jnp.where(logits > 0, logits / p, logits * p)
+    return jnp.where(seen & (p != 1.0), pen, logits)
+
+
 def sample_per_row(logits, key, temperature, top_k, top_p):
     """[B, V] logits -> [B] int32 tokens; per-row sampling parameters.
 

@@ -25,6 +25,8 @@ def parse_args():
                    help="0 = greedy; >0 samples (with --top-k/--top-p)")
     p.add_argument("--top-k", type=int, default=0, help="0 = off")
     p.add_argument("--top-p", type=float, default=1.0, help="1 = off")
+    p.add_argument("--repetition-penalty", type=float, default=1.0,
+                   help="1 = off (HF convention)")
     p.add_argument("--seed", type=int, default=0, help="sampling PRNG seed")
     p.add_argument("--speculative-gamma", type=int, default=0,
                    help="prompt-lookup speculative decoding draft length "
@@ -72,7 +74,9 @@ def main():
         [ids],
         GenerationConfig(max_new_tokens=args.max_new_tokens,
                          temperature=args.temperature, top_k=args.top_k,
-                         top_p=args.top_p, eos_token_id=tok.eos_token_id,
+                         top_p=args.top_p,
+                         repetition_penalty=args.repetition_penalty,
+                         eos_token_id=tok.eos_token_id,
                          speculative_gamma=args.speculative_gamma,
                          speculative_ngram=args.speculative_ngram),
         seed=args.seed,

@@ -178,3 +178,136 @@ class TestContinuousSampling:
         assert out[0].temperature == pytest.approx(0.7)
         assert out[0].top_k == 5
         assert out[0].top_p == pytest.approx(0.9)
+
+
+class TestRepetitionPenalty:
+    def test_penalty_math(self):
+        from autosmoothquant_tpu.serve.sampling import apply_repetition_penalty
+
+        lg = jnp.asarray([[2.0, -1.0, 0.5, -3.0]], jnp.float32)
+        seen = jnp.asarray([[True, True, False, False]])
+        out = apply_repetition_penalty(lg, seen, jnp.asarray([2.0]))
+        np.testing.assert_allclose(np.asarray(out[0]),
+                                   [1.0, -2.0, 0.5, -3.0])
+        # penalty 1 = identity even on seen entries
+        out1 = apply_repetition_penalty(lg, seen, jnp.asarray([1.0]))
+        np.testing.assert_array_equal(np.asarray(out1), np.asarray(lg))
+
+    def test_engine_penalty_breaks_repetition(self):
+        from autosmoothquant_tpu.serve.engine import Engine, GenerationConfig
+
+        L, cfg, params = _tiny()
+        eng = Engine(L, params, cfg, max_batch=1, max_seq=128,
+                     kv_dtype=jnp.float32, compute_dtype=jnp.float32)
+        ps = [[7, 8] * 10]  # drives the tiny model into a loop
+        plain = eng.generate(ps, GenerationConfig(max_new_tokens=16))[0]
+        pen = eng.generate(ps, GenerationConfig(
+            max_new_tokens=16, repetition_penalty=5.0))[0]
+        assert pen != plain
+        # a strong penalty shortens the longest repeated run
+        def longest_run(xs):
+            best = cur = 1
+            for a, b in zip(xs, xs[1:]):
+                cur = cur + 1 if a == b else 1
+                best = max(best, cur)
+            return best
+        assert len(set(pen)) >= len(set(plain))
+
+    def test_continuous_mixed_penalty_batch(self):
+        """A penalized row must not perturb plain rows sharing the step."""
+        from autosmoothquant_tpu.serve.batching import ContinuousEngine
+
+        L, cfg, params = _tiny()
+        ps = _prompts(3, seed=4)
+        plain = ContinuousEngine(L, params, cfg, max_batch=4, max_seq=64,
+                                 kv_dtype=jnp.float32,
+                                 compute_dtype=jnp.float32)
+        for i, p in enumerate(ps):
+            plain.submit(i, p, max_new_tokens=6)
+        want = plain.run()
+
+        mixed = ContinuousEngine(L, params, cfg, max_batch=4, max_seq=64,
+                                 kv_dtype=jnp.float32,
+                                 compute_dtype=jnp.float32)
+        mixed.submit(0, ps[0], max_new_tokens=6)
+        mixed.submit(1, ps[1], max_new_tokens=6, repetition_penalty=4.0)
+        mixed.submit(2, ps[2], max_new_tokens=6)
+        got = mixed.run()
+        assert got[0] == want[0] and got[2] == want[2]
+        assert len(got[1]) == 6
+
+    def test_engine_vs_continuous_penalty_agree(self):
+        """Same greedy penalized request through both engines -> same tokens
+        (both apply the penalty to prompt+generated context in f32)."""
+        from autosmoothquant_tpu.serve.batching import ContinuousEngine
+        from autosmoothquant_tpu.serve.engine import Engine, GenerationConfig
+
+        L, cfg, params = _tiny()
+        p = [5, 6, 7] * 6
+        eng = Engine(L, params, cfg, max_batch=1, max_seq=64,
+                     kv_dtype=jnp.float32, compute_dtype=jnp.float32)
+        want = eng.generate([p], GenerationConfig(
+            max_new_tokens=10, repetition_penalty=3.0))[0]
+        ce = ContinuousEngine(L, params, cfg, max_batch=2, max_seq=64,
+                              kv_dtype=jnp.float32, compute_dtype=jnp.float32)
+        ce.submit(0, p, max_new_tokens=10, repetition_penalty=3.0)
+        got = ce.run()[0]
+        assert got == want
+
+    def test_multihost_broadcast_carries_penalty(self):
+        from autosmoothquant_tpu.serve.batching import Request
+        from autosmoothquant_tpu.serve.multihost import broadcast_requests
+
+        out = broadcast_requests([Request(uid=0, prompt=[1, 2], max_new_tokens=2,
+                                          repetition_penalty=1.3)],
+                                 max_prompt=8)
+        assert abs(out[0].repetition_penalty - 1.3) < 1e-6
+
+
+class TestStopSequences:
+    def test_engine_stop_truncates(self):
+        from autosmoothquant_tpu.serve.engine import Engine, GenerationConfig
+
+        L, cfg, params = _tiny()
+        eng = Engine(L, params, cfg, max_batch=1, max_seq=64,
+                     kv_dtype=jnp.float32, compute_dtype=jnp.float32)
+        p = _prompts(1)[0]
+        base = eng.generate([p], GenerationConfig(max_new_tokens=12))[0]
+        # pick a bigram at its FIRST occurrence (truncation is first-match)
+        j = next(j for j in range(2, 10)
+                 if base[j:j + 2] not in [base[i:i + 2] for i in range(j)])
+        stop = (tuple(base[j:j + 2]),)
+        got = eng.generate([p], GenerationConfig(max_new_tokens=12,
+                                                 stop=stop))[0]
+        assert got == base[:j]
+
+    def test_continuous_stop_matches_engine(self):
+        from autosmoothquant_tpu.serve.batching import ContinuousEngine
+        from autosmoothquant_tpu.serve.engine import Engine, GenerationConfig
+
+        L, cfg, params = _tiny()
+        p = _prompts(1)[0]
+        eng = Engine(L, params, cfg, max_batch=1, max_seq=64,
+                     kv_dtype=jnp.float32, compute_dtype=jnp.float32)
+        base = eng.generate([p], GenerationConfig(max_new_tokens=12))[0]
+        j = next(j for j in range(2, 10)
+                 if base[j:j + 2] not in [base[i:i + 2] for i in range(j)])
+        stop = [base[j:j + 2]]
+        ce = ContinuousEngine(L, params, cfg, max_batch=2, max_seq=64,
+                              kv_dtype=jnp.float32, compute_dtype=jnp.float32)
+        ce.submit(0, p, max_new_tokens=12, stop=stop)
+        got = ce.run()[0]
+        assert got == base[:j]
+
+    def test_no_stop_unchanged(self):
+        from autosmoothquant_tpu.serve.batching import ContinuousEngine
+
+        L, cfg, params = _tiny()
+        p = _prompts(1)[0]
+        a = ContinuousEngine(L, params, cfg, max_batch=2, max_seq=64,
+                             kv_dtype=jnp.float32, compute_dtype=jnp.float32)
+        a.submit(0, p, max_new_tokens=8)
+        b = ContinuousEngine(L, params, cfg, max_batch=2, max_seq=64,
+                             kv_dtype=jnp.float32, compute_dtype=jnp.float32)
+        b.submit(0, p, max_new_tokens=8, stop=[[999]])  # never occurs
+        assert a.run()[0] == b.run()[0]
