@@ -132,6 +132,28 @@ def init_params(cfg: LlamaConfig, key, dtype=jnp.float32) -> Dict[str, Any]:
 # ---------------------------------------------------------------------------
 
 
+def _use_fused_mlp(mp, down_p, m: int, k: int, inter: int) -> bool:
+    """Gate for the fused silu-mul-requant MLP kernel: int8 fused gate|up
+    weight, per-tensor (quant_scale-carrying) down projection, aligned
+    shapes, single device (TP shards the fused weight's column halves
+    non-contiguously — kernel mesh support is ROADMAP). ASQ_FUSED_MLP:
+    auto | off | force (force = interpret off-TPU, CI equality)."""
+    import os
+
+    from ..kernels.mlp import fused_mlp_supported
+    from .common import ambient_mesh
+
+    mode = os.environ.get("ASQ_FUSED_MLP", "auto")
+    if mode == "off" or mp["w"].dtype != jnp.int8 or "quant_scale" not in down_p:
+        return False
+    if not fused_mlp_supported(m, k, inter):
+        return False
+    if mode == "force":
+        return True
+    return (jax.default_backend() == "tpu" and jax.device_count() == 1
+            and ambient_mesh() is None)
+
+
 def _layer_forward(h, lp, cfg: LlamaConfig, qcfg: Optional[QuantConfig],
                    cos, sin, mask, cache: Optional[KVCacheLayer],
                    cache_index, capture: bool, compute_dtype,
@@ -207,6 +229,20 @@ def _layer_forward(h, lp, cfg: LlamaConfig, qcfg: Optional[QuantConfig],
             interpret=jax.default_backend() != "tpu")
         h = h2.reshape(b, t, d)
         mp = lp["mlp"].get("gateup")
+        down_p = lp["mlp"]["down"]
+        if mp is not None and _use_fused_mlp(mp, down_p, b * t, d,
+                                             cfg.intermediate_size):
+            # whole MLP-up in one kernel: int8 GEMM pair + silu*mul +
+            # requant, the [M, 2I] fp intermediate never touches HBM
+            # (kernels/mlp.py)
+            from ..kernels.mlp import fused_mlp_int8
+
+            act_q = fused_mlp_int8(
+                x2_q, mp["w"], mp["dequant_scale"], down_p["quant_scale"],
+                interpret=jax.default_backend() != "tpu")
+            down = linear_prequant(act_q, down_p, compute_dtype
+                                   ).reshape(b, t, d)
+            return h + down, new_cache, stats
         if mp is not None:
             proj = linear_prequant(x2_q, mp, compute_dtype).reshape(b, t, -1)
             gate = proj[..., : cfg.intermediate_size]
