@@ -50,7 +50,8 @@ class ServingAPI:
                eos_token_id: Optional[int] = None, temperature: float = 0.0,
                top_k: int = 0, top_p: float = 1.0,
                repetition_penalty: float = 1.0, stop=None,
-               timeout: Optional[float] = None) -> List[int]:
+               want_logprobs: bool = False,
+               timeout: Optional[float] = None):
         """Thread-safe blocking generate; returns the new tokens."""
         ev = threading.Event()
         with self._lock:
@@ -61,7 +62,8 @@ class ServingAPI:
                 uid=uid, prompt=list(prompt), max_new_tokens=max_new_tokens,
                 eos_token_id=eos_token_id, temperature=temperature,
                 top_k=top_k, top_p=top_p,
-                repetition_penalty=repetition_penalty, stop=stop))
+                repetition_penalty=repetition_penalty, stop=stop,
+                want_logprobs=want_logprobs))
         if not ev.wait(timeout):
             # deregister so the scheduler discards (not stores) the late
             # result — otherwise _events/_results grow without bound
@@ -74,7 +76,8 @@ class ServingAPI:
             err = self._errors.pop(uid, None)
             if err is not None:
                 raise RuntimeError(f"engine error: {err}")
-            return self._results.pop(uid)
+            toks, lps = self._results.pop(uid)
+            return (toks, lps) if want_logprobs else toks
 
     def stats(self) -> dict:
         eng = self.engine
@@ -126,7 +129,9 @@ class ServingAPI:
                 with self._lock:
                     ev = self._events.get(uid)
                     if ev is not None:  # absent = client timed out: discard
-                        self._results[uid] = out[:req.max_new_tokens]
+                        n_out = len(out[:req.max_new_tokens])
+                        self._results[uid] = (out[:req.max_new_tokens],
+                                              req.logprobs[:n_out])
                 if ev is not None:
                     ev.set()
 
@@ -177,7 +182,8 @@ def _make_handler(api: ServingAPI):
                     prompt = api.tokenizer(prompt).input_ids
                 if not isinstance(prompt, list) or not prompt:
                     raise ValueError("prompt must be a non-empty list or text")
-                toks = api.submit(
+                want_lp = bool(req.get("logprobs", False))
+                res = api.submit(
                     [int(t) for t in prompt],
                     max_new_tokens=int(req.get("max_new_tokens", 64)),
                     eos_token_id=req.get("eos_token_id"),
@@ -187,10 +193,15 @@ def _make_handler(api: ServingAPI):
                     repetition_penalty=float(
                         req.get("repetition_penalty", 1.0)),
                     stop=req.get("stop"),
+                    want_logprobs=want_lp,
                     timeout=float(req.get("timeout", 600.0)))
+                toks, lps = res if want_lp else (res, None)
                 text = (api.tokenizer.decode(toks)
                         if api.tokenizer is not None else None)
-                self._send(200, {"tokens": toks, "text": text})
+                payload = {"tokens": toks, "text": text}
+                if want_lp:
+                    payload["logprobs"] = lps
+                self._send(200, payload)
             except Exception as e:  # surface as a JSON error, keep serving
                 self._send(400, {"error": f"{type(e).__name__}: {e}"})
 

@@ -48,8 +48,11 @@ class Request:
     # id of an engine-registered shared prefix this prompt starts with
     # (system-prompt KV reuse; see ContinuousEngine.register_prefix)
     prefix: Any = None
+    # return each token's RAW-model log-probability alongside the output
+    want_logprobs: bool = False
     # filled by the engine:
     output: List[int] = dataclasses.field(default_factory=list)
+    logprobs: List[float] = dataclasses.field(default_factory=list)
     done: bool = False
 
 
@@ -225,14 +228,16 @@ class ContinuousEngine:
             self._chunk_cache[chunk] = prefill_chunk
         return self._chunk_cache[chunk]
 
-    def _decode(self, n: int, sampling: bool = False, penalize: bool = False):
-        key_ = (n, sampling, penalize)
+    def _decode(self, n: int, sampling: bool = False, penalize: bool = False,
+                want_lp: bool = False):
+        key_ = (n, sampling, penalize, want_lp)
         if key_ not in self._decode_fns:
             model, cfg, qcfg, cdt = self.model, self.cfg, self.qcfg, self.compute_dtype
             out_sh = None
             if self._kv_shardings is not None:
                 out_sh = ((self._repl, self._kv_shardings, self._repl)
-                          + ((self._repl,) if penalize else ()))
+                          + ((self._repl,) if penalize else ())
+                          + ((self._repl,) if want_lp else ()))
 
             @functools.partial(jax.jit, donate_argnums=(1,), out_shardings=out_sh)
             def decode(params, pool, toks, lens, active, temps, topks, topps,
@@ -252,6 +257,7 @@ class ContinuousEngine:
                         cache_index=lens, positions=positions,
                         compute_dtype=cdt)
                     logits = model.logits(params, h)[:, 0]
+                    raw = logits
                     if penalize:
                         from .sampling import apply_repetition_penalty
 
@@ -264,14 +270,22 @@ class ContinuousEngine:
                         nxt = jnp.argmax(logits, -1).astype(jnp.int32)
                     if penalize:
                         seen = seen.at[rows, nxt].set(True)
+                    if want_lp:
+                        lsm = jax.nn.log_softmax(raw.astype(jnp.float32), -1)
+                        lp = jnp.take_along_axis(lsm, nxt[:, None], 1)[:, 0]
+                    else:
+                        lp = jnp.zeros(nxt.shape, jnp.float32)
                     lens = lens + active.astype(jnp.int32)
-                    return (nxt, pool, lens, seen), nxt
+                    return (nxt, pool, lens, seen), (nxt, lp)
 
-                (_, pool, lens, seen), ys = jax.lax.scan(
+                (_, pool, lens, seen), (ys, lps) = jax.lax.scan(
                     step, (toks, pool, lens, seen), jax.random.split(key, n))
+                out = (ys.T, pool, lens)
                 if penalize:
-                    return ys.T, pool, lens, seen
-                return ys.T, pool, lens
+                    out = out + (seen,)
+                if want_lp:
+                    out = out + (lps.T,)
+                return out
 
             self._decode_fns[key_] = decode
         return self._decode_fns[key_]
@@ -282,10 +296,10 @@ class ContinuousEngine:
                eos_token_id: Optional[int] = None, temperature: float = 0.0,
                top_k: int = 0, top_p: float = 1.0,
                repetition_penalty: float = 1.0, stop=None,
-               prefix=None) -> Request:
+               prefix=None, want_logprobs: bool = False) -> Request:
         req = Request(uid, list(prompt), max_new_tokens, eos_token_id,
                       temperature, top_k, top_p, repetition_penalty,
-                      stop, prefix)
+                      stop, prefix, want_logprobs)
         self.waiting.append(req)
         return req
 
@@ -337,6 +351,9 @@ class ContinuousEngine:
 
     def _first_token(self, last_logits, req: Request, row: int) -> int:
         """Sample (or argmax) the first post-prefill token [V] -> id."""
+        if req.want_logprobs:
+            self._first_raw = np.asarray(jax.device_get(last_logits),
+                                         np.float32)
         if req.repetition_penalty != 1.0:
             # host-side penalty (exact f32, identical math to the device op)
             lg = np.asarray(jax.device_get(last_logits), np.float32)
@@ -365,6 +382,11 @@ class ContinuousEngine:
         if req.repetition_penalty != 1.0:
             self._seen_np[row, first] = True
         req.output.append(first)
+        if req.want_logprobs:
+            raw = self._first_raw
+            lsm = raw - (np.max(raw) + np.log(
+                np.sum(np.exp(raw - np.max(raw)))))
+            req.logprobs.append(float(lsm[first]))
         self.slot_req[row] = req
         self.lens[row] = len(req.prompt)
         self.pending_tok[row] = first
@@ -473,6 +495,7 @@ class ContinuousEngine:
                 req.output = req.output[:-1]
             elif stop_n:
                 req.output = req.output[:-stop_n]
+            req.logprobs = req.logprobs[:len(req.output)]
             req.done = True
             self.slot_req[row] = None
             self.lens[row] = 0
@@ -513,20 +536,22 @@ class ContinuousEngine:
         lens_dec = np.where(active, self.lens, self.max_seq).astype(np.int32)
         sampling = bool((self.temps > 0.0)[active].any())
         penalize = bool((self.reppens != 1.0)[active].any())
+        want_lp = any(r is not None and r.want_logprobs for r in self.slot_req)
         key = jax.random.fold_in(jax.random.PRNGKey(self.seed), self._event)
         self._event += 1
         seen = (jnp.asarray(self._seen_np) if penalize
                 else jnp.zeros((self.max_batch, 1), bool))
-        out = self._decode(n, sampling, penalize)(
+        out = self._decode(n, sampling, penalize, want_lp)(
             self.params, self.pool, jnp.asarray(self.pending_tok),
             jnp.asarray(lens_dec), jnp.asarray(active),
             jnp.asarray(self.temps), jnp.asarray(self.topks),
             jnp.asarray(self.topps), key, jnp.asarray(self.reppens), seen)
+        out = list(out)
+        lps = np.asarray(jax.device_get(out.pop())) if want_lp else None
         if penalize:
-            toks, pool, lens, seen_out = out
+            seen_out = out.pop()
             self._seen_np = np.asarray(jax.device_get(seen_out))
-        else:
-            toks, pool, lens = out
+        toks, pool, lens = out
         toks = np.asarray(jax.device_get(toks))
         self.pool = pool
         # keep inactive rows' real lens (they ran with the out-of-bounds
@@ -536,8 +561,10 @@ class ContinuousEngine:
         for row, req in enumerate(self.slot_req):
             if req is None:
                 continue
-            for t in toks[row]:
+            for step_i, t in enumerate(toks[row]):
                 req.output.append(int(t))
+                if req.want_logprobs and lps is not None:
+                    req.logprobs.append(float(lps[row, step_i]))
                 if ((req.eos_token_id is not None and int(t) == req.eos_token_id)
                         or self._stop_hit(req.output, req.stop)
                         or len(req.output) >= req.max_new_tokens):
@@ -563,4 +590,5 @@ class ContinuousEngine:
             if r.eos_token_id is not None and r.eos_token_id in r.output:
                 r.output = r.output[:r.output.index(r.eos_token_id)]
             out[r.uid] = r.output[:r.max_new_tokens]
+            r.logprobs = r.logprobs[:len(out[r.uid])]
         return out

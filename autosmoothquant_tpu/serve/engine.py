@@ -46,6 +46,10 @@ class GenerationConfig:
     # config is a static jit argument, so it must stay hashable); output is
     # truncated at the first occurrence, stop tokens stripped
     stop: Optional[tuple] = None
+    # also return each emitted token's RAW-model log-probability (the chosen
+    # token's log_softmax of the unmodified logits — before temperature/
+    # filters/penalty, OpenAI-style)
+    return_logprobs: bool = False
     # speculative decoding (greedy only): draft length per verify step and
     # the prompt-lookup match length; 0 disables (serve/speculative.py)
     speculative_gamma: int = 0
@@ -164,6 +168,7 @@ class Engine:
                 rp_vec = jnp.full((seen.shape[0],), rp, jnp.float32)
 
                 def pick(logits, key, seen):
+                    raw = logits
                     if rp != 1.0:
                         from .sampling import apply_repetition_penalty
 
@@ -171,7 +176,12 @@ class Engine:
                     tok = _sample(logits, key, gen_cfg)
                     if rp != 1.0:
                         seen = seen.at[rows, tok].set(True)
-                    return tok, seen
+                    if gen_cfg.return_logprobs:
+                        lsm = jax.nn.log_softmax(raw.astype(jnp.float32), -1)
+                        lp = jnp.take_along_axis(lsm, tok[:, None], 1)[:, 0]
+                    else:
+                        lp = jnp.zeros(tok.shape, jnp.float32)
+                    return tok, seen, lp
 
                 def step(carry, key):
                     tok, cache, kv_valid, slot, seen = carry
@@ -182,16 +192,18 @@ class Engine:
                         cache_index=slot, kv_valid=kv_valid,
                         positions=positions, compute_dtype=cdt)
                     logits = model.logits(params, h)[:, 0]
-                    next_tok, seen = pick(logits, key, seen)
-                    return (next_tok, cache, kv_valid, slot + 1, seen), next_tok
+                    next_tok, seen, lp = pick(logits, key, seen)
+                    return ((next_tok, cache, kv_valid, slot + 1, seen),
+                            (next_tok, lp))
 
                 key0, key_rest = jax.random.split(rng_key)
-                tok0, seen = pick(first_logits, key0, seen)
+                tok0, seen, lp0 = pick(first_logits, key0, seen)
                 keys = jax.random.split(key_rest, num_steps)
-                (_, cache, kv_valid, _, _), ys = jax.lax.scan(
+                (_, cache, kv_valid, _, _), (ys, lps) = jax.lax.scan(
                     step, (tok0, cache, kv_valid, start_slot, seen), keys)
                 all_toks = jnp.concatenate([tok0[:, None], ys.T], axis=1)
-                return all_toks, cache, kv_valid
+                all_lps = jnp.concatenate([lp0[:, None], lps.T], axis=1)
+                return all_toks, all_lps, cache, kv_valid
 
             self._decode[key_cfg] = decode
         return self._decode[key_cfg]
@@ -234,11 +246,12 @@ class Engine:
         # capacity guard: cache writes past max_seq would be silently clamped/
         # dropped by dynamic_update_slice / the kv_valid scatter, corrupting
         # generation instead of erroring
-        # speculative decoding is plain-greedy only (sampling / repetition
-        # penalty fall back to the scan decode)
+        # speculative decoding is plain-greedy only (sampling, repetition
+        # penalty, and logprob returns fall back to the scan decode)
         spec = gen_cfg.speculative_gamma if (
             gen_cfg.temperature == 0.0
-            and gen_cfg.repetition_penalty == 1.0) else 0
+            and gen_cfg.repetition_penalty == 1.0
+            and not gen_cfg.return_logprobs) else 0
         if max_len + gen_cfg.max_new_tokens + spec > self.max_seq:
             raise ValueError(
                 f"prompt ({max_len} tokens) + max_new_tokens "
@@ -271,6 +284,7 @@ class Engine:
                 self._put(valid, P(dp, None)), cache)
 
             n = gen_cfg.max_new_tokens
+            lps = None
             if spec > 0:
                 # greedy-exact speculative decode: history holds the padded
                 # prompt + the first generated token at slot max_len
@@ -290,13 +304,15 @@ class Engine:
                         seen[i, list(p)] = True
                 else:
                     seen = np.zeros((b, 1), bool)  # dummy (rp is static)
-                toks, _, _ = self._decode_fn(n - 1)(
+                toks, lps, _, _ = self._decode_fn(n - 1)(
                     self.params, first_logits, cache,
                     self._put(valid, P(dp, None)),
                     jnp.int32(max_len), self._put(pad_lens, P(dp)),
                     jax.random.PRNGKey(seed), self._put(seen, P(dp, None)),
                     gen_cfg)
         out = np.asarray(jax.device_get(toks))
+        out_lps = (np.asarray(jax.device_get(lps))
+                   if (spec == 0 and gen_cfg.return_logprobs) else None)
         results = []
         for i in range(n_real):
             row = out[i].tolist()
@@ -304,5 +320,8 @@ class Engine:
                 row = row[: row.index(gen_cfg.eos_token_id)]
             if gen_cfg.stop:
                 row = _truncate_at_stop(row, gen_cfg.stop)
-            results.append(row)
+            if out_lps is not None:
+                results.append((row, out_lps[i, :len(row)].tolist()))
+            else:
+                results.append(row)
         return results

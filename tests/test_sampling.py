@@ -311,3 +311,61 @@ class TestStopSequences:
                              kv_dtype=jnp.float32, compute_dtype=jnp.float32)
         b.submit(0, p, max_new_tokens=8, stop=[[999]])  # never occurs
         assert a.run()[0] == b.run()[0]
+
+
+class TestLogprobs:
+    def test_engine_logprobs_match_forward(self):
+        """Greedy logprobs must equal log_softmax of the cacheless forward's
+        logits at each emitted position."""
+        from autosmoothquant_tpu.serve.engine import Engine, GenerationConfig
+        from autosmoothquant_tpu.models import llama as L
+
+        Lm, cfg, params = _tiny()
+        eng = Engine(Lm, params, cfg, max_batch=1, max_seq=64,
+                     kv_dtype=jnp.float32, compute_dtype=jnp.float32)
+        p = _prompts(1)[0]
+        (toks, lps), = eng.generate([p], GenerationConfig(
+            max_new_tokens=6, return_logprobs=True))
+        assert len(lps) == len(toks) == 6
+        full = jnp.asarray([p + toks], jnp.int32)
+        h, _, _ = Lm.forward(params, full, cfg, compute_dtype=jnp.float32)
+        lg = np.asarray(Lm.logits(params, h), np.float32)[0]
+        for i, (t, lp) in enumerate(zip(toks, lps)):
+            pos = len(p) - 1 + i
+            ref = jax.nn.log_softmax(jnp.asarray(lg[pos]))[t]
+            assert abs(lp - float(ref)) < 1e-3, (i, lp, float(ref))
+
+    def test_continuous_logprobs_match_engine(self):
+        from autosmoothquant_tpu.serve.batching import ContinuousEngine
+        from autosmoothquant_tpu.serve.engine import Engine, GenerationConfig
+
+        L, cfg, params = _tiny()
+        p = _prompts(1)[0]
+        eng = Engine(L, params, cfg, max_batch=1, max_seq=64,
+                     kv_dtype=jnp.float32, compute_dtype=jnp.float32)
+        (toks, lps), = eng.generate([p], GenerationConfig(
+            max_new_tokens=6, return_logprobs=True))
+        ce = ContinuousEngine(L, params, cfg, max_batch=2, max_seq=64,
+                              kv_dtype=jnp.float32, compute_dtype=jnp.float32)
+        req = ce.submit(0, p, max_new_tokens=6, want_logprobs=True)
+        out = ce.run()
+        assert out[0] == toks
+        assert len(req.logprobs) == 6
+        np.testing.assert_allclose(req.logprobs, lps, atol=1e-3)
+
+    def test_plain_requests_unaffected(self):
+        from autosmoothquant_tpu.serve.batching import ContinuousEngine
+
+        L, cfg, params = _tiny()
+        ps = _prompts(2, seed=9)
+        a = ContinuousEngine(L, params, cfg, max_batch=2, max_seq=64,
+                             kv_dtype=jnp.float32, compute_dtype=jnp.float32)
+        for i, p in enumerate(ps):
+            a.submit(i, p, max_new_tokens=5)
+        want = a.run()
+        b = ContinuousEngine(L, params, cfg, max_batch=2, max_seq=64,
+                             kv_dtype=jnp.float32, compute_dtype=jnp.float32)
+        b.submit(0, ps[0], max_new_tokens=5, want_logprobs=True)
+        b.submit(1, ps[1], max_new_tokens=5)
+        got = b.run()
+        assert got == want
