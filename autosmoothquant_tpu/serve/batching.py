@@ -76,7 +76,12 @@ class ContinuousEngine:
                  *, max_batch: int = 8, max_seq: int = 2048,
                  kv_dtype=jnp.bfloat16, compute_dtype=jnp.bfloat16,
                  steps_per_sync: int = 8, mesh=None, param_shardings=None,
-                 prefill_chunk: Optional[int] = None, seed: int = 0):
+                 prefill_chunk: Optional[int] = None, seed: int = 0,
+                 fuse_projections=None):
+        from .engine import maybe_fuse_projections
+
+        params = maybe_fuse_projections(model_mod, params, mesh,
+                                        fuse_projections)
         self.model = model_mod
         self.cfg = cfg
         self.qcfg = qcfg

@@ -64,6 +64,24 @@ def _sample(logits_f32, key, gen_cfg: GenerationConfig):
                   gen_cfg.top_p)
 
 
+def maybe_fuse_projections(model_mod, params, mesh, fuse):
+    """Auto-apply the family's decode projection fusion (q|k|v, gate|up —
+    4 GEMMs/layer instead of 7) for single-device / data-parallel serving.
+    Tensor parallelism keeps the unfused layout (fused sections would split
+    unevenly over the model axis). fuse: None = auto, False = never,
+    True = require (asserts no TP)."""
+    fuser = getattr(model_mod, "fuse_decode_projections", None)
+    if fuse is False or fuser is None:
+        return params
+    tp = mesh is not None and dict(mesh.shape).get("model", 1) > 1
+    if tp:
+        assert fuse is not True, "fused projections cannot shard over TP"
+        return params
+    if "qkv" in params.get("layers", {}).get("attn", {}):
+        return params  # already fused
+    return fuser(params)
+
+
 def _truncate_at_stop(row, stop):
     """Cut at the FIRST occurrence of any stop sequence (stop stripped)."""
     cut = len(row)
@@ -97,7 +115,9 @@ class Engine:
     def __init__(self, model_mod, params, cfg, qcfg: Optional[QuantConfig] = None,
                  *, max_batch: int = 8, max_seq: int = 2048,
                  kv_dtype=jnp.bfloat16, compute_dtype=jnp.bfloat16,
-                 mesh=None, param_shardings=None):
+                 mesh=None, param_shardings=None, fuse_projections=None):
+        params = maybe_fuse_projections(model_mod, params, mesh,
+                                        fuse_projections)
         self.model = model_mod
         self.cfg = cfg
         self.qcfg = qcfg

@@ -63,3 +63,51 @@ def test_fused_decode_with_cache(setup):
     h1, _ = step(params, ids[:, 8:9], c1, 8)
     h2, _ = step(fused, ids[:, 8:9], c2, 8)
     np.testing.assert_allclose(np.asarray(h1), np.asarray(h2), rtol=1e-5, atol=1e-5)
+
+
+def test_engine_auto_fuses_single_device():
+    """Engines fuse q|k|v and gate|up automatically off-mesh; outputs match
+    the explicitly-unfused engine."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from autosmoothquant_tpu.models import llama as L
+    from autosmoothquant_tpu.serve.engine import Engine, GenerationConfig
+
+    cfg = L.LlamaConfig(vocab_size=128, hidden_size=64, intermediate_size=128,
+                        num_hidden_layers=2, num_attention_heads=4,
+                        num_key_value_heads=2, max_position_embeddings=128)
+    params = L.init_params(cfg, jax.random.PRNGKey(0))
+    p = np.random.default_rng(0).integers(1, 128, size=9).tolist()
+    auto = Engine(L, params, cfg, max_batch=1, max_seq=64,
+                  kv_dtype=jnp.float32, compute_dtype=jnp.float32)
+    assert "qkv" in auto.params["layers"]["attn"]
+    assert "gateup" in auto.params["layers"]["mlp"]
+    plain = Engine(L, params, cfg, max_batch=1, max_seq=64,
+                   kv_dtype=jnp.float32, compute_dtype=jnp.float32,
+                   fuse_projections=False)
+    assert "qkv" not in plain.params["layers"]["attn"]
+    gc = GenerationConfig(max_new_tokens=8)
+    assert auto.generate([p], gc) == plain.generate([p], gc)
+
+
+def test_engine_keeps_unfused_under_tp():
+    import jax
+    import jax.numpy as jnp
+    import pytest
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    from autosmoothquant_tpu.models import llama as L
+    from autosmoothquant_tpu.serve.engine import Engine
+    from autosmoothquant_tpu.shard import make_mesh
+
+    cfg = L.LlamaConfig(vocab_size=128, hidden_size=64, intermediate_size=128,
+                        num_hidden_layers=2, num_attention_heads=4,
+                        num_key_value_heads=2, max_position_embeddings=128)
+    params = L.init_params(cfg, jax.random.PRNGKey(0))
+    eng = Engine(L, params, cfg, max_batch=8, max_seq=64,
+                 kv_dtype=jnp.float32, compute_dtype=jnp.float32,
+                 mesh=make_mesh(data=2, model=4))
+    assert "qkv" not in eng.params["layers"]["attn"]
