@@ -531,6 +531,31 @@ def _run_decode_layered(mesh, q1, k_full, v_full, layer, lengths, *, scale,
     )(q1, k_full, v_full, k_scale, v_scale, layer, starts, lengths)
 
 
+def _kernel_gate(q, full_cache, carry):
+    """Shared mesh/shape gate for the Pallas attention kernels: returns
+    (mesh, ok_mesh, q_local, cache_local, on_tpu, partitionable) where
+    q_local/cache_local are the PER-SHARD shapes under an ambient mesh (the
+    data/model axes must divide batch and both head counts congruently so
+    each shard keeps whole GQA groups)."""
+    mesh = ambient_mesh()
+    dp = _mesh_axis(mesh, "data")
+    mp = _mesh_axis(mesh, "model")
+    bq, tq, hq_, dh = q.shape
+    if carry is not None:
+        # carry-mode cache leaves are [L, B, S, H, D]
+        _, bc, s_max, hkv_, dh_c = full_cache.k.shape
+    else:
+        bc, s_max, hkv_, dh_c = full_cache.k.shape
+    ok_mesh = (bq % dp == 0 and hq_ % mp == 0 and hkv_ % mp == 0)
+    q_local = (bq // dp, tq, hq_ // mp, dh)
+    cache_local = (bc // dp, s_max, hkv_ // mp, dh_c)
+    on_tpu = jax.default_backend() == "tpu"
+    # without an ambient mesh a >1-device trace would let the partitioner
+    # replicate the un-partitioned pallas call; keep the XLA path there
+    partitionable = jax.device_count() == 1 or mesh is not None
+    return mesh, ok_mesh, q_local, cache_local, on_tpu, partitionable
+
+
 def _banded_mode() -> str:
     """auto | off | force (force = interpret off-TPU, for CI equality)."""
     import os
@@ -611,19 +636,9 @@ def update_and_attend(q, k, v, cache, cache_index, mask, scale, compute_dtype,
         # banded flash kernel; eager materialized f32 [T, S_max] scores
         from ..kernels.attention import banded_supported
 
-        mesh = ambient_mesh()
-        dp = _mesh_axis(mesh, "data")
-        mp = _mesh_axis(mesh, "model")
-        bq, tq, hq_, dh = q.shape
-        cache_shape = ((full_cache.k.shape[0],) + full_cache.k.shape[2:]
-                       if carry is not None else full_cache.k.shape)
-        hkv_ = cache_shape[2]
-        mesh_ok = (bq % dp == 0 and hq_ % mp == 0 and hkv_ % mp == 0)
-        ok = mesh_ok and banded_supported(
-            (bq // dp, tq, hq_ // mp, dh),
-            (cache_shape[0] // dp, cache_shape[1], hkv_ // mp, cache_shape[3]))
-        on_tpu = jax.default_backend() == "tpu"
-        partitionable = jax.device_count() == 1 or mesh is not None
+        (mesh, mesh_ok, q_local, cache_local, on_tpu,
+         partitionable) = _kernel_gate(q, full_cache, carry)
+        ok = mesh_ok and banded_supported(q_local, cache_local)
         bmode = _banded_mode()
         if ok and bmode != "off" and ((on_tpu and partitionable)
                                       or bmode == "force"):
@@ -663,30 +678,13 @@ def update_and_attend(q, k, v, cache, cache_index, mask, scale, compute_dtype,
             decode_attend_supported, flash_decode, flash_decode_simple,
             simple_supported)
 
-        cache_shape = ((full_cache.k.shape[0],) + full_cache.k.shape[2:]
-                       if carry is not None else full_cache.k.shape)
         quant_cache = isinstance(full_cache, QuantKVCacheLayer)
         itemsize = 1 if quant_cache else full_cache.k.dtype.itemsize
-        # under an ambient mesh the kernel runs per-shard via shard_map —
-        # support checks use the LOCAL (per-shard) shapes, and the data/model
-        # axes must divide batch and both head counts congruently (so each
-        # shard keeps whole GQA groups)
-        mesh = ambient_mesh()
-        dp = _mesh_axis(mesh, "data")
-        mp = _mesh_axis(mesh, "model")
-        bq, tq, hq_, dh = q.shape
-        hkv_ = cache_shape[2]
-        mesh_ok = (bq % dp == 0 and hq_ % mp == 0 and hkv_ % mp == 0)
-        q_local = (bq // dp, tq, hq_ // mp, dh)
-        cache_local = (cache_shape[0] // dp, cache_shape[1], hkv_ // mp,
-                       cache_shape[3])
+        (mesh, mesh_ok, q_local, cache_local, on_tpu,
+         partitionable) = _kernel_gate(q, full_cache, carry)
         use_simple = simple_supported(q_local, cache_local, itemsize)
         shapes_ok = mesh_ok and (
             use_simple or decode_attend_supported(q_local, cache_local))
-        on_tpu = jax.default_backend() == "tpu"
-        # without an ambient mesh a >1-device trace would let the partitioner
-        # replicate the un-partitioned pallas call; keep the XLA path there
-        partitionable = jax.device_count() == 1 or mesh is not None
         if shapes_ok and ((on_tpu and partitionable) or mode == "force"):
             starts, lengths = window
             kern = flash_decode_simple if use_simple else flash_decode
@@ -705,7 +703,8 @@ def update_and_attend(q, k, v, cache, cache_index, mask, scale, compute_dtype,
                 import os
 
                 if (os.environ.get("ASQ_LAYERED_DECODE") == "on"
-                        and use_simple and ((hkv_ // mp) * dh) % 128 == 0):
+                        and use_simple
+                        and (cache_local[2] * cache_local[3]) % 128 == 0):
                     out = _run_decode_layered(
                         mesh, q[:, 0], new_cache.k, new_cache.v, l, lengths,
                         scale=scale, starts=starts,

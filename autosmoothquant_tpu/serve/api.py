@@ -118,6 +118,9 @@ class ServingAPI:
                         if ev is not None:
                             ev.set()
                 inflight.clear()
+                # a poisoned request must not wedge the scheduler: evict
+                # every slot so the next tick starts clean
+                eng.reset_slots()
                 continue
             done = [uid for uid, req in inflight.items() if req.done]
             for uid in done:
@@ -182,6 +185,14 @@ def _make_handler(api: ServingAPI):
                     prompt = api.tokenizer(prompt).input_ids
                 if not isinstance(prompt, list) or not prompt:
                     raise ValueError("prompt must be a non-empty list or text")
+                stop = req.get("stop")
+                if stop is not None and not (
+                        isinstance(stop, list) and all(
+                            isinstance(s, list) and s
+                            and all(isinstance(t, int) for t in s)
+                            for s in stop)):
+                    raise ValueError(
+                        "stop must be a list of token-id lists")
                 want_lp = bool(req.get("logprobs", False))
                 res = api.submit(
                     [int(t) for t in prompt],
@@ -192,7 +203,7 @@ def _make_handler(api: ServingAPI):
                     top_p=float(req.get("top_p", 1.0)),
                     repetition_penalty=float(
                         req.get("repetition_penalty", 1.0)),
-                    stop=req.get("stop"),
+                    stop=stop,
                     want_logprobs=want_lp,
                     timeout=float(req.get("timeout", 600.0)))
                 toks, lps = res if want_lp else (res, None)

@@ -81,7 +81,7 @@ class ContinuousEngine:
         from .engine import maybe_fuse_projections
 
         params = maybe_fuse_projections(model_mod, params, mesh,
-                                        fuse_projections)
+                                        fuse_projections, param_shardings)
         self.model = model_mod
         self.cfg = cfg
         self.qcfg = qcfg
@@ -302,6 +302,15 @@ class ContinuousEngine:
                top_k: int = 0, top_p: float = 1.0,
                repetition_penalty: float = 1.0, stop=None,
                prefix=None, want_logprobs: bool = False) -> Request:
+        if stop is not None:
+            # a malformed stop (e.g. a flat int list) would TypeError inside
+            # the scheduler tick and poison the slot — reject at the boundary
+            if not (isinstance(stop, (list, tuple)) and all(
+                    isinstance(s, (list, tuple)) and s
+                    and all(isinstance(t, int) for t in s) for s in stop)):
+                raise ValueError(
+                    "stop must be a non-empty list of token-id lists")
+            stop = [list(s) for s in stop]
         req = Request(uid, list(prompt), max_new_tokens, eos_token_id,
                       temperature, top_k, top_p, repetition_penalty,
                       stop, prefix, want_logprobs)
@@ -344,6 +353,18 @@ class ContinuousEngine:
             return None
         return entry
 
+    def reset_slots(self) -> None:
+        """Evict every active/waiting request (error recovery: a poisoned
+        request must not wedge the scheduler forever). Cache rows need no
+        clearing — admission overwrites them."""
+        for row in range(self.max_batch):
+            self.slot_req[row] = None
+            self.lens[row] = 0
+            self.temps[row] = 0.0
+            self.reppens[row] = 1.0
+        self.waiting.clear()
+        self._admitting.clear()
+
     def _free_slots(self) -> List[int]:
         return [i for i, r in enumerate(self.slot_req)
                 if r is None and i not in self._admitting]
@@ -354,44 +375,47 @@ class ContinuousEngine:
             # remain or the first generated token would be dropped
             req.prompt = req.prompt[-(self.max_seq - 1):]
 
-    def _first_token(self, last_logits, req: Request, row: int) -> int:
-        """Sample (or argmax) the first post-prefill token [V] -> id."""
-        if req.want_logprobs:
-            self._first_raw = np.asarray(jax.device_get(last_logits),
-                                         np.float32)
-        if req.repetition_penalty != 1.0:
-            # host-side penalty (exact f32, identical math to the device op)
-            lg = np.asarray(jax.device_get(last_logits), np.float32)
-            rp = req.repetition_penalty
-            pen = np.where(lg > 0, lg / rp, lg * rp)
-            last_logits = jnp.asarray(np.where(self._seen_np[row], pen, lg))
-        if req.temperature <= 0.0:
-            return int(np.asarray(jax.device_get(jnp.argmax(last_logits))))
-        from .sampling import sample_per_row
-
+    def _first_token(self, last_logits, req: Request, row: int):
+        """Pick the first post-prefill token [V] -> (id, logprob). Uses the
+        SAME device ops as the decode scan (sampling.apply_repetition_penalty
+        / sample_per_row / log_softmax) so first-token math cannot drift from
+        in-scan math."""
         if self._sample1 is None:
-            self._sample1 = jax.jit(sample_per_row)
+            from .sampling import apply_repetition_penalty, sample_per_row
+
+            @jax.jit
+            def pick(logits, seen, rp, temp, topk, topp, key):
+                raw = logits[None].astype(jnp.float32)
+                lg = apply_repetition_penalty(raw, seen[None], rp[None])
+                tok = sample_per_row(lg, key, temp[None], topk[None],
+                                     topp[None])
+                lsm = jax.nn.log_softmax(raw, -1)
+                lp = jnp.take_along_axis(lsm, tok[:, None], 1)[0, 0]
+                return tok[0], lp
+
+            self._sample1 = pick
+        seen = (jnp.asarray(self._seen_np[row])
+                if req.repetition_penalty != 1.0
+                else jnp.zeros((self.cfg.vocab_size,), bool))
         key = jax.random.fold_in(jax.random.PRNGKey(self.seed), self._event)
         self._event += 1
-        tok = self._sample1(last_logits[None], key,
-                            jnp.asarray([req.temperature], jnp.float32),
-                            jnp.asarray([req.top_k], jnp.int32),
-                            jnp.asarray([req.top_p], jnp.float32))
-        return int(np.asarray(jax.device_get(tok))[0])
+        tok, lp = self._sample1(
+            last_logits, seen, jnp.float32(req.repetition_penalty),
+            jnp.float32(req.temperature), jnp.int32(req.top_k),
+            jnp.float32(req.top_p), key)
+        return int(np.asarray(jax.device_get(tok))), float(
+            np.asarray(jax.device_get(lp)))
 
     def _activate(self, row: int, req: Request, last_logits):
         if req.repetition_penalty != 1.0:
             self._seen_np[row] = False
             self._seen_np[row, req.prompt] = True
-        first = self._first_token(last_logits, req, row)
+        first, first_lp = self._first_token(last_logits, req, row)
         if req.repetition_penalty != 1.0:
             self._seen_np[row, first] = True
         req.output.append(first)
         if req.want_logprobs:
-            raw = self._first_raw
-            lsm = raw - (np.max(raw) + np.log(
-                np.sum(np.exp(raw - np.max(raw)))))
-            req.logprobs.append(float(lsm[first]))
+            req.logprobs.append(first_lp)
         self.slot_req[row] = req
         self.lens[row] = len(req.prompt)
         self.pending_tok[row] = first

@@ -64,21 +64,36 @@ def _sample(logits_f32, key, gen_cfg: GenerationConfig):
                   gen_cfg.top_p)
 
 
-def maybe_fuse_projections(model_mod, params, mesh, fuse):
+def maybe_fuse_projections(model_mod, params, mesh, fuse,
+                           param_shardings=None):
     """Auto-apply the family's decode projection fusion (q|k|v, gate|up —
     4 GEMMs/layer instead of 7) for single-device / data-parallel serving.
-    Tensor parallelism keeps the unfused layout (fused sections would split
-    unevenly over the model axis). fuse: None = auto, False = never,
-    True = require (asserts no TP)."""
+    fuse: None = auto, False = never, True = require (asserts fusable).
+
+    Auto skips fusion when: any param-sharding mesh axis is active (model/
+    stage/expert — fused sections shard unevenly over TP, and the default
+    spec rules only know the unfused keys, so fused weights would silently
+    fall through to full replication); the caller passed explicit
+    param_shardings (built for the given layout); or the params carry
+    fp8-static observer scales (fuse_decode_projections keeps only
+    w/dequant_scale/w_scale — frozen input/output scales would be dropped
+    and activations silently re-quantized dynamically)."""
     fuser = getattr(model_mod, "fuse_decode_projections", None)
     if fuse is False or fuser is None:
         return params
-    tp = mesh is not None and dict(mesh.shape).get("model", 1) > 1
-    if tp:
-        assert fuse is not True, "fused projections cannot shard over TP"
-        return params
-    if "qkv" in params.get("layers", {}).get("attn", {}):
+    attn = params.get("layers", {}).get("attn", {})
+    if "qkv" in attn:
         return params  # already fused
+    sharded_axes = mesh is not None and any(
+        n > 1 for ax, n in dict(mesh.shape).items() if ax != "data")
+    static_fp8 = "input_scale" in attn.get("q", {})
+    blocker = (("param-sharding mesh axes" if sharded_axes else None)
+               or ("explicit param_shardings" if param_shardings is not None
+                   else None)
+               or ("fp8-static observer scales" if static_fp8 else None))
+    if blocker:
+        assert fuse is not True, f"fused projections incompatible: {blocker}"
+        return params
     return fuser(params)
 
 
@@ -117,7 +132,7 @@ class Engine:
                  kv_dtype=jnp.bfloat16, compute_dtype=jnp.bfloat16,
                  mesh=None, param_shardings=None, fuse_projections=None):
         params = maybe_fuse_projections(model_mod, params, mesh,
-                                        fuse_projections)
+                                        fuse_projections, param_shardings)
         self.model = model_mod
         self.cfg = cfg
         self.qcfg = qcfg
@@ -304,6 +319,12 @@ class Engine:
                 self._put(valid, P(dp, None)), cache)
 
             n = gen_cfg.max_new_tokens
+            # host-only fields (stop/eos truncation, speculative selection)
+            # must not vary the static decode config: each distinct value
+            # would recompile the whole multi-step scan
+            dev_cfg = dataclasses.replace(
+                gen_cfg, stop=None, eos_token_id=None,
+                speculative_gamma=0)
             lps = None
             if spec > 0:
                 # greedy-exact speculative decode: history holds the padded
@@ -329,7 +350,7 @@ class Engine:
                     self._put(valid, P(dp, None)),
                     jnp.int32(max_len), self._put(pad_lens, P(dp)),
                     jax.random.PRNGKey(seed), self._put(seen, P(dp, None)),
-                    gen_cfg)
+                    dev_cfg)
         out = np.asarray(jax.device_get(toks))
         out_lps = (np.asarray(jax.device_get(lps))
                    if (spec == 0 and gen_cfg.return_logprobs) else None)

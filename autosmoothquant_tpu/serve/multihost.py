@@ -36,6 +36,8 @@ import numpy as np
 from .batching import ContinuousEngine, Request
 
 _PREFIX_BYTES = 64  # fixed utf-8 marshalling width for Request.prefix ids
+_MAX_STOP = 4       # stop sequences marshalled per request
+_MAX_STOP_LEN = 8   # tokens per stop sequence
 
 
 def _process_info() -> Tuple[int, int]:
@@ -71,19 +73,31 @@ def broadcast_requests(requests: Optional[Sequence[Request]],
         if r.prefix is not None and not isinstance(r.prefix, str):
             raise ValueError("multi-host prefix ids must be strings "
                              "(marshalled as fixed-size utf-8)")
+        if r.stop and (len(r.stop) > _MAX_STOP
+                       or any(len(s) > _MAX_STOP_LEN for s in r.stop)):
+            raise ValueError(
+                f"multi-host stop sequences are capped at {_MAX_STOP} "
+                f"sequences of {_MAX_STOP_LEN} tokens (fixed marshalling)")
     n = np.zeros((1,), np.int32)
-    meta = np.zeros((max_requests, 4), np.int32)   # [plen, max_new, eos+1, top_k]
+    meta = np.zeros((max_requests, 5), np.int32)   # [plen, max_new, eos+1,
+    #                                                 top_k, want_logprobs]
     samp = np.zeros((max_requests, 3), np.float32)  # [temp, top_p, rep_pen]
     samp[:, 1] = 1.0
     samp[:, 2] = 1.0
     toks = np.zeros((max_requests, max_prompt), np.int32)
     pref = np.zeros((max_requests, _PREFIX_BYTES), np.int32)  # utf-8 bytes
+    # stop sequences: [len, ids...] rows, zero len = unused slot
+    stops = np.zeros((max_requests, _MAX_STOP, 1 + _MAX_STOP_LEN), np.int32)
     n[0] = len(reqs)
     for i, r in enumerate(reqs):
         p = list(r.prompt)
         meta[i] = (len(p), r.max_new_tokens,
                    (r.eos_token_id + 1) if r.eos_token_id is not None else 0,
-                   r.top_k)
+                   r.top_k, int(r.want_logprobs))
+        for si, sseq in enumerate((r.stop or [])[:_MAX_STOP]):
+            ss = list(sseq)[:_MAX_STOP_LEN]
+            stops[i, si, 0] = len(ss)
+            stops[i, si, 1:1 + len(ss)] = ss
         samp[i] = (r.temperature, r.top_p, r.repetition_penalty)
         toks[i, :len(p)] = p
         if r.prefix is not None:
@@ -95,10 +109,13 @@ def broadcast_requests(requests: Optional[Sequence[Request]],
         samp = np.asarray(multihost_utils.broadcast_one_to_all(samp))
         toks = np.asarray(multihost_utils.broadcast_one_to_all(toks))
         pref = np.asarray(multihost_utils.broadcast_one_to_all(pref))
+        stops = np.asarray(multihost_utils.broadcast_one_to_all(stops))
     out = []
     for i in range(int(n[0])):
         plen, max_new, eos1, top_k = (int(meta[i, 0]), int(meta[i, 1]),
                                       int(meta[i, 2]), int(meta[i, 3]))
+        stop = [stops[i, si, 1:1 + stops[i, si, 0]].tolist()
+                for si in range(_MAX_STOP) if stops[i, si, 0] > 0] or None
         pb = pref[i][pref[i] > 0]
         prefix = (bytes((pb - 1).astype(np.uint8)).decode()
                   if pb.size else None)
@@ -108,6 +125,7 @@ def broadcast_requests(requests: Optional[Sequence[Request]],
                            temperature=float(samp[i, 0]), top_k=top_k,
                            top_p=float(samp[i, 1]),
                            repetition_penalty=float(samp[i, 2]),
+                           stop=stop, want_logprobs=bool(meta[i, 4]),
                            prefix=prefix))
     return out
 

@@ -111,3 +111,64 @@ def test_engine_keeps_unfused_under_tp():
                  kv_dtype=jnp.float32, compute_dtype=jnp.float32,
                  mesh=make_mesh(data=2, model=4))
     assert "qkv" not in eng.params["layers"]["attn"]
+
+
+def test_fusion_skips_fp8_static_and_stage_mesh():
+    """Auto-fusion must not drop fp8-static observer scales, and must not
+    fuse under a stage mesh (default specs only know unfused keys)."""
+    import jax
+    import jax.numpy as jnp
+    import pytest
+
+    from autosmoothquant_tpu.models import llama as L
+    from autosmoothquant_tpu.serve.engine import maybe_fuse_projections
+
+    cfg = L.LlamaConfig(vocab_size=64, hidden_size=64, intermediate_size=128,
+                        num_hidden_layers=2, num_attention_heads=4,
+                        num_key_value_heads=2, max_position_embeddings=64)
+    params = L.init_params(cfg, jax.random.PRNGKey(0))
+    # fake fp8-static markers
+    params["layers"]["attn"]["q"]["input_scale"] = jnp.ones((2,))
+    out = maybe_fuse_projections(L, params, None, None)
+    assert "qkv" not in out["layers"]["attn"]
+    with pytest.raises(AssertionError, match="fp8-static"):
+        maybe_fuse_projections(L, params, None, True)
+
+    if len(jax.devices()) >= 8:
+        from autosmoothquant_tpu.shard import make_mesh
+
+        clean = L.init_params(cfg, jax.random.PRNGKey(0))
+        mesh = make_mesh(data=1, model=1, stage=2,
+                         devices=jax.devices()[:2]) if hasattr(
+                             make_mesh, "__call__") else None
+        try:
+            mesh = make_mesh(stage=2, data=1, model=1,
+                             devices=jax.devices()[:2])
+        except TypeError:
+            mesh = None
+        if mesh is not None:
+            out2 = maybe_fuse_projections(L, clean, mesh, None)
+            assert "qkv" not in out2["layers"]["attn"]
+
+
+def test_engine_stop_values_share_one_compile():
+    """Distinct stop tuples are host-only and must not recompile the decode
+    scan (the device config strips them)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from autosmoothquant_tpu.models import llama as L
+    from autosmoothquant_tpu.serve.engine import Engine, GenerationConfig
+
+    cfg = L.LlamaConfig(vocab_size=128, hidden_size=64, intermediate_size=128,
+                        num_hidden_layers=2, num_attention_heads=4,
+                        num_key_value_heads=2, max_position_embeddings=128)
+    params = L.init_params(cfg, jax.random.PRNGKey(0))
+    eng = Engine(L, params, cfg, max_batch=1, max_seq=64,
+                 kv_dtype=jnp.float32, compute_dtype=jnp.float32)
+    p = np.random.default_rng(0).integers(1, 128, size=9).tolist()
+    eng.generate([p], GenerationConfig(max_new_tokens=6, stop=((5, 6),)))
+    eng.generate([p], GenerationConfig(max_new_tokens=6, stop=((7,),),
+                                       eos_token_id=3))
+    assert len(eng._decode) == 1
