@@ -77,7 +77,8 @@ class ContinuousEngine:
                  kv_dtype=jnp.bfloat16, compute_dtype=jnp.bfloat16,
                  steps_per_sync: int = 8, mesh=None, param_shardings=None,
                  prefill_chunk: Optional[int] = None, seed: int = 0,
-                 fuse_projections=None):
+                 fuse_projections=None, speculative_gamma: int = 0,
+                 speculative_ngram: int = 3):
         from .engine import maybe_fuse_projections
 
         params = maybe_fuse_projections(model_mod, params, mesh,
@@ -90,6 +91,11 @@ class ContinuousEngine:
         self.kv_dtype = kv_dtype
         self.compute_dtype = compute_dtype
         self.steps_per_sync = steps_per_sync
+        # engine-level prompt-lookup speculative decoding (greedy-only):
+        # each tick runs ONE gamma+1-position verify instead of
+        # steps_per_sync single-token steps; host-side drafting
+        self.speculative_gamma = speculative_gamma
+        self.speculative_ngram = speculative_ngram
         self.mesh = mesh
         # chunked prefill: admit at most prefill_chunk prompt tokens per
         # scheduler tick so a long prompt cannot stall decoding of the other
@@ -540,6 +546,89 @@ class ContinuousEngine:
         with mesh_context(self.mesh):
             self._step()
 
+    # -- speculative sync (engine-level, greedy-only) -------------------------
+
+    def _verify(self):
+        """Jitted speculative verify: T = gamma+1 forward at per-row offsets,
+        returns greedy targets [B, gamma+1]. Drafting happens on the HOST —
+        the scheduler already holds every slot's full token history, so no
+        device-side n-gram search is needed (unlike serve/speculative.py's
+        single jitted while_loop for the static-batch engine)."""
+        if "verify" not in self._decode_fns:
+            model, cfg, qcfg, cdt = (self.model, self.cfg, self.qcfg,
+                                     self.compute_dtype)
+            out_sh = ((self._repl, self._kv_shardings)
+                      if self._kv_shardings is not None else None)
+
+            @functools.partial(jax.jit, donate_argnums=(1,), out_shardings=out_sh)
+            def verify(params, pool, inputs, lens):
+                h, pool, _ = model.forward(
+                    params, inputs, cfg, qcfg, kv_cache=pool,
+                    cache_index=lens, positions=(
+                        lens[:, None] + jnp.arange(inputs.shape[1])[None]),
+                    compute_dtype=cdt)
+                targets = jnp.argmax(model.logits(params, h), -1)
+                return targets.astype(jnp.int32), pool
+
+            self._decode_fns["verify"] = verify
+        return self._decode_fns["verify"]
+
+    @staticmethod
+    def _host_draft(history: List[int], gamma: int, ngram: int) -> List[int]:
+        """Prompt-lookup draft on the host: continuation after the most
+        recent earlier occurrence of the last ``ngram`` tokens."""
+        n = len(history)
+        pat = history[-ngram:]
+        for p in range(n - ngram - 1, -1, -1):
+            if history[p:p + ngram] == pat:
+                cont = history[p + ngram: p + ngram + gamma]
+                if cont:
+                    return (cont + [history[-1]] * gamma)[:gamma]
+        return [history[-1]] * gamma
+
+    def _spec_step(self, active):
+        """One speculative tick: draft (host) -> verify (one forward over
+        gamma+1 positions) -> accept longest matching prefix per row.
+        Greedy-exact: emitted tokens equal the plain scheduler's. Rejected
+        draft K/V is overwritten by the next window before it is causally
+        reachable (lens' <= lens + gamma + 1)."""
+        g = self.speculative_gamma
+        inputs = np.zeros((self.max_batch, g + 1), np.int32)
+        for row, req in enumerate(self.slot_req):
+            if req is None:
+                continue
+            hist = req.prompt + req.output
+            inputs[row, 0] = self.pending_tok[row]
+            inputs[row, 1:] = self._host_draft(hist, g, self.speculative_ngram)
+        lens_dec = np.where(active, self.lens, self.max_seq).astype(np.int32)
+        self._event += 1  # keep the deterministic event clock ticking
+        targets, pool = self._verify()(
+            self.params, self.pool, jnp.asarray(inputs),
+            jnp.asarray(lens_dec))
+        self.pool = pool
+        targets = np.asarray(jax.device_get(targets))
+        for row, req in enumerate(self.slot_req):
+            if req is None:
+                continue
+            n_acc = 0
+            while n_acc < g and inputs[row, n_acc + 1] == targets[row, n_acc]:
+                n_acc += 1
+            n_app = 0
+            for t in targets[row, : n_acc + 1]:
+                req.output.append(int(t))
+                n_app += 1
+                if ((req.eos_token_id is not None
+                     and int(t) == req.eos_token_id)
+                        or self._stop_hit(req.output, req.stop)
+                        or len(req.output) >= req.max_new_tokens):
+                    break
+            # each emitted token advanced the cache by one VALID input slot
+            # (cur at lens, then accepted drafts) — same invariant as the
+            # plain scheduler's one-slot-per-token
+            self.lens[row] += n_app
+            self.pending_tok[row] = req.output[-1]
+            self._check_done(row)
+
     def _step(self):
         self._admit()
         if self._admitting:
@@ -547,6 +636,18 @@ class ContinuousEngine:
         active = np.array([r is not None for r in self.slot_req])
         if not active.any():
             return
+        if self.speculative_gamma > 0:
+            g = self.speculative_gamma
+            plain_greedy = all(
+                r is None or (r.temperature == 0.0
+                              and r.repetition_penalty == 1.0
+                              and not r.want_logprobs)
+                for r in self.slot_req)
+            room = all(self.lens[row] + g + 1 < self.max_seq
+                       for row in range(self.max_batch) if active[row])
+            if plain_greedy and room:
+                self._spec_step(active)
+                return
         # clamp on-device steps to the smallest remaining CACHE capacity
         # across active slots: a slot whose lens overshoots max_seq mid-sync
         # would have its K/V scatter writes silently dropped while its tokens

@@ -36,6 +36,10 @@ def parse_args():
     p.add_argument("--tp", type=int, default=0,
                    help="tensor-parallel degree (0 = all visible devices)")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--speculative-gamma", type=int, default=0,
+                   help="engine-level prompt-lookup speculative decoding "
+                        "draft length (greedy requests only; 0 = off)")
+    p.add_argument("--speculative-ngram", type=int, default=3)
     return p.parse_args()
 
 
@@ -72,7 +76,9 @@ def build(args):
         kv_dtype=jnp.int8 if args.kv_dtype == "int8" else jnp.bfloat16,
         steps_per_sync=args.steps_per_sync,
         prefill_chunk=args.prefill_chunk or None,
-        mesh=mesh, seed=args.seed)
+        mesh=mesh, seed=args.seed,
+        speculative_gamma=args.speculative_gamma,
+        speculative_ngram=args.speculative_ngram)
     api, httpd = serve(eng, host=args.host, port=args.port,
                        tokenizer=tokenizer)
     return api, httpd, family

@@ -122,3 +122,65 @@ class TestGreedyEquivalence:
         with pytest.raises(ValueError, match="speculative"):
             eng.generate([[1] * 20], GenerationConfig(
                 max_new_tokens=10, speculative_gamma=4))
+
+
+class TestContinuousSpeculative:
+    def _engine(self, L, cfg, params, **kw):
+        from autosmoothquant_tpu.serve.batching import ContinuousEngine
+
+        return ContinuousEngine(L, params, cfg, max_batch=4, max_seq=128,
+                                kv_dtype=jnp.float32,
+                                compute_dtype=jnp.float32, **kw)
+
+    def test_matches_plain_scheduler(self):
+        L, cfg, params = _tiny()
+        rng = np.random.default_rng(2)
+        prompts = [[7, 8, 9, 10] * 5, rng.integers(1, 128, size=11).tolist(),
+                   [3, 4] * 8]
+        plain = self._engine(L, cfg, params)
+        for i, p in enumerate(prompts):
+            plain.submit(i, p, max_new_tokens=10)
+        want = plain.run()
+        spec = self._engine(L, cfg, params, speculative_gamma=4,
+                            speculative_ngram=2)
+        for i, p in enumerate(prompts):
+            spec.submit(i, p, max_new_tokens=10)
+        got = spec.run()
+        assert got == want
+
+    def test_eos_and_stop_respected(self):
+        L, cfg, params = _tiny()
+        p = [5, 6] * 8
+        plain = self._engine(L, cfg, params)
+        plain.submit(0, p, max_new_tokens=12)
+        base = plain.run()[0]
+        eos = base[5]
+        a = self._engine(L, cfg, params)
+        a.submit(0, p, max_new_tokens=12, eos_token_id=eos)
+        want = a.run()
+        b = self._engine(L, cfg, params, speculative_gamma=3)
+        b.submit(0, p, max_new_tokens=12, eos_token_id=eos)
+        assert b.run() == want
+
+    def test_sampled_requests_fall_back(self):
+        """A sampled request disables the speculative tick (falls back to
+        the plain scan) without corrupting anything."""
+        L, cfg, params = _tiny()
+        rng = np.random.default_rng(3)
+        p = rng.integers(1, 128, size=9).tolist()
+        eng = self._engine(L, cfg, params, speculative_gamma=4)
+        eng.submit(0, p, max_new_tokens=8, temperature=1.0, top_k=10)
+        out = eng.run()
+        assert len(out[0]) == 8
+
+    def test_capacity_fallback(self):
+        """Rows too close to max_seq for a gamma window fall back to the
+        clamped plain decode instead of dropping K/V writes."""
+        L, cfg, params = _tiny()
+        eng = self._engine(L, cfg, params, speculative_gamma=4)
+        p = list(np.random.default_rng(4).integers(1, 128, size=110))
+        eng.submit(0, [int(x) for x in p], max_new_tokens=30)
+        out = eng.run()
+        plain = self._engine(L, cfg, params)
+        plain.submit(0, [int(x) for x in p], max_new_tokens=30)
+        assert out == plain.run()
