@@ -138,7 +138,7 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, *,
     return out.transpose(0, 2, 1, 3)
 
 
-def _flash_banded_kernel(q_ref, k_ref, v_ref, pos_ref, o_ref,
+def _flash_banded_kernel(q_ref, k_ref, v_ref, pos_ref, start_ref, o_ref,
                          m_ref, l_ref, acc_ref, *,
                          sm_scale, block_q, block_k, num_kv_tiles):
     """Banded-causal tile: query i (at absolute cache slot pos+i) attends
@@ -156,6 +156,7 @@ def _flash_banded_kernel(q_ref, k_ref, v_ref, pos_ref, o_ref,
     kv_idx = pl.program_id(2)
     h = pl.program_id(3)
     pos = pos_ref[bb]
+    start = start_ref[bb]
 
     @pl.when(kv_idx == 0)
     def _init():
@@ -163,8 +164,10 @@ def _flash_banded_kernel(q_ref, k_ref, v_ref, pos_ref, o_ref,
         l_ref[h] = jnp.zeros_like(l_ref[h])
         acc_ref[h] = jnp.zeros_like(acc_ref[h])
 
-    # skip KV tiles fully beyond the band (dynamic: pos is data)
-    should_run = kv_idx * block_k <= pos + (q_idx + 1) * block_q - 1
+    # skip KV tiles fully beyond the band or fully before the row's first
+    # valid column (dynamic: pos/start are data)
+    should_run = ((kv_idx * block_k <= pos + (q_idx + 1) * block_q - 1)
+                  & ((kv_idx + 1) * block_k > start))
 
     @pl.when(should_run)
     def _run():
@@ -175,7 +178,7 @@ def _flash_banded_kernel(q_ref, k_ref, v_ref, pos_ref, o_ref,
             preferred_element_type=jnp.float32) * sm_scale
         rows = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + q_idx * block_q
         cols = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + kv_idx * block_k
-        s = jnp.where(cols <= rows + pos, s, MASK_VALUE)
+        s = jnp.where((cols <= rows + pos) & (cols >= start), s, MASK_VALUE)
 
         # m/l scratch is lane-aligned [1, block_q] (a [block_q, 1] block
         # pads the minor dim to 128 lanes -> 8 MB per scalar at bq=512,
@@ -204,15 +207,17 @@ def _flash_banded_kernel(q_ref, k_ref, v_ref, pos_ref, o_ref,
     static_argnames=("sm_scale", "block_q", "block_k", "interpret"),
 )
 def flash_attention_banded(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
-                           pos: jnp.ndarray, *, sm_scale: float,
+                           pos: jnp.ndarray, starts=None, *, sm_scale: float,
                            block_q: int = 512, block_k: int = 1024,
                            interpret: bool = False) -> jnp.ndarray:
     """Chunked-prefill attention: q [B, Tq, Hq, D] are the chunk's queries
     sitting at cache slots [pos_b, pos_b + Tq); k/v [B, S, Hkv, D] are FULL
-    cache rows whose [0, pos_b + Tq) prefix is valid (the chunk's K/V
-    already written). Query i attends cols <= pos_b + i. The [Tq, S] score
-    matrix never materializes (the eager path's f32 scores dominate chunked
-    admission cost); tiles beyond the causal band skip compute.
+    cache rows whose [starts_b, pos_b + Tq) window is valid (the chunk's K/V
+    already written). Query i attends cols in [starts_b, pos_b + i]. starts
+    (default zeros) carries per-row left-pad offsets so ragged left-padded
+    batches ride the kernel too. The [Tq, S] score matrix never materializes
+    (the eager path's f32 scores dominate chunked admission cost); tiles
+    outside the band skip compute.
 
     The banded generalization of the reference's eager cache-prefill (its
     HF attention re-runs eager O(L^2) math every chunk) — TPU-style."""
@@ -226,6 +231,9 @@ def flash_attention_banded(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     kt = k.transpose(0, 2, 1, 3)
     vt = v.transpose(0, 2, 1, 3)
     pos = jnp.broadcast_to(jnp.asarray(pos, jnp.int32).reshape(-1), (b,))
+    if starts is None:
+        starts = jnp.zeros((b,), jnp.int32)
+    starts = jnp.broadcast_to(jnp.asarray(starts, jnp.int32).reshape(-1), (b,))
 
     num_kv_tiles = s // block_k
     # kv tile OUTSIDE the head loop: each K/V block DMAs once per
@@ -249,6 +257,7 @@ def flash_attention_banded(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                 pl.BlockSpec((1, 1, block_k, d),
                              lambda bb, qq, kk, h, g=groups: (bb, h // g, kk, 0)),
                 pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
             ],
             out_specs=pl.BlockSpec((1, 1, block_q, d),
                                    lambda bb, qq, kk, h: (bb, h, qq, 0)),
@@ -267,7 +276,7 @@ def flash_attention_banded(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
             transcendentals=b * hq * t * s,
         ),
         interpret=interpret,
-    )(qt, kt, vt, pos)
+    )(qt, kt, vt, pos, starts)
     return out.transpose(0, 2, 1, 3)
 
 

@@ -173,7 +173,8 @@ def _wpack_apply(x, p, qcfg: Optional[QuantConfig], compute_dtype):
 def _layer_forward(h, lp, cfg, qcfg, cos, sin, mask, alibi, cache,
                    cache_index, capture, compute_dtype,
                    plain_causal: bool = False, window=None,
-                   chunk0: bool = False, banded: bool = False):
+                   chunk0: bool = False, banded: bool = False,
+                   banded_starts=None):
     b, t, d = h.shape
     hd = cfg.head_dim
     n_h = cfg.num_attention_heads
@@ -197,7 +198,8 @@ def _layer_forward(h, lp, cfg, qcfg, cos, sin, mask, alibi, cache,
         new_cache, ctx = update_and_attend(
             q, k, v, None, cache_index, mask, 1.0 / math.sqrt(hd),
             compute_dtype, window=window, alibi_bias=alibi, carry=cache,
-            chunk0_causal=chunk0, banded=banded)
+            chunk0_causal=chunk0, banded=banded,
+            banded_starts=banded_starts)
     else:
         new_cache, ctx = update_and_attend(
             q, k, v, cache, cache_index, mask, 1.0 / math.sqrt(hd),
@@ -232,6 +234,7 @@ def forward(params, input_ids: jnp.ndarray, cfg: BaichuanConfig,
             quant_config: Optional[QuantConfig] = None, *,
             kv_cache=None, cache_index=None,
             kv_valid: Optional[jnp.ndarray] = None,
+            pad_starts: Optional[jnp.ndarray] = None,
             positions: Optional[jnp.ndarray] = None,
             attention_mask: Optional[jnp.ndarray] = None,
             capture_stats: bool = False,
@@ -248,6 +251,9 @@ def forward(params, input_ids: jnp.ndarray, cfg: BaichuanConfig,
             positions = slots
         col = jnp.arange(s_max, dtype=jnp.int32)
         mask = col[None, None, None, :] <= slots[:, None, :, None]
+        if kv_valid is None and pad_starts is not None:
+            # ragged left-padded prefill: valid keys start at pad_starts[b]
+            mask = mask & (col >= pad_starts[:, None, None, None])
         if kv_valid is not None:
             mask = mask & kv_valid[:, None, None, :]
         if t == 1:
@@ -280,6 +286,7 @@ def forward(params, input_ids: jnp.ndarray, cfg: BaichuanConfig,
     # slot mask equals plain causality over the chunk -> flash-prefill path
     # (Baichuan-13B ALiBi is gated off inside update_and_attend)
     chunk0 = (kv_cache is not None and kv_valid is None and t > 1
+              and pad_starts is None
               and isinstance(cache_index, int) and cache_index == 0)
     # mid-prompt chunk prefill (scalar index > 0, no pad mask): banded flash
     chunkN = (kv_cache is not None and kv_valid is None and t > 1
@@ -305,7 +312,8 @@ def forward(params, input_ids: jnp.ndarray, cfg: BaichuanConfig,
             hh, cache, st = _layer_forward(
                 hh, lp, cfg, quant_config, cos, sin, mask, alibi, (cache, l),
                 cache_index, capture_stats, compute_dtype, window=window,
-                chunk0=chunk0, banded=chunkN)
+                chunk0=chunk0, banded=chunkN,
+                banded_starts=pad_starts)
             return (hh, cache, l + 1), (st if capture_stats else None)
 
         (h, new_kv, _), stats = jax.lax.scan(

@@ -563,35 +563,37 @@ def _banded_mode() -> str:
     return os.environ.get("ASQ_BANDED_PREFILL", "auto")
 
 
-def _run_banded_kernel(mesh, q, k_row, v_row, pos, *, scale, interpret=False):
+def _run_banded_kernel(mesh, q, k_row, v_row, pos, starts, *, scale,
+                       interpret=False):
     """flash_attention_banded, shard_mapped over (data->batch, model->heads)
     when an ambient mesh is present (embarrassingly parallel, no
     collectives; specs match the KV-cache layout)."""
     from ..kernels.attention import flash_attention_banded
 
     if mesh is None:
-        return flash_attention_banded(q, k_row, v_row, pos, sm_scale=scale,
-                                      interpret=interpret)
+        return flash_attention_banded(q, k_row, v_row, pos, starts,
+                                      sm_scale=scale, interpret=interpret)
     from jax.sharding import PartitionSpec as P
 
     dn = "data" if _mesh_axis(mesh, "data") > 1 else None
     mn = "model" if _mesh_axis(mesh, "model") > 1 else None
 
-    def local(q_, k_, v_, p_):
-        return flash_attention_banded(q_, k_, v_, p_, sm_scale=scale,
+    def local(q_, k_, v_, p_, st_):
+        return flash_attention_banded(q_, k_, v_, p_, st_, sm_scale=scale,
                                       interpret=interpret)
 
     return jax.shard_map(
         local, mesh=mesh,
         in_specs=(P(dn, None, mn, None), P(dn, None, mn, None),
-                  P(dn, None, mn, None), P(dn)),
+                  P(dn, None, mn, None), P(dn), P(dn)),
         out_specs=P(dn, None, mn, None), check_vma=False,
-    )(q, k_row, v_row, pos)
+    )(q, k_row, v_row, pos, starts)
 
 
 def update_and_attend(q, k, v, cache, cache_index, mask, scale, compute_dtype,
                       *, window=None, alibi_bias=None, plain_causal=False,
-                      carry=None, chunk0_causal=False, banded=False):
+                      carry=None, chunk0_causal=False, banded=False,
+                      banded_starts=None):
     """Cache write + attention for one layer, routing the single-token decode
     step through the flash-decode Pallas kernel when possible (in-VMEM int8
     dequant — the production form of the reference's vestigial int8 BMM
@@ -668,8 +670,11 @@ def update_and_attend(q, k, v, cache, cache_index, mask, scale, compute_dtype,
                 k_l = k_l.astype(ct)
                 v_l = v_l.astype(ct)
             pos = jnp.broadcast_to(jnp.asarray(cache_index, jnp.int32), (b,))
+            starts = (jnp.zeros((b,), jnp.int32) if banded_starts is None
+                      else jnp.asarray(banded_starts, jnp.int32))
             out = _run_banded_kernel(mesh, q.astype(ct), k_l, v_l, pos,
-                                     scale=scale, interpret=not on_tpu)
+                                     starts, scale=scale,
+                                     interpret=not on_tpu)
             return new_cache, out.astype(q.dtype)
     mode = _flash_decode_mode()
     if (full_cache is not None and t == 1 and window is not None

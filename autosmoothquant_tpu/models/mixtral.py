@@ -323,7 +323,8 @@ def _moe_block(x, mp, cfg: MixtralConfig, qcfg, capture, all_experts,
 def _layer_forward(h, lp, cfg, qcfg, cos, sin, mask, cache, cache_index,
                    capture, all_experts, compute_dtype,
                    plain_causal: bool = False, window=None,
-                   chunk0: bool = False, banded: bool = False):
+                   chunk0: bool = False, banded: bool = False,
+                   banded_starts=None):
     b, t, d = h.shape
     hd = cfg.head_dim
     n_q, n_kv = cfg.num_attention_heads, cfg.num_key_value_heads
@@ -349,7 +350,8 @@ def _layer_forward(h, lp, cfg, qcfg, cos, sin, mask, cache, cache_index,
     if isinstance(cache, tuple):  # carry mode: (full [L,...] cache, layer l)
         new_cache, ctx = update_and_attend(
             q, k, v, None, cache_index, mask, 1.0 / math.sqrt(hd),
-            compute_dtype, window=window, carry=cache, chunk0_causal=chunk0, banded=banded)
+            compute_dtype, window=window, carry=cache, chunk0_causal=chunk0,
+            banded=banded, banded_starts=banded_starts)
     else:
         new_cache, ctx = update_and_attend(
             q, k, v, cache, cache_index, mask, 1.0 / math.sqrt(hd),
@@ -374,6 +376,7 @@ def forward(params, input_ids: jnp.ndarray, cfg: MixtralConfig,
             quant_config: Optional[QuantConfig] = None, *,
             kv_cache=None, cache_index=None,
             kv_valid: Optional[jnp.ndarray] = None,
+            pad_starts: Optional[jnp.ndarray] = None,
             positions: Optional[jnp.ndarray] = None,
             attention_mask: Optional[jnp.ndarray] = None,
             capture_stats: bool = False,
@@ -391,6 +394,9 @@ def forward(params, input_ids: jnp.ndarray, cfg: MixtralConfig,
             positions = slots
         col = jnp.arange(s_max, dtype=jnp.int32)[None, None, None, :]
         mask = col <= slots[:, None, :, None]
+        if kv_valid is None and pad_starts is not None:
+            # ragged left-padded prefill: valid keys start at pad_starts[b]
+            mask = mask & (col >= pad_starts[:, None, None, None])
         if kv_valid is not None:
             mask = mask & kv_valid[:, None, None, :]
         if t == 1:
@@ -411,6 +417,7 @@ def forward(params, input_ids: jnp.ndarray, cfg: MixtralConfig,
     # prefill into an EMPTY cache (static index 0, no pad/valid mask): the
     # slot mask equals plain causality over the chunk -> flash-prefill path
     chunk0 = (kv_cache is not None and kv_valid is None and t > 1
+              and pad_starts is None
               and isinstance(cache_index, int) and cache_index == 0)
     # mid-prompt chunk prefill (scalar index > 0, no pad mask): banded flash
     chunkN = (kv_cache is not None and kv_valid is None and t > 1
@@ -436,7 +443,8 @@ def forward(params, input_ids: jnp.ndarray, cfg: MixtralConfig,
             hh, cache, st = _layer_forward(
                 hh, lp, cfg, quant_config, cos, sin, mask, (cache, l),
                 cache_index, capture_stats, calibrate_all_experts,
-                compute_dtype, window=window, chunk0=chunk0, banded=chunkN)
+                compute_dtype, window=window, chunk0=chunk0, banded=chunkN,
+                banded_starts=pad_starts)
             return (hh, cache, l + 1), (st if capture_stats else None)
 
         (h, new_kv, _), stats = jax.lax.scan(

@@ -131,7 +131,8 @@ def init_params(cfg: OPTConfig, key, dtype=jnp.float32) -> Dict[str, Any]:
 def _layer_forward(h, lp, cfg: OPTConfig, qcfg: Optional[QuantConfig],
                    mask, cache, cache_index, capture, compute_dtype,
                    plain_causal: bool = False, window=None,
-                   chunk0: bool = False, banded: bool = False):
+                   chunk0: bool = False, banded: bool = False,
+                   banded_starts=None):
     b, t, d = h.shape
     hd = cfg.head_dim
     n_h = cfg.num_attention_heads
@@ -165,7 +166,8 @@ def _layer_forward(h, lp, cfg: OPTConfig, qcfg: Optional[QuantConfig],
     if isinstance(cache, tuple):  # carry mode: (full [L,...] cache, layer l)
         new_cache, ctx = update_and_attend(
             q, k, v, None, cache_index, mask, 1.0 / math.sqrt(hd),
-            compute_dtype, window=window, carry=cache, chunk0_causal=chunk0, banded=banded)
+            compute_dtype, window=window, carry=cache, chunk0_causal=chunk0, banded=banded,
+            banded_starts=banded_starts)
     else:
         new_cache, ctx = update_and_attend(
             q, k, v, cache, cache_index, mask, 1.0 / math.sqrt(hd),
@@ -229,6 +231,7 @@ def forward(params, input_ids: jnp.ndarray, cfg: OPTConfig,
             quant_config: Optional[QuantConfig] = None, *,
             kv_cache=None, cache_index=None,
             kv_valid: Optional[jnp.ndarray] = None,
+            pad_starts: Optional[jnp.ndarray] = None,
             positions: Optional[jnp.ndarray] = None,
             attention_mask: Optional[jnp.ndarray] = None,
             capture_stats: bool = False,
@@ -248,6 +251,9 @@ def forward(params, input_ids: jnp.ndarray, cfg: OPTConfig,
             positions = slots
         col = jnp.arange(s_max, dtype=jnp.int32)[None, None, None, :]
         mask = col <= slots[:, None, :, None]
+        if kv_valid is None and pad_starts is not None:
+            # ragged left-padded prefill: valid keys start at pad_starts[b]
+            mask = mask & (col >= pad_starts[:, None, None, None])
         if kv_valid is not None:
             mask = mask & kv_valid[:, None, None, :]
         if t == 1:
@@ -269,6 +275,7 @@ def forward(params, input_ids: jnp.ndarray, cfg: OPTConfig,
     # prefill into an EMPTY cache (static index 0, no pad/valid mask): the
     # slot mask equals plain causality over the chunk -> flash-prefill path
     chunk0 = (kv_cache is not None and kv_valid is None and t > 1
+              and pad_starts is None
               and isinstance(cache_index, int) and cache_index == 0)
     # mid-prompt chunk prefill (scalar index > 0, no pad mask): banded flash
     chunkN = (kv_cache is not None and kv_valid is None and t > 1
@@ -293,7 +300,8 @@ def forward(params, input_ids: jnp.ndarray, cfg: OPTConfig,
             hh, cache, l = carry
             hh, cache, st = _layer_forward(
                 hh, lp, cfg, quant_config, mask, (cache, l), cache_index,
-                capture_stats, compute_dtype, window=window, chunk0=chunk0, banded=chunkN)
+                capture_stats, compute_dtype, window=window, chunk0=chunk0, banded=chunkN,
+                banded_starts=pad_starts)
             return (hh, cache, l + 1), (st if capture_stats else None)
 
         (h, new_kv, _), stats = jax.lax.scan(

@@ -171,18 +171,19 @@ class Engine:
     # -- jitted stages ------------------------------------------------------
 
     def _prefill_fn(self, prompt_len: int, padded: bool = True):
-        """padded=False (no prompt in the batch needed left-padding — always
-        true at b1) drops kv_valid so the forward takes the chunk0 flash
-        path instead of eager whole-cache attention."""
+        """Left-pad validity rides ``pad_starts`` (valid keys = col >=
+        pad_b), not a kv_valid mask — both the unpadded (chunk0) and ragged
+        (banded-with-starts) prefills then take the flash kernels instead of
+        eager whole-cache attention."""
         key = (prompt_len, padded)
         if key not in self._prefill:
             model, cfg, qcfg, cdt = self.model, self.cfg, self.qcfg, self.compute_dtype
 
             @jax.jit
-            def prefill(params, ids, positions, kv_valid, cache):
+            def prefill(params, ids, positions, pads, cache):
                 h, cache, _ = model.forward(
                     params, ids, cfg, qcfg, kv_cache=cache, cache_index=0,
-                    kv_valid=kv_valid if padded else None,
+                    pad_starts=pads if padded else None,
                     positions=positions, compute_dtype=cdt)
                 logits = model.logits(params, h[:, -1:, :])[:, 0]
                 return logits, cache
@@ -316,7 +317,7 @@ class Engine:
                 max_len, padded=bool(pad_lens.max() > 0))(
                 self.params, self._put(ids, P(dp, None)),
                 self._put(positions, P(dp, None)),
-                self._put(valid, P(dp, None)), cache)
+                self._put(pad_lens, P(dp)), cache)
 
             n = gen_cfg.max_new_tokens
             # host-only fields (stop/eos truncation, speculative selection)

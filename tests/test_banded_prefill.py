@@ -95,3 +95,26 @@ def test_forced_chunked_prefill_equality(monkeypatch):
         eng.submit(i, p, max_new_tokens=5)
     got = eng.run()
     assert got == want
+
+
+@pytest.mark.parametrize("mode", ["off", "force"])
+def test_ragged_engine_prefill_matches_singles(monkeypatch, mode):
+    """Left-padded ragged batches route through the banded kernel with
+    per-row starts (pad_starts); every row's tokens must equal running that
+    prompt alone (which takes the chunk0 path)."""
+    from autosmoothquant_tpu.models import llama as L
+    from autosmoothquant_tpu.serve.engine import Engine, GenerationConfig
+
+    monkeypatch.setenv("ASQ_BANDED_PREFILL", mode)
+    cfg = L.LlamaConfig(vocab_size=128, hidden_size=64, intermediate_size=128,
+                        num_hidden_layers=2, num_attention_heads=4,
+                        num_key_value_heads=2, max_position_embeddings=512)
+    params = L.init_params(cfg, jax.random.PRNGKey(0))
+    rng = np.random.default_rng(5)
+    prompts = [rng.integers(1, 128, size=n).tolist() for n in (200, 140, 260)]
+    eng = Engine(L, params, cfg, max_batch=4, max_seq=512,
+                 kv_dtype=jnp.float32, compute_dtype=jnp.float32)
+    got = eng.generate(prompts, GenerationConfig(max_new_tokens=6))
+    for p, row in zip(prompts, got):
+        single = eng.generate([p], GenerationConfig(max_new_tokens=6))[0]
+        assert row == single, (mode, p[:4])
