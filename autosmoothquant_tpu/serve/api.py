@@ -40,11 +40,36 @@ class ServingAPI:
         self._events: Dict[int, threading.Event] = {}
         self._results: Dict[int, List[int]] = {}
         self._errors: Dict[int, str] = {}
+        self._handles: Dict[int, Any] = {}  # uid -> live Request (streaming)
         self._uid = 0
         self._stop = threading.Event()
         self._thread: Optional[threading.Thread] = None
 
     # -- client side ---------------------------------------------------------
+
+    def submit_nowait(self, prompt: List[int], **kw):
+        """Enqueue and return (uid, event). The live Request appears in
+        self._handles[uid] once the scheduler admits it; the event fires on
+        completion. Streaming readers poll request.output (the scheduler
+        thread only appends; list reads are atomic under the GIL)."""
+        ev = threading.Event()
+        with self._lock:
+            uid = self._uid
+            self._uid += 1
+            self._events[uid] = ev
+            self._inbox.append(dict(uid=uid, prompt=list(prompt), **kw))
+        return uid, ev
+
+    def result(self, uid: int, want_logprobs: bool = False):
+        """Collect a finished submit_nowait request (after its event)."""
+        with self._lock:
+            self._events.pop(uid, None)
+            self._handles.pop(uid, None)
+            err = self._errors.pop(uid, None)
+            if err is not None:
+                raise RuntimeError(f"engine error: {err}")
+            toks, lps = self._results.pop(uid)
+            return (toks, lps) if want_logprobs else toks
 
     def submit(self, prompt: List[int], *, max_new_tokens: int = 64,
                eos_token_id: Optional[int] = None, temperature: float = 0.0,
@@ -103,6 +128,8 @@ class ServingAPI:
                 for r in new:
                     uid = r.pop("uid")
                     inflight[uid] = eng.submit(uid, **r)
+                    with self._lock:
+                        self._handles[uid] = inflight[uid]
                 busy = (inflight or eng.waiting or eng._admitting
                         or any(s is not None for s in eng.slot_req))
                 if not busy:
@@ -156,6 +183,62 @@ def _make_handler(api: ServingAPI):
         def log_message(self, *a):  # quiet test output
             pass
 
+        def _stream(self, api, req, prompt, stop):
+            """Server-sent events: one `data:` line per NEW token batch as
+            the scheduler emits them, then a final `done` event with the
+            finished (eos/stop-truncated) output."""
+            import time
+
+            uid, ev = api.submit_nowait(
+                [int(t) for t in prompt],
+                max_new_tokens=int(req.get("max_new_tokens", 64)),
+                eos_token_id=req.get("eos_token_id"),
+                temperature=float(req.get("temperature", 0.0)),
+                top_k=int(req.get("top_k", 0)),
+                top_p=float(req.get("top_p", 1.0)),
+                repetition_penalty=float(req.get("repetition_penalty", 1.0)),
+                stop=stop)
+            self.send_response(200)
+            self.send_header("Content-Type", "text/event-stream")
+            self.send_header("Cache-Control", "no-cache")
+            self.end_headers()
+            sent = 0
+            deadline = time.time() + float(req.get("timeout", 600.0))
+            while not ev.wait(0.02):
+                if time.time() > deadline:
+                    with api._lock:  # deregister: discard the late result
+                        api._events.pop(uid, None)
+                        api._handles.pop(uid, None)
+                        api._results.pop(uid, None)
+                    self.wfile.write(b"event: error\ndata: timeout\n\n")
+                    return
+                handle = api._handles.get(uid)
+                if handle is None:
+                    continue
+                out = handle.output  # scheduler only appends (GIL-atomic)
+                if len(out) > sent:
+                    chunk = out[sent:len(out)]
+                    sent += len(chunk)
+                    text = (api.tokenizer.decode(chunk)
+                            if api.tokenizer is not None else None)
+                    self.wfile.write(
+                        ("data: " + json.dumps(
+                            {"tokens": chunk, "text": text}) + "\n\n"
+                         ).encode())
+                    self.wfile.flush()
+            try:
+                toks = api.result(uid)
+            except RuntimeError as e:
+                self.wfile.write(
+                    f"event: error\ndata: {e}\n\n".encode())
+                return
+            text = (api.tokenizer.decode(toks)
+                    if api.tokenizer is not None else None)
+            self.wfile.write(
+                ("event: done\ndata: " + json.dumps(
+                    {"tokens": toks, "text": text}) + "\n\n").encode())
+            self.wfile.flush()
+
         def _send(self, code: int, payload: dict):
             body = json.dumps(payload).encode()
             self.send_response(code)
@@ -194,6 +277,9 @@ def _make_handler(api: ServingAPI):
                     raise ValueError(
                         "stop must be a list of token-id lists")
                 want_lp = bool(req.get("logprobs", False))
+                if bool(req.get("stream", False)):
+                    self._stream(api, req, prompt, stop)
+                    return
                 res = api.submit(
                     [int(t) for t in prompt],
                     max_new_tokens=int(req.get("max_new_tokens", 64)),

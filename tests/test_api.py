@@ -156,3 +156,37 @@ def test_health_and_errors(server):
     assert status == 400 and "error" in out
     status, out = _post(port, {"prompt": "text without tokenizer"})
     assert status == 400 and "tokenizer" in out["error"]
+
+
+def test_streaming_sse(server):
+    """stream=true returns incremental SSE events whose concatenated tokens
+    equal the non-streaming result, ending with a done event."""
+    L, cfg, params, api, port = server
+    rng = np.random.default_rng(7)
+    prompt = rng.integers(1, 128, size=6).tolist()
+    _, plain = _post(port, {"prompt": prompt, "max_new_tokens": 10})
+
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/generate",
+        data=json.dumps({"prompt": prompt, "max_new_tokens": 10,
+                         "stream": True}).encode(),
+        headers={"Content-Type": "application/json"})
+    events = []
+    with urllib.request.urlopen(req, timeout=120) as r:
+        assert r.headers["Content-Type"].startswith("text/event-stream")
+        buf = b""
+        while True:
+            chunk = r.read(1)
+            if not chunk:
+                break
+            buf += chunk
+        for block in buf.decode().strip().split("\n\n"):
+            lines = dict(l.split(": ", 1) for l in block.split("\n")
+                         if ": " in l)
+            events.append((lines.get("event", "data"),
+                           json.loads(lines["data"])))
+    assert events[-1][0] == "done"
+    streamed = [t for ev, d in events if ev == "data" for t in d["tokens"]]
+    final = events[-1][1]["tokens"]
+    assert final == plain["tokens"]
+    assert streamed[:len(final)] == final[:len(streamed)] or streamed == final
