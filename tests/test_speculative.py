@@ -184,3 +184,22 @@ class TestContinuousSpeculative:
         plain = self._engine(L, cfg, params)
         plain.submit(0, [int(x) for x in p], max_new_tokens=30)
         assert out == plain.run()
+
+    def test_int8_kv_matches_plain_int8_kv(self):
+        """Speculative verify writes multi-token int8 K/V per tick; the
+        per-token quantization must round-trip identically to the plain
+        scheduler's single-token writes (greedy-exact even with a quant
+        cache)."""
+        L, cfg, params = _tiny()
+        p = [9, 10, 11] * 6
+        from autosmoothquant_tpu.serve.batching import ContinuousEngine
+
+        a = ContinuousEngine(L, params, cfg, max_batch=2, max_seq=128,
+                             kv_dtype=jnp.int8, compute_dtype=jnp.float32)
+        a.submit(0, p, max_new_tokens=10)
+        want = a.run()
+        b = ContinuousEngine(L, params, cfg, max_batch=2, max_seq=128,
+                             kv_dtype=jnp.int8, compute_dtype=jnp.float32,
+                             speculative_gamma=3)
+        b.submit(0, p, max_new_tokens=10)
+        assert b.run() == want
