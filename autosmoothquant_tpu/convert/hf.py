@@ -40,9 +40,17 @@ def _stack(sd, pattern: str, num_layers: int, transpose: bool) -> jnp.ndarray:
     return jnp.asarray(np.stack(arrs))
 
 
+def _wb(sd, base: str, num_layers: int, cast):
+    """Projection dict with an optional stacked bias (Qwen2 QKV)."""
+    p = {"w": cast(_stack(sd, base + ".weight", num_layers, True))}
+    if base.format(i=0) + ".bias" in sd:
+        p["bias"] = cast(_stack(sd, base + ".bias", num_layers, False))
+    return p
+
+
 def llama_params_from_state_dict(sd: Dict[str, Any], num_layers: int,
                                  dtype=jnp.float32) -> Dict[str, Any]:
-    """Map HF Llama names -> this package's stacked layout."""
+    """Map HF Llama (and Qwen2: + QKV biases) names -> stacked layout."""
     def cast(x):
         return x.astype(dtype)
 
@@ -52,12 +60,13 @@ def llama_params_from_state_dict(sd: Dict[str, Any], num_layers: int,
             "ln1": {"w": cast(_stack(sd, "model.layers.{i}.input_layernorm.weight",
                                      num_layers, False))},
             "attn": {
-                "q": {"w": cast(_stack(sd, "model.layers.{i}.self_attn.q_proj.weight",
-                                       num_layers, True))},
-                "k": {"w": cast(_stack(sd, "model.layers.{i}.self_attn.k_proj.weight",
-                                       num_layers, True))},
-                "v": {"w": cast(_stack(sd, "model.layers.{i}.self_attn.v_proj.weight",
-                                       num_layers, True))},
+                # Qwen2 rides the llama layout with QKV biases
+                "q": _wb(sd, "model.layers.{i}.self_attn.q_proj", num_layers,
+                         cast),
+                "k": _wb(sd, "model.layers.{i}.self_attn.k_proj", num_layers,
+                         cast),
+                "v": _wb(sd, "model.layers.{i}.self_attn.v_proj", num_layers,
+                         cast),
                 "o": {"w": cast(_stack(sd, "model.layers.{i}.self_attn.o_proj.weight",
                                        num_layers, True))},
             },

@@ -66,6 +66,9 @@ class LlamaConfig:
     rms_norm_eps: float = 1e-6
     rope_theta: float = 10000.0
     tie_word_embeddings: bool = False
+    # q/k/v projection biases (Qwen2 — llama architecture + QKV bias; the
+    # same functional module serves both families)
+    attention_bias: bool = False
 
     @property
     def head_dim(self) -> int:
@@ -86,6 +89,8 @@ class LlamaConfig:
             rms_norm_eps=g("rms_norm_eps", 1e-6),
             rope_theta=g("rope_theta", 10000.0),
             tie_word_embeddings=bool(g("tie_word_embeddings", False)),
+            attention_bias=bool(g("attention_bias",
+                                  g("model_type", "") == "qwen2")),
         )
 
 
@@ -110,9 +115,15 @@ def init_params(cfg: LlamaConfig, key, dtype=jnp.float32) -> Dict[str, Any]:
         "layers": {
             "ln1": {"w": jnp.ones((L, D), dtype)},
             "attn": {
-                "q": {"w": w(next(keys), L, D, HD)},
-                "k": {"w": w(next(keys), L, D, KVD)},
-                "v": {"w": w(next(keys), L, D, KVD)},
+                "q": {"w": w(next(keys), L, D, HD),
+                      **({} if not cfg.attention_bias else
+                         {"bias": w(next(keys), L, HD, scale=0.02)})},
+                "k": {"w": w(next(keys), L, D, KVD),
+                      **({} if not cfg.attention_bias else
+                         {"bias": w(next(keys), L, KVD, scale=0.02)})},
+                "v": {"w": w(next(keys), L, D, KVD),
+                      **({} if not cfg.attention_bias else
+                         {"bias": w(next(keys), L, KVD, scale=0.02)})},
                 "o": {"w": w(next(keys), L, HD, D)},
             },
             "ln2": {"w": jnp.ones((L, D), dtype)},
@@ -512,9 +523,14 @@ def smooth(params, stats: Dict[str, jnp.ndarray], alpha: float = 0.5,
     )
     new_layers = {
         "ln1": {"w": ln1_new},
-        "attn": {**lay["attn"], "q": {"w": q2}, "k": {"w": k2}, "v": {"w": v2}},
+        "attn": {**lay["attn"],
+                 "q": {**lay["attn"]["q"], "w": q2},
+                 "k": {**lay["attn"]["k"], "w": k2},
+                 "v": {**lay["attn"]["v"], "w": v2}},
         "ln2": {"w": ln2_new},
-        "mlp": {**lay["mlp"], "gate": {"w": g2}, "up": {"w": u2}},
+        "mlp": {**lay["mlp"],
+                "gate": {**lay["mlp"]["gate"], "w": g2},
+                "up": {**lay["mlp"]["up"], "w": u2}},
     }
     return {**params, "layers": new_layers}
 
@@ -549,9 +565,11 @@ def quantize(params, qcfg: QuantConfig,
         def quant_proj(w):
             return jax.vmap(qmath.quantize_weight_per_tensor_absmax)(w)
 
-        def pack(w, input_scale, gran, kind):
-            qw, w_scale = quant_proj(w)
+        def pack(proj, input_scale, gran, kind):
+            qw, w_scale = quant_proj(proj["w"])
             p = {"w": qw}
+            if "bias" in proj:
+                p["bias"] = proj["bias"]  # added post-dequant in f32
             if gran == PER_TENSOR:
                 p["dequant_scale"] = w_scale * input_scale
                 if kind == LinearKind.SCALED:
@@ -568,17 +586,17 @@ def quantize(params, qcfg: QuantConfig,
             "ln1": {"w": lay["ln1"]["w"] / attn_in[:, None]
                     if qcfg.qkv == PER_TENSOR else lay["ln1"]["w"]},
             "attn": {
-                "q": pack(lay["attn"]["q"]["w"], attn_in, qcfg.qkv, LinearKind.POST_NORM),
-                "k": pack(lay["attn"]["k"]["w"], attn_in, qcfg.qkv, LinearKind.POST_NORM),
-                "v": pack(lay["attn"]["v"]["w"], attn_in, qcfg.qkv, LinearKind.POST_NORM),
-                "o": pack(lay["attn"]["o"]["w"], out_in, qcfg.out, LinearKind.SCALED),
+                "q": pack(lay["attn"]["q"], attn_in, qcfg.qkv, LinearKind.POST_NORM),
+                "k": pack(lay["attn"]["k"], attn_in, qcfg.qkv, LinearKind.POST_NORM),
+                "v": pack(lay["attn"]["v"], attn_in, qcfg.qkv, LinearKind.POST_NORM),
+                "o": pack(lay["attn"]["o"], out_in, qcfg.out, LinearKind.SCALED),
             },
             "ln2": {"w": lay["ln2"]["w"] / gate_in[:, None]
                     if qcfg.fc1 == PER_TENSOR else lay["ln2"]["w"]},
             "mlp": {
-                "gate": pack(lay["mlp"]["gate"]["w"], gate_in, qcfg.fc1, LinearKind.POST_NORM),
-                "up": pack(lay["mlp"]["up"]["w"], gate_in, qcfg.fc1, LinearKind.POST_NORM),
-                "down": pack(lay["mlp"]["down"]["w"], down_in, qcfg.fc2, LinearKind.SCALED),
+                "gate": pack(lay["mlp"]["gate"], gate_in, qcfg.fc1, LinearKind.POST_NORM),
+                "up": pack(lay["mlp"]["up"], gate_in, qcfg.fc1, LinearKind.POST_NORM),
+                "down": pack(lay["mlp"]["down"], down_in, qcfg.fc2, LinearKind.SCALED),
             },
         }
         return {**params, "layers": new_layers}
@@ -590,11 +608,12 @@ def quantize(params, qcfg: QuantConfig,
         if key in ignore:  # exempted projection stays float (ignore patterns)
             return dict(v)
         w = v["w"]
+        extra = {"bias": v["bias"]} if "bias" in v else {}
         qw, w_scale = jax.vmap(lambda ww: qmath.quantize_fp8_per_tensor(ww, fdt))(w)
         if qcfg.type == "fp8_e5m2":
             # scale-free: e5m2 casts weights directly (linear.py:607-614)
-            return {"w": w.astype(fdt)}
-        return {"w": qw, "w_scale": w_scale}
+            return {"w": w.astype(fdt), **extra}
+        return {"w": qw, "w_scale": w_scale, **extra}
 
     new_layers = {
         "ln1": dict(lay["ln1"]),
@@ -646,6 +665,8 @@ def fuse_decode_projections(params):
 
     def fuse(ps):
         out = {"w": jnp.concatenate([p["w"] for p in ps], axis=-1)}
+        if all("bias" in p for p in ps):
+            out["bias"] = jnp.concatenate([p["bias"] for p in ps], axis=-1)
         if "dequant_scale" in ps[0]:
             cols = [jnp.repeat(p["dequant_scale"][:, None], p["w"].shape[-1], axis=1)
                     for p in ps]
@@ -675,4 +696,5 @@ config_from_hf = LlamaConfig.from_hf
 import sys as _sys  # noqa: E402
 
 register_model("LlamaForCausalLM", FAMILY, _sys.modules[__name__])
+register_model("Qwen2ForCausalLM", FAMILY, _sys.modules[__name__])
 register_model("LLaMAForCausalLM", FAMILY, _sys.modules[__name__])

@@ -1,0 +1,94 @@
+"""Qwen2 family: the llama functional module + QKV biases (attention_bias).
+Beyond-reference model-zoo coverage, oracle-checked against HF Qwen2."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from autosmoothquant_tpu.models import llama as L
+from autosmoothquant_tpu.quant.config import QuantConfig
+
+
+@pytest.fixture(scope="module")
+def hf_pair():
+    torch = pytest.importorskip("torch")
+    from transformers import Qwen2Config, Qwen2ForCausalLM
+
+    from autosmoothquant_tpu.convert.hf import llama_params_from_state_dict
+
+    hf_cfg = Qwen2Config(
+        vocab_size=256, hidden_size=128, intermediate_size=256,
+        num_hidden_layers=2, num_attention_heads=8, num_key_value_heads=4,
+        max_position_embeddings=128, tie_word_embeddings=False,
+        attn_implementation="eager")
+    torch.manual_seed(0)
+    hf = Qwen2ForCausalLM(hf_cfg).eval().float()
+    cfg = L.LlamaConfig.from_hf(hf_cfg)
+    assert cfg.attention_bias  # detected from model_type == "qwen2"
+    params = llama_params_from_state_dict(
+        {k: v for k, v in hf.state_dict().items()}, cfg.num_hidden_layers)
+    assert "bias" in params["layers"]["attn"]["q"]
+    assert "bias" not in params["layers"]["attn"]["o"]
+    return hf, cfg, params
+
+
+def test_registry_routes_qwen2():
+    from autosmoothquant_tpu.models.registry import get_model_family
+
+    mod, family = get_model_family(
+        {"architectures": ["Qwen2ForCausalLM"], "model_type": "qwen2"})
+    assert family == "llama" and mod is L
+
+
+def test_hf_logits_parity(hf_pair):
+    import torch
+
+    hf, cfg, params = hf_pair
+    rng = np.random.default_rng(0)
+    ids = rng.integers(0, 256, size=(2, 24))
+    with torch.no_grad():
+        want = hf(torch.tensor(ids)).logits.numpy()
+    h, _, _ = L.forward(params, jnp.asarray(ids, jnp.int32), cfg,
+                        compute_dtype=jnp.float32)
+    got = np.asarray(L.logits(params, h), np.float32)
+    assert np.abs(got - want).max() < 5e-3
+
+
+def test_int8_pipeline_preserves_biases(hf_pair):
+    from autosmoothquant_tpu.convert.pipeline import calibrate_smooth_quantize
+
+    _, cfg, params = hf_pair
+    rng = np.random.default_rng(1)
+    calib = [rng.integers(0, 256, size=(2, 16)).astype(np.int32)
+             for _ in range(2)]
+    qcfg = QuantConfig(type="int8")
+    qparams, _ = calibrate_smooth_quantize(L, params, cfg, qcfg,
+                                           lambda: iter(calib))
+    assert "bias" in qparams["layers"]["attn"]["q"]
+    ids = jnp.asarray(rng.integers(0, 256, size=(2, 24)), jnp.int32)
+    lg_fp = np.asarray(L.logits(params, L.forward_jit(params, ids, cfg)[0]))
+    lg_q = np.asarray(L.logits(qparams, L.forward_jit(qparams, ids, cfg, qcfg)[0]))
+    p = np.exp(lg_fp - lg_fp.max(-1, keepdims=True))
+    p /= p.sum(-1, keepdims=True)
+    q = np.exp(lg_q - lg_q.max(-1, keepdims=True))
+    q /= q.sum(-1, keepdims=True)
+    kl = (p * (np.log(p + 1e-12) - np.log(q + 1e-12))).sum(-1).mean()
+    assert kl < 5e-3, kl
+
+
+def test_fused_projections_keep_biases(hf_pair):
+    from autosmoothquant_tpu.serve.engine import Engine, GenerationConfig
+
+    _, cfg, params = hf_pair
+    fused = L.fuse_decode_projections(params)
+    assert "bias" in fused["layers"]["attn"]["qkv"]
+    assert "bias" not in fused["layers"]["mlp"]["gateup"]
+    p = np.random.default_rng(2).integers(1, 256, size=9).tolist()
+    auto = Engine(L, params, cfg, max_batch=1, max_seq=64,
+                  kv_dtype=jnp.float32, compute_dtype=jnp.float32)
+    plain = Engine(L, params, cfg, max_batch=1, max_seq=64,
+                   kv_dtype=jnp.float32, compute_dtype=jnp.float32,
+                   fuse_projections=False)
+    gc = GenerationConfig(max_new_tokens=8)
+    assert auto.generate([p], gc) == plain.generate([p], gc)
