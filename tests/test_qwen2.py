@@ -92,3 +92,24 @@ def test_fused_projections_keep_biases(hf_pair):
                    fuse_projections=False)
     gc = GenerationConfig(max_new_tokens=8)
     assert auto.generate([p], gc) == plain.generate([p], gc)
+
+
+def test_tp_sharded_matches_single(hf_pair):
+    """Qwen2 bias leaves shard column-parallel with their weights; sharded
+    generation equals single-device."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    from autosmoothquant_tpu.serve.engine import Engine, GenerationConfig
+    from autosmoothquant_tpu.shard import make_mesh
+
+    _, cfg, params = hf_pair
+    p = np.random.default_rng(3).integers(1, 256, size=9).tolist()
+    single = Engine(L, params, cfg, max_batch=1, max_seq=64,
+                    kv_dtype=jnp.float32, compute_dtype=jnp.float32)
+    want = single.generate([p], GenerationConfig(max_new_tokens=8))
+    mesh = make_mesh(data=2, model=4)
+    eng = Engine(L, params, cfg, max_batch=8, max_seq=64,
+                 kv_dtype=jnp.float32, compute_dtype=jnp.float32, mesh=mesh)
+    spec = eng.params["layers"]["attn"]["q"]["bias"].sharding.spec
+    assert tuple(spec) == (None, "model")
+    assert eng.generate([p], GenerationConfig(max_new_tokens=8)) == want
