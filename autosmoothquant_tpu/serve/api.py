@@ -12,8 +12,11 @@ Endpoints:
                     "max_new_tokens": int, "temperature": float,
                     "top_k": int, "top_p": float,
                     "repetition_penalty": float, "stop": [[ids...], ...],
+                    "logprobs": bool, "stream": bool,
                     "eos_token_id": int|null}
-                -> {"tokens": [...], "text": str|null, "uid": int}
+                -> {"tokens": [...], "text": str|null[, "logprobs": [...]]}
+                   or (stream=true) text/event-stream: incremental `data:`
+                   events then a final `done` event
   GET  /health  -> {"ok": true, "active": int, "waiting": int}
 
 Sampling requests ride the engine's per-request parameters (one compiled
@@ -38,7 +41,7 @@ class ServingAPI:
         self._lock = threading.Lock()
         self._inbox: List[dict] = []
         self._events: Dict[int, threading.Event] = {}
-        self._results: Dict[int, List[int]] = {}
+        self._results: Dict[int, tuple] = {}
         self._errors: Dict[int, str] = {}
         self._handles: Dict[int, Any] = {}  # uid -> live Request (streaming)
         self._uid = 0
@@ -60,6 +63,16 @@ class ServingAPI:
             self._inbox.append(dict(uid=uid, prompt=list(prompt), **kw))
         return uid, ev
 
+    def deregister(self, uid: int) -> None:
+        """Forget a request (timeout / client gone): the scheduler then
+        DISCARDS its result instead of storing it — every bookkeeping dict
+        is popped here and only here, so cleanup sites cannot diverge."""
+        with self._lock:
+            self._events.pop(uid, None)
+            self._results.pop(uid, None)
+            self._errors.pop(uid, None)
+            self._handles.pop(uid, None)
+
     def result(self, uid: int, want_logprobs: bool = False):
         """Collect a finished submit_nowait request (after its event)."""
         with self._lock:
@@ -71,38 +84,16 @@ class ServingAPI:
             toks, lps = self._results.pop(uid)
             return (toks, lps) if want_logprobs else toks
 
-    def submit(self, prompt: List[int], *, max_new_tokens: int = 64,
-               eos_token_id: Optional[int] = None, temperature: float = 0.0,
-               top_k: int = 0, top_p: float = 1.0,
-               repetition_penalty: float = 1.0, stop=None,
-               want_logprobs: bool = False,
-               timeout: Optional[float] = None):
-        """Thread-safe blocking generate; returns the new tokens."""
-        ev = threading.Event()
-        with self._lock:
-            uid = self._uid
-            self._uid += 1
-            self._events[uid] = ev
-            self._inbox.append(dict(
-                uid=uid, prompt=list(prompt), max_new_tokens=max_new_tokens,
-                eos_token_id=eos_token_id, temperature=temperature,
-                top_k=top_k, top_p=top_p,
-                repetition_penalty=repetition_penalty, stop=stop,
-                want_logprobs=want_logprobs))
+    def submit(self, prompt: List[int], *, timeout: Optional[float] = None,
+               want_logprobs: bool = False, **kw):
+        """Thread-safe blocking generate; returns the new tokens (and
+        logprobs when want_logprobs)."""
+        uid, ev = self.submit_nowait(prompt, want_logprobs=want_logprobs,
+                                     **kw)
         if not ev.wait(timeout):
-            # deregister so the scheduler discards (not stores) the late
-            # result — otherwise _events/_results grow without bound
-            with self._lock:
-                self._events.pop(uid, None)
-                self._results.pop(uid, None)
+            self.deregister(uid)
             raise TimeoutError(f"request {uid} timed out")
-        with self._lock:
-            self._events.pop(uid, None)
-            err = self._errors.pop(uid, None)
-            if err is not None:
-                raise RuntimeError(f"engine error: {err}")
-            toks, lps = self._results.pop(uid)
-            return (toks, lps) if want_logprobs else toks
+        return self.result(uid, want_logprobs)
 
     def stats(self) -> dict:
         eng = self.engine
@@ -140,6 +131,7 @@ class ServingAPI:
                 traceback.print_exc(file=sys.stderr)
                 with self._lock:
                     for uid in list(inflight):
+                        self._handles.pop(uid, None)
                         self._errors[uid] = f"{type(e).__name__}: {e}"
                         ev = self._events.get(uid)
                         if ev is not None:
@@ -158,10 +150,12 @@ class ServingAPI:
                     out = out[:out.index(req.eos_token_id)]
                 with self._lock:
                     ev = self._events.get(uid)
-                    if ev is not None:  # absent = client timed out: discard
+                    if ev is not None:  # absent = client gone: discard
                         n_out = len(out[:req.max_new_tokens])
                         self._results[uid] = (out[:req.max_new_tokens],
                                               req.logprobs[:n_out])
+                    else:
+                        self._handles.pop(uid, None)
                 if ev is not None:
                     ev.set()
 
@@ -183,10 +177,22 @@ def _make_handler(api: ServingAPI):
         def log_message(self, *a):  # quiet test output
             pass
 
-        def _stream(self, api, req, prompt, stop):
-            """Server-sent events: one `data:` line per NEW token batch as
+        def _sse(self, event: Optional[str], payload: dict):
+            head = f"event: {event}\n" if event else ""
+            self.wfile.write(
+                (head + "data: " + json.dumps(payload) + "\n\n").encode())
+            self.wfile.flush()
+
+        def _stream(self, api, req, prompt, stop, want_lp):
+            """Server-sent events: one `data:` event per NEW token batch as
             the scheduler emits them, then a final `done` event with the
-            finished (eos/stop-truncated) output."""
+            finished (eos/stop-truncated) output.
+
+            Tokens that could still be RETRACTED by end-of-generation
+            truncation (a trailing eos, or a partially-matched stop
+            sequence) are held back from the incremental events — the
+            concatenation of data-event tokens is always a prefix of the
+            done event's tokens."""
             import time
 
             uid, ev = api.submit_nowait(
@@ -197,47 +203,49 @@ def _make_handler(api: ServingAPI):
                 top_k=int(req.get("top_k", 0)),
                 top_p=float(req.get("top_p", 1.0)),
                 repetition_penalty=float(req.get("repetition_penalty", 1.0)),
-                stop=stop)
+                stop=stop, want_logprobs=want_lp)
+            holdback = max((len(s) for s in (stop or [])), default=0)
+            if req.get("eos_token_id") is not None:
+                holdback = max(holdback, 1)
             self.send_response(200)
             self.send_header("Content-Type", "text/event-stream")
             self.send_header("Cache-Control", "no-cache")
             self.end_headers()
             sent = 0
             deadline = time.time() + float(req.get("timeout", 600.0))
-            while not ev.wait(0.02):
-                if time.time() > deadline:
-                    with api._lock:  # deregister: discard the late result
-                        api._events.pop(uid, None)
-                        api._handles.pop(uid, None)
-                        api._results.pop(uid, None)
-                    self.wfile.write(b"event: error\ndata: timeout\n\n")
-                    return
-                handle = api._handles.get(uid)
-                if handle is None:
-                    continue
-                out = handle.output  # scheduler only appends (GIL-atomic)
-                if len(out) > sent:
-                    chunk = out[sent:len(out)]
-                    sent += len(chunk)
-                    text = (api.tokenizer.decode(chunk)
-                            if api.tokenizer is not None else None)
-                    self.wfile.write(
-                        ("data: " + json.dumps(
-                            {"tokens": chunk, "text": text}) + "\n\n"
-                         ).encode())
-                    self.wfile.flush()
             try:
-                toks = api.result(uid)
-            except RuntimeError as e:
-                self.wfile.write(
-                    f"event: error\ndata: {e}\n\n".encode())
-                return
-            text = (api.tokenizer.decode(toks)
-                    if api.tokenizer is not None else None)
-            self.wfile.write(
-                ("event: done\ndata: " + json.dumps(
-                    {"tokens": toks, "text": text}) + "\n\n").encode())
-            self.wfile.flush()
+                while not ev.wait(0.02):
+                    if time.time() > deadline:
+                        self._sse("error", {"error": "timeout"})
+                        return
+                    handle = api._handles.get(uid)
+                    if handle is None:
+                        continue
+                    out = handle.output  # scheduler only appends (GIL-atomic)
+                    safe = len(out) - holdback
+                    if safe > sent:
+                        chunk = out[sent:safe]
+                        sent = safe
+                        text = (api.tokenizer.decode(chunk)
+                                if api.tokenizer is not None else None)
+                        self._sse(None, {"tokens": chunk, "text": text})
+                try:
+                    res = api.result(uid, want_lp)
+                except RuntimeError as e:
+                    self._sse("error", {"error": str(e)})
+                    return
+                toks, lps = res if want_lp else (res, None)
+                text = (api.tokenizer.decode(toks)
+                        if api.tokenizer is not None else None)
+                payload = {"tokens": toks, "text": text}
+                if want_lp:
+                    payload["logprobs"] = lps
+                self._sse("done", payload)
+            finally:
+                # disconnected clients (BrokenPipeError mid-write) and
+                # timeouts must not leave the uid registered, or the
+                # scheduler stores the finished result forever
+                api.deregister(uid)
 
         def _send(self, code: int, payload: dict):
             body = json.dumps(payload).encode()
@@ -278,7 +286,7 @@ def _make_handler(api: ServingAPI):
                         "stop must be a list of token-id lists")
                 want_lp = bool(req.get("logprobs", False))
                 if bool(req.get("stream", False)):
-                    self._stream(api, req, prompt, stop)
+                    self._stream(api, req, prompt, stop, want_lp)
                     return
                 res = api.submit(
                     [int(t) for t in prompt],
