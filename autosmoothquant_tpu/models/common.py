@@ -410,6 +410,38 @@ def cache_write(cache, k, v, cache_index):
                         v=_write(cache.v, v.astype(cache.v.dtype), cache_index))
 
 
+def cache_mask_and_routing(kv_cache, cache_index, b: int, t: int,
+                           kv_valid, pad_starts):
+    """The shared per-family forward prologue for cached attention: returns
+    (slots, mask, window, chunk0, chunkN).
+
+    slots: cache-slot indices of the tokens being written [B, T] (also the
+    default rope positions when there is no padding). mask: bool
+    [B, 1, T, S_max] — attend to col s iff s <= own slot, restricted by
+    pad_starts (left-pad: valid keys start at pad_starts[b]) or kv_valid.
+    window: decode_window for the t == 1 kernel path. chunk0: prefill into
+    an EMPTY cache (static index 0, no pads) — plain causality over the
+    chunk, the in-register flash path. chunkN: mid-prompt chunk (scalar
+    index, no kv_valid) — the banded flash path (pad_starts rides along as
+    the kernel's per-row start)."""
+    assert cache_index is not None
+    s_max = kv_cache.k.shape[2]
+    slots = cache_slots(cache_index, b, t)
+    col = jnp.arange(s_max, dtype=jnp.int32)[None, None, None, :]
+    mask = col <= slots[:, None, :, None]
+    if kv_valid is None and pad_starts is not None:
+        mask = mask & (col >= pad_starts[:, None, None, None])
+    if kv_valid is not None:
+        mask = mask & kv_valid[:, None, None, :]
+    window = decode_window(cache_index, kv_valid, b) if t == 1 else None
+    scalar_index = (not isinstance(cache_index, (list, tuple))
+                    and getattr(cache_index, "ndim", 0) == 0)
+    chunk0 = (kv_valid is None and t > 1 and pad_starts is None
+              and isinstance(cache_index, int) and cache_index == 0)
+    chunkN = (kv_valid is None and t > 1 and scalar_index and not chunk0)
+    return slots, mask, window, chunk0, chunkN
+
+
 def decode_window(cache_index, kv_valid, batch: int):
     """Per-row [start, length) windows of valid cache slots for the
     single-token decode step. cache_index: scalar or [B] vector of the slot

@@ -33,6 +33,7 @@ from ..quant import math as qmath
 from ..quant.config import PER_TENSOR, QuantConfig
 from .common import (
     KVCacheLayer,
+    cache_mask_and_routing,
     cache_slots,
     decode_window,
     fused_add_norm_quant,
@@ -243,21 +244,12 @@ def forward(params, input_ids: jnp.ndarray, cfg: OPTConfig,
         h = jnp.dot(h, params["project_in"]["w"].astype(compute_dtype))
 
     window = None
+    chunk0 = chunkN = False
     if kv_cache is not None:
-        assert cache_index is not None
-        s_max = kv_cache.k.shape[2]
-        slots = cache_slots(cache_index, b, t)
+        slots, mask, window, chunk0, chunkN = cache_mask_and_routing(
+            kv_cache, cache_index, b, t, kv_valid, pad_starts)
         if positions is None:
-            positions = slots
-        col = jnp.arange(s_max, dtype=jnp.int32)[None, None, None, :]
-        mask = col <= slots[:, None, :, None]
-        if kv_valid is None and pad_starts is not None:
-            # ragged left-padded prefill: valid keys start at pad_starts[b]
-            mask = mask & (col >= pad_starts[:, None, None, None])
-        if kv_valid is not None:
-            mask = mask & kv_valid[:, None, None, :]
-        if t == 1:
-            window = decode_window(cache_index, kv_valid, b)
+            positions = slots  # no padding: slot == rope position
     else:
         if positions is None:
             positions = jnp.broadcast_to(
@@ -272,14 +264,6 @@ def forward(params, input_ids: jnp.ndarray, cfg: OPTConfig,
     h = h + pos_emb
 
     plain_causal = kv_cache is None and attention_mask is None
-    # prefill into an EMPTY cache (static index 0, no pad/valid mask): the
-    # slot mask equals plain causality over the chunk -> flash-prefill path
-    chunk0 = (kv_cache is not None and kv_valid is None and t > 1
-              and pad_starts is None
-              and isinstance(cache_index, int) and cache_index == 0)
-    # mid-prompt chunk prefill (scalar index > 0, no pad mask): banded flash
-    chunkN = (kv_cache is not None and kv_valid is None and t > 1
-              and getattr(cache_index, "ndim", 0) == 0 and not chunk0)
 
     def step(carry, layer_in):
         lp, layer_cache = layer_in
