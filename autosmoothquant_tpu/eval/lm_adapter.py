@@ -51,11 +51,15 @@ class JaxLM:
         model, cfg, qcfg, cdt = self.model, self.cfg, self.qcfg, self.compute_dtype
 
         @functools.partial(jax.jit, static_argnums=())
-        def score(params, ids, attn_mask):
+        def score(params, ids):
             """ids: [B, T]; returns token logprobs [B, T-1, V]-gathered:
-            logprob of ids[:, t+1] given prefix, plus argmax match flags."""
+            logprob of ids[:, t+1] given prefix, plus argmax match flags.
+
+            No attention_mask: sequences are RIGHT-padded, so causality
+            already excludes every pad column for valid query rows (pad-row
+            outputs are sliced away by the caller) — the maskless forward is
+            plain causal and rides the flash-prefill kernel."""
             h, _, _ = model.forward(params, ids, cfg, qcfg,
-                                    attention_mask=attn_mask,
                                     compute_dtype=cdt)
             logits = model.logits(params, h)  # [B, T, V] f32
             logp = jax.nn.log_softmax(logits[:, :-1], axis=-1)
@@ -74,15 +78,12 @@ class JaxLM:
         t = _pad_pow2(max(len(x) for x in token_lists))
         t = min(t, self.max_length)
         ids = np.zeros((b, t), np.int32)
-        mask = np.zeros((b, t), np.int32)
         eff_lens = np.zeros((b,), np.int64)
         for i, toks in enumerate(token_lists):
             toks = list(toks)[-t:]
             ids[i, :len(toks)] = toks
-            mask[i, :len(toks)] = 1
             eff_lens[i] = len(toks)
-        tok_logp, greedy = self._score_fn(
-            self.params, jnp.asarray(ids), jnp.asarray(mask))
+        tok_logp, greedy = self._score_fn(self.params, jnp.asarray(ids))
         return np.asarray(tok_logp), np.asarray(greedy), eff_lens
 
     # -- public API (BaseLM contract) ---------------------------------------
