@@ -434,8 +434,7 @@ def cache_mask_and_routing(kv_cache, cache_index, b: int, t: int,
     if kv_valid is not None:
         mask = mask & kv_valid[:, None, None, :]
     window = decode_window(cache_index, kv_valid, b) if t == 1 else None
-    scalar_index = (not isinstance(cache_index, (list, tuple))
-                    and getattr(cache_index, "ndim", 0) == 0)
+    scalar_index = not _is_vector_index(cache_index)
     chunk0 = (kv_valid is None and t > 1 and pad_starts is None
               and isinstance(cache_index, int) and cache_index == 0)
     chunkN = (kv_valid is None and t > 1 and scalar_index and not chunk0)

@@ -249,7 +249,7 @@ def forward(params, input_ids: jnp.ndarray, cfg: OPTConfig,
         slots, mask, window, chunk0, chunkN = cache_mask_and_routing(
             kv_cache, cache_index, b, t, kv_valid, pad_starts)
         if positions is None:
-            positions = slots  # no padding: slot == rope position
+            positions = slots  # no padding: slot == learned-embedding index
     else:
         if positions is None:
             positions = jnp.broadcast_to(

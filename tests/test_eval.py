@@ -170,3 +170,41 @@ def test_evaluate_multirank_rolling(setup, monkeypatch):
     monkeypatch.setattr(harness, "gather_results", fake_gather)
     got = evaluate(lm, [task], rank=1, world_size=2)["ppl2"]
     assert abs(got["perplexity"] - expect["perplexity"]) < 1e-9
+
+
+def test_masked_forward_matches_maskless_scoring():
+    """The eval scorer no longer passes attention_mask; keep the masked
+    cacheless path covered: left-padded batch + mask must reproduce each
+    sequence's unpadded logits at valid positions."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from autosmoothquant_tpu.models import llama as L
+
+    cfg = L.LlamaConfig(vocab_size=64, hidden_size=64, intermediate_size=128,
+                        num_hidden_layers=2, num_attention_heads=4,
+                        num_key_value_heads=2, max_position_embeddings=64)
+    params = L.init_params(cfg, jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    seqs = [rng.integers(1, 64, size=n).tolist() for n in (7, 12)]
+    t = max(map(len, seqs))
+    ids = np.zeros((2, t), np.int32)
+    mask = np.zeros((2, t), np.int32)
+    pos = np.zeros((2, t), np.int32)
+    for i, s in enumerate(seqs):
+        pad = t - len(s)
+        ids[i, pad:] = s
+        mask[i, pad:] = 1
+        pos[i, pad:] = np.arange(len(s))
+    h, _, _ = L.forward(params, jnp.asarray(ids), cfg,
+                        attention_mask=jnp.asarray(mask),
+                        positions=jnp.asarray(pos),
+                        compute_dtype=jnp.float32)
+    lg = np.asarray(L.logits(params, h), np.float32)
+    for i, s in enumerate(seqs):
+        h1, _, _ = L.forward(params, jnp.asarray([s], jnp.int32), cfg,
+                             compute_dtype=jnp.float32)
+        want = np.asarray(L.logits(params, h1), np.float32)[0]
+        got = lg[i, t - len(s):]
+        assert np.abs(got - want).max() < 2e-4
