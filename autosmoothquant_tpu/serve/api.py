@@ -44,6 +44,7 @@ class ServingAPI:
         self._results: Dict[int, tuple] = {}
         self._errors: Dict[int, str] = {}
         self._handles: Dict[int, Any] = {}  # uid -> live Request (streaming)
+        self._cancels: List[int] = []  # drained by the scheduler thread
         self._uid = 0
         self._stop = threading.Event()
         self._thread: Optional[threading.Thread] = None
@@ -64,14 +65,16 @@ class ServingAPI:
         return uid, ev
 
     def deregister(self, uid: int) -> None:
-        """Forget a request (timeout / client gone): the scheduler then
-        DISCARDS its result instead of storing it — every bookkeeping dict
-        is popped here and only here, so cleanup sites cannot diverge."""
+        """Forget a request (timeout / client gone): the scheduler CANCELS
+        it in the engine (no dead decoding) and discards any result — every
+        bookkeeping dict is popped here and only here, so cleanup sites
+        cannot diverge."""
         with self._lock:
             self._events.pop(uid, None)
             self._results.pop(uid, None)
             self._errors.pop(uid, None)
             self._handles.pop(uid, None)
+            self._cancels.append(uid)
 
     def result(self, uid: int, want_logprobs: bool = False):
         """Collect a finished submit_nowait request (after its event)."""
@@ -116,6 +119,10 @@ class ServingAPI:
             try:
                 with self._lock:
                     new, self._inbox = self._inbox, []
+                    cancels, self._cancels = self._cancels, []
+                for uid in cancels:
+                    inflight.pop(uid, None)
+                    eng.cancel(uid)
                 for r in new:
                     uid = r.pop("uid")
                     inflight[uid] = eng.submit(uid, **r)

@@ -359,6 +359,27 @@ class ContinuousEngine:
             return None
         return entry
 
+    def cancel(self, uid) -> bool:
+        """Abort a request wherever it is (waiting / admitting / decoding);
+        returns True if found. The freed slot's cache rows need no clearing
+        — admission overwrites them."""
+        n0 = len(self.waiting)
+        self.waiting = [r for r in self.waiting if r.uid != uid]
+        found = len(self.waiting) != n0
+        for row, st in list(self._admitting.items()):
+            if st["req"].uid == uid:
+                del self._admitting[row]
+                found = True
+        for row, r in enumerate(self.slot_req):
+            if r is not None and r.uid == uid:
+                r.done = True
+                self.slot_req[row] = None
+                self.lens[row] = 0
+                self.temps[row] = 0.0
+                self.reppens[row] = 1.0
+                found = True
+        return found
+
     def reset_slots(self) -> None:
         """Evict every active/waiting request (error recovery: a poisoned
         request must not wedge the scheduler forever). Cache rows need no

@@ -190,3 +190,47 @@ def test_streaming_sse(server):
     final = events[-1][1]["tokens"]
     assert final == plain["tokens"]
     assert streamed[:len(final)] == final[:len(streamed)] or streamed == final
+
+
+def test_timeout_cancels_engine_work():
+    """A timed-out request must be CANCELLED in the engine (slot freed),
+    not left decoding to its full budget."""
+    import time as _t
+
+    L, cfg, params, eng = _engine()
+    api = ServingAPI(eng).start()
+    try:
+        orig = eng.step
+        eng.step = lambda: (_t.sleep(0.2), orig())[1]
+        with pytest.raises(TimeoutError):
+            api.submit([1, 2, 3], max_new_tokens=10_000, timeout=0.05)
+        eng.step = orig
+        deadline = _t.time() + 30
+        while _t.time() < deadline and (
+                eng.waiting or eng._admitting
+                or any(r is not None for r in eng.slot_req)):
+            _t.sleep(0.05)
+        assert all(r is None for r in eng.slot_req)  # cancelled, not running
+        # engine still serves
+        assert len(api.submit([4, 5], max_new_tokens=3, timeout=60)) == 3
+    finally:
+        api.stop()
+
+
+def test_engine_cancel_targets_one_request():
+    L, cfg, params, eng = _engine()
+    r0 = eng.submit(0, [1, 2, 3], max_new_tokens=40)
+    eng.submit(1, [4, 5, 6], max_new_tokens=6)
+    # cancel while waiting
+    assert eng.cancel(0)
+    assert not eng.cancel(42)
+    out = eng.run()
+    assert len(out[1]) == 6
+    assert len(r0.output) == 0  # never admitted
+    # cancel mid-decode: admit, run one tick, then cancel
+    r2 = eng.submit(2, [7, 8, 9], max_new_tokens=1000)
+    eng.step()
+    assert any(r is r2 for r in eng.slot_req)
+    assert eng.cancel(2)
+    assert all(r is not r2 for r in eng.slot_req)
+    assert len(r2.output) < 1000
