@@ -27,6 +27,10 @@ def parse_args():
     p.add_argument("--eval-ppl", action="store_true")
     p.add_argument("--max-length", type=int, default=2048)
     p.add_argument("--tasks", default="")
+    p.add_argument("--task-files", default="",
+                   help="comma-separated JSONL task files for the NATIVE "
+                        "harness (air-gapped lm-eval analog; schema selects "
+                        "multiple-choice / generate / rolling-ppl)")
     p.add_argument("--num-fewshot", type=int, default=0)
     p.add_argument("--batch-size", type=int, default=1)
     p.add_argument("--batch-windows", type=int, default=1,
@@ -111,6 +115,19 @@ def main():
             microbatches=args.microbatches)
         results[args.dataset] = {"ppl": ppl}
         print({"results": results})
+
+    if args.task_files:
+        from autosmoothquant_tpu.eval.harness import evaluate, make_table
+        from autosmoothquant_tpu.eval.lm_adapter import JaxLM
+        from autosmoothquant_tpu.eval.tasks import load_task
+
+        lm = JaxLM(model_mod, params, cfg, qcfg,
+                   batch_size=args.batch_size, max_length=args.max_length)
+        native_tasks = [load_task(p, tokenizer, num_fewshot=args.num_fewshot)
+                        for p in args.task_files.split(",")]
+        res = evaluate(lm, native_tasks)
+        results.update(res)
+        print(make_table(res))
 
     if args.tasks and args.tasks != "wikitext2":
         from autosmoothquant_tpu.eval.lm_eval_adapter import run_lm_eval

@@ -158,3 +158,30 @@ def test_serve_cli(hf_dir, quantized_dir):
     finally:
         httpd.shutdown()
         api.stop()
+
+
+def test_eval_cli_native_tasks(hf_dir, quantized_dir, capsys):
+    """--task-files drives the native harness end-to-end from JSONL."""
+    import numpy as np
+
+    rng = np.random.default_rng(1)
+    task = hf_dir / "task_mc.jsonl"
+    with open(task, "w") as f:
+        for _ in range(4):
+            q = " ".join(str(x) for x in rng.integers(1, VOCAB, size=6))
+            f.write(json.dumps({"query": q + " ", "choices": ["7 8", "9"],
+                                "gold": 0}) + "\n")
+    cli = _load_cli("eval_model")
+    argv = ["eval_model.py",
+            "--model-path", str(quantized_dir),
+            "--tokenizer-path", str(hf_dir),
+            "--task-files", str(task),
+            "--max-length", "32", "--batch-size", "2"]
+    old = sys.argv
+    sys.argv = argv
+    try:
+        cli.main()
+    finally:
+        sys.argv = old
+    out = capsys.readouterr().out
+    assert "task_mc" in out and "acc" in out
