@@ -233,8 +233,26 @@ def mixtral_params_from_state_dict(sd: Dict[str, Any], num_layers: int,
     return p
 
 
+def gemma_params_from_state_dict(sd, num_layers: int, dtype=jnp.float32):
+    """Gemma rides the llama layout after two load-time folds: norm weights
+    store 1 + w (HF computes x * (1 + w)) and embeddings absorb the
+    sqrt(hidden) scaling — the tied lm_head is built from the UNSCALED
+    embedding first, matching HF's unscaled tied head."""
+    import numpy as np
+
+    p = llama_params_from_state_dict(sd, num_layers, dtype)
+    lay = p["layers"]
+    lay["ln1"]["w"] = lay["ln1"]["w"] + 1.0
+    lay["ln2"]["w"] = lay["ln2"]["w"] + 1.0
+    p["final_norm"]["w"] = p["final_norm"]["w"] + 1.0
+    hidden = p["embed"]["w"].shape[1]
+    p["embed"]["w"] = p["embed"]["w"] * np.sqrt(np.float32(hidden))
+    return p
+
+
 _LOADERS = {
     "llama": llama_params_from_state_dict,
+    "gemma": gemma_params_from_state_dict,
     "transformers": opt_params_from_state_dict,  # the reference's OPT family tag
     "opt": opt_params_from_state_dict,
     "baichuan": baichuan_params_from_state_dict,

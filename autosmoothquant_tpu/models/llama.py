@@ -70,10 +70,16 @@ class LlamaConfig:
     # q/k/v projection biases (Qwen2 — llama architecture + QKV bias; the
     # same functional module serves both families)
     attention_bias: bool = False
+    # Gemma knobs: gelu-tanh MLP activation and an explicit head_dim that
+    # need not equal hidden/heads (its norm (1+w) and sqrt(D) embedding
+    # scaling fold away at LOAD time — convert/hf.gemma_params_from_state_dict)
+    hidden_act: str = "silu"
+    head_dim_override: int = 0
 
     @property
     def head_dim(self) -> int:
-        return self.hidden_size // self.num_attention_heads
+        return self.head_dim_override or (
+            self.hidden_size // self.num_attention_heads)
 
     @classmethod
     def from_hf(cls, hf_config) -> "LlamaConfig":
@@ -92,6 +98,10 @@ class LlamaConfig:
             tie_word_embeddings=bool(g("tie_word_embeddings", False)),
             attention_bias=bool(g("attention_bias",
                                   g("model_type", "") == "qwen2")),
+            hidden_act=("gelu_tanh" if str(
+                g("hidden_activation", None) or g("hidden_act", "silu")
+                ).startswith("gelu") else "silu"),
+            head_dim_override=int(g("head_dim", 0) or 0),
         )
 
 
@@ -244,8 +254,8 @@ def _layer_forward(h, lp, cfg: LlamaConfig, qcfg: Optional[QuantConfig],
         h = h2.reshape(b, t, d)
         mp = lp["mlp"].get("gateup")
         down_p = lp["mlp"]["down"]
-        if mp is not None and _use_fused_mlp(mp, down_p, b * t, d,
-                                             cfg.intermediate_size):
+        if mp is not None and cfg.hidden_act == "silu" and _use_fused_mlp(
+                mp, down_p, b * t, d, cfg.intermediate_size):
             # whole MLP-up in one kernel: int8 GEMM pair + silu*mul +
             # requant, the [M, 2I] fp intermediate never touches HBM
             # (kernels/mlp.py)
@@ -280,7 +290,9 @@ def _layer_forward(h, lp, cfg: LlamaConfig, qcfg: Optional[QuantConfig],
                           LinearKind.POST_NORM, out_dtype=compute_dtype)
             up = linear(x2, lp["mlp"]["up"], qcfg, qcfg.fc1 if qcfg else PER_TENSOR,
                         LinearKind.POST_NORM, out_dtype=compute_dtype)
-    act = (jax.nn.silu(gate.astype(jnp.float32)) * up.astype(jnp.float32)).astype(compute_dtype)
+    act_fn = (jax.nn.silu if cfg.hidden_act == "silu"
+              else functools.partial(jax.nn.gelu, approximate=True))
+    act = (act_fn(gate.astype(jnp.float32)) * up.astype(jnp.float32)).astype(compute_dtype)
     if capture:
         stats["gate_out_absmax"] = jnp.max(jnp.abs(gate))
         stats["up_out_absmax"] = jnp.max(jnp.abs(up))

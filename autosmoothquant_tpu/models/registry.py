@@ -40,6 +40,10 @@ def _autoload():
     from . import llama as _llama  # noqa: F401
 
     try:
+        from . import gemma as _gemma  # noqa: F401
+    except ImportError:
+        pass
+    try:
         from . import opt as _opt  # noqa: F401
     except ImportError:
         pass

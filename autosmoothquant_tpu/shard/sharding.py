@@ -212,6 +212,7 @@ def with_stage_axis(specs, mesh: Mesh, num_layers: int):
 
 PARAM_SPEC_FNS = {
     "llama": llama_param_specs,
+    "gemma": llama_param_specs,   # identical layout (models/gemma.py)
     "transformers": opt_param_specs,   # OPT family tag
     "opt": opt_param_specs,
     "baichuan": baichuan_param_specs,
