@@ -75,6 +75,11 @@ class LlamaConfig:
     # scaling fold away at LOAD time — convert/hf.gemma_params_from_state_dict)
     hidden_act: str = "silu"
     head_dim_override: int = 0
+    # Mistral: attention window (0 = full attention). Supported by REFUSING
+    # configurations where it would bind (cache/sequence longer than the
+    # window) — within the window, sliding-window attention IS full causal
+    # attention, so results are exact. True windowed masks are ROADMAP.
+    sliding_window: int = 0
 
     @property
     def head_dim(self) -> int:
@@ -102,6 +107,7 @@ class LlamaConfig:
                 g("hidden_activation", None) or g("hidden_act", "silu")
                 ).startswith("gelu") else "silu"),
             head_dim_override=int(g("head_dim", 0) or 0),
+            sliding_window=int(g("sliding_window", 0) or 0),
         )
 
 
@@ -326,6 +332,13 @@ def forward(params, input_ids: jnp.ndarray, cfg: LlamaConfig,
     (= HF LlamaModel.forward, ref: models/llama.py:375).
     """
     b, t = input_ids.shape
+    if cfg.sliding_window:
+        span = kv_cache.k.shape[2] if kv_cache is not None else t
+        if span > cfg.sliding_window:
+            raise ValueError(
+                f"context span {span} exceeds sliding_window="
+                f"{cfg.sliding_window}: windowed attention is not yet "
+                "implemented — keep max_seq within the window (exact there)")
     h = params["embed"]["w"][input_ids].astype(compute_dtype)
     window = None
     chunk0 = chunkN = False
@@ -689,4 +702,5 @@ import sys as _sys  # noqa: E402
 
 register_model("LlamaForCausalLM", FAMILY, _sys.modules[__name__])
 register_model("Qwen2ForCausalLM", FAMILY, _sys.modules[__name__])
+register_model("MistralForCausalLM", FAMILY, _sys.modules[__name__])
 register_model("LLaMAForCausalLM", FAMILY, _sys.modules[__name__])

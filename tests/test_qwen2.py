@@ -113,3 +113,44 @@ def test_tp_sharded_matches_single(hf_pair):
     spec = eng.params["layers"]["attn"]["q"]["bias"].sharding.spec
     assert tuple(spec) == (None, "model")
     assert eng.generate([p], GenerationConfig(max_new_tokens=8)) == want
+
+
+class TestMistral:
+    """Mistral is the llama architecture exactly; sliding windows are
+    supported by refusing spans where they would bind (exact within)."""
+
+    def test_hf_parity_and_window_guard(self):
+        torch = pytest.importorskip("torch")
+        from transformers import MistralConfig, MistralForCausalLM
+
+        from autosmoothquant_tpu.convert.hf import llama_params_from_state_dict
+        from autosmoothquant_tpu.models.registry import get_model_family
+
+        hf_cfg = MistralConfig(
+            vocab_size=256, hidden_size=128, intermediate_size=256,
+            num_hidden_layers=2, num_attention_heads=8,
+            num_key_value_heads=4, max_position_embeddings=256,
+            sliding_window=64, attn_implementation="eager")
+        torch.manual_seed(0)
+        hf = MistralForCausalLM(hf_cfg).eval().float()
+        mod, family = get_model_family(
+            {"architectures": ["MistralForCausalLM"],
+             "model_type": "mistral"})
+        assert family == "llama"
+        cfg = mod.LlamaConfig.from_hf(hf_cfg)
+        assert cfg.sliding_window == 64
+        params = llama_params_from_state_dict(dict(hf.state_dict()),
+                                              cfg.num_hidden_layers)
+        rng = np.random.default_rng(0)
+        ids = rng.integers(1, 256, size=(2, 24))
+        import torch as _t
+        with _t.no_grad():
+            want = hf(_t.tensor(ids)).logits.numpy()
+        h, _, _ = mod.forward(params, jnp.asarray(ids, jnp.int32), cfg,
+                              compute_dtype=jnp.float32)
+        got = np.asarray(mod.logits(params, h), np.float32)
+        assert np.abs(got - want).max() < 5e-3
+        # beyond-window spans refuse loudly instead of silently diverging
+        long_ids = jnp.asarray(rng.integers(1, 256, size=(1, 80)), jnp.int32)
+        with pytest.raises(ValueError, match="sliding_window"):
+            mod.forward(params, long_ids, cfg, compute_dtype=jnp.float32)
