@@ -411,7 +411,7 @@ def cache_write(cache, k, v, cache_index):
 
 
 def cache_mask_and_routing(kv_cache, cache_index, b: int, t: int,
-                           kv_valid, pad_starts):
+                           kv_valid, pad_starts, sliding_window: int = 0):
     """The shared per-family forward prologue for cached attention: returns
     (slots, mask, window, chunk0, chunkN).
 
@@ -429,23 +429,34 @@ def cache_mask_and_routing(kv_cache, cache_index, b: int, t: int,
     slots = cache_slots(cache_index, b, t)
     col = jnp.arange(s_max, dtype=jnp.int32)[None, None, None, :]
     mask = col <= slots[:, None, :, None]
+    if sliding_window:
+        # attend only the last `sliding_window` positions (self inclusive) —
+        # HF's eager Mistral semantics: col in (slot - window, slot]
+        mask = mask & (col > slots[:, None, :, None] - sliding_window)
     if kv_valid is None and pad_starts is not None:
         mask = mask & (col >= pad_starts[:, None, None, None])
     if kv_valid is not None:
         mask = mask & kv_valid[:, None, None, :]
-    window = decode_window(cache_index, kv_valid, b) if t == 1 else None
+    window = decode_window(cache_index, kv_valid, b,
+                           sliding_window) if t == 1 else None
     scalar_index = not _is_vector_index(cache_index)
+    # the flash fast paths assume pure causality; under a sliding window
+    # they fall back to the masked eager path
     chunk0 = (kv_valid is None and t > 1 and pad_starts is None
+              and not sliding_window
               and isinstance(cache_index, int) and cache_index == 0)
-    chunkN = (kv_valid is None and t > 1 and scalar_index and not chunk0)
+    chunkN = (kv_valid is None and t > 1 and scalar_index
+              and not sliding_window and not chunk0)
     return slots, mask, window, chunk0, chunkN
 
 
-def decode_window(cache_index, kv_valid, batch: int):
+def decode_window(cache_index, kv_valid, batch: int,
+                  sliding_window: int = 0):
     """Per-row [start, length) windows of valid cache slots for the
     single-token decode step. cache_index: scalar or [B] vector of the slot
     being written this step; kv_valid: bool [B, S] AFTER the current slot was
-    marked (or None when slots fill from 0 with no padding)."""
+    marked (or None when slots fill from 0 with no padding). A sliding
+    window clamps starts to the last `sliding_window` positions."""
     idx = jnp.asarray(cache_index, jnp.int32)
     lengths = jnp.broadcast_to(idx, (batch,)) + 1
     if kv_valid is None:
@@ -453,6 +464,8 @@ def decode_window(cache_index, kv_valid, batch: int):
     else:
         # valid slots are contiguous [start, length): start = length - count
         starts = lengths - jnp.sum(kv_valid, axis=1, dtype=jnp.int32)
+    if sliding_window:
+        starts = jnp.maximum(starts, lengths - sliding_window)
     return starts, lengths
 
 

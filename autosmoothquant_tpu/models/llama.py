@@ -332,20 +332,14 @@ def forward(params, input_ids: jnp.ndarray, cfg: LlamaConfig,
     (= HF LlamaModel.forward, ref: models/llama.py:375).
     """
     b, t = input_ids.shape
-    if cfg.sliding_window:
-        span = kv_cache.k.shape[2] if kv_cache is not None else t
-        if span > cfg.sliding_window:
-            raise ValueError(
-                f"context span {span} exceeds sliding_window="
-                f"{cfg.sliding_window}: windowed attention is not yet "
-                "implemented — keep max_seq within the window (exact there)")
     h = params["embed"]["w"][input_ids].astype(compute_dtype)
     window = None
     chunk0 = chunkN = False
 
     if kv_cache is not None:
         slots, mask, window, chunk0, chunkN = cache_mask_and_routing(
-            kv_cache, cache_index, b, t, kv_valid, pad_starts)
+            kv_cache, cache_index, b, t, kv_valid, pad_starts,
+            cfg.sliding_window)
         if positions is None:
             positions = slots  # no padding: slot == rope position
     else:
@@ -355,12 +349,15 @@ def forward(params, input_ids: jnp.ndarray, cfg: LlamaConfig,
         col = jnp.arange(t, dtype=jnp.int32)[None, None, None, :]
         row = jnp.arange(t, dtype=jnp.int32)[None, None, :, None]
         mask = col <= row
+        if cfg.sliding_window:
+            mask = mask & (col > row - cfg.sliding_window)
         if attention_mask is not None:
             mask = mask & attention_mask[:, None, None, :].astype(bool)
 
     cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta)
 
-    plain_causal = kv_cache is None and attention_mask is None
+    plain_causal = (kv_cache is None and attention_mask is None
+                    and not cfg.sliding_window)
 
     def step(carry, layer_in):
         hh = carry

@@ -150,7 +150,34 @@ class TestMistral:
                               compute_dtype=jnp.float32)
         got = np.asarray(mod.logits(params, h), np.float32)
         assert np.abs(got - want).max() < 5e-3
-        # beyond-window spans refuse loudly instead of silently diverging
-        long_ids = jnp.asarray(rng.integers(1, 256, size=(1, 80)), jnp.int32)
-        with pytest.raises(ValueError, match="sliding_window"):
-            mod.forward(params, long_ids, cfg, compute_dtype=jnp.float32)
+        # BINDING window (span 80 > window 64): windowed masks must match
+        # HF's eager sliding-window attention exactly
+        long_ids = rng.integers(1, 256, size=(1, 80))
+        with _t.no_grad():
+            want_l = hf(_t.tensor(long_ids)).logits.numpy()
+        h2, _, _ = mod.forward(params, jnp.asarray(long_ids, jnp.int32), cfg,
+                               compute_dtype=jnp.float32)
+        got_l = np.asarray(mod.logits(params, h2), np.float32)
+        assert np.abs(got_l - want_l).max() < 5e-3, np.abs(got_l - want_l).max()
+
+    def test_windowed_cached_decode_matches_cacheless(self):
+        """Cached decode with a binding sliding window must reproduce the
+        cacheless windowed forward's greedy chain."""
+        from autosmoothquant_tpu.models import llama as L
+        from autosmoothquant_tpu.serve.engine import Engine, GenerationConfig
+
+        cfg = L.LlamaConfig(vocab_size=128, hidden_size=64,
+                            intermediate_size=128, num_hidden_layers=2,
+                            num_attention_heads=4, num_key_value_heads=2,
+                            max_position_embeddings=256, sliding_window=24)
+        params = L.init_params(cfg, jax.random.PRNGKey(0))
+        p = np.random.default_rng(4).integers(1, 128, size=30).tolist()
+        eng = Engine(L, params, cfg, max_batch=1, max_seq=96,
+                     kv_dtype=jnp.float32, compute_dtype=jnp.float32)
+        out = eng.generate([p], GenerationConfig(max_new_tokens=10))[0]
+        full = p + out
+        h, _, _ = L.forward(params, jnp.asarray([full], jnp.int32), cfg,
+                            compute_dtype=jnp.float32)
+        lg = np.asarray(L.logits(params, h), np.float32)[0]
+        for i, t in enumerate(out):
+            assert int(lg[len(p) - 1 + i].argmax()) == t, i
