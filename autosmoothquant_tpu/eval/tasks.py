@@ -46,11 +46,20 @@ def load_task(path: str, tokenizer, *, num_fewshot: int = 0,
     if not docs:
         raise ValueError(f"{path}: empty task file")
     task_name = name or os.path.splitext(os.path.basename(path))[0]
-    enc = lambda s: list(tokenizer(s).input_ids)  # noqa: E731
+
+    def enc(s):
+        # continuations are spliced mid-sequence: special tokens (BOS) must
+        # not be inserted (the lm_eval_adapter._enc convention); tokenizers
+        # without the kwarg (tests' word-level stub) take the plain call
+        try:
+            return list(tokenizer(s, add_special_tokens=False).input_ids)
+        except TypeError:
+            return list(tokenizer(s).input_ids)
 
     if "text" in docs[0]:
+        scored = docs if limit is None else docs[:limit]
         return RollingPPLTask(name=task_name,
-                              docs=[enc(d["text"]) for d in docs])
+                              docs=[enc(d["text"]) for d in scored])
 
     prefix = _fewshot_prefix(docs, num_fewshot)
     scored = docs[num_fewshot:]

@@ -440,10 +440,12 @@ def cache_mask_and_routing(kv_cache, cache_index, b: int, t: int,
     window = decode_window(cache_index, kv_valid, b,
                            sliding_window) if t == 1 else None
     scalar_index = not _is_vector_index(cache_index)
-    # the flash fast paths assume pure causality; under a sliding window
-    # they fall back to the masked eager path
+    # the flash fast paths assume pure causality: chunk0 (pos = 0) keeps
+    # the fast path when the window cannot bind (slots < t <= window);
+    # chunkN's dynamic pos prevents a static no-bind proof, so any window
+    # falls back to the masked eager path there
     chunk0 = (kv_valid is None and t > 1 and pad_starts is None
-              and not sliding_window
+              and (not sliding_window or t <= sliding_window)
               and isinstance(cache_index, int) and cache_index == 0)
     chunkN = (kv_valid is None and t > 1 and scalar_index
               and not sliding_window and not chunk0)

@@ -14,11 +14,11 @@ Everything else (forward, quantize, smooth, serving, sharding) is the
 llama module verbatim.
 """
 
+import sys as _sys
+
 from .llama import *  # noqa: F401,F403
-from . import llama as _llama
 from .registry import register_model as _register
 
 FAMILY = "gemma"
 
-_register("GemmaForCausalLM", FAMILY, __import__(
-    "sys").modules[__name__])
+_register("GemmaForCausalLM", FAMILY, _sys.modules[__name__])

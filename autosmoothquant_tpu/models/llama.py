@@ -75,10 +75,10 @@ class LlamaConfig:
     # scaling fold away at LOAD time — convert/hf.gemma_params_from_state_dict)
     hidden_act: str = "silu"
     head_dim_override: int = 0
-    # Mistral: attention window (0 = full attention). Supported by REFUSING
-    # configurations where it would bind (cache/sequence longer than the
-    # window) — within the window, sliding-window attention IS full causal
-    # attention, so results are exact. True windowed masks are ROADMAP.
+    # Mistral: attention window, 0 = full attention. Windowed masks are
+    # implemented in the mask paths (common.cache_mask_and_routing /
+    # decode_window clamp); the causal flash prefill fast paths fall back
+    # to eager when the window could bind.
     sliding_window: int = 0
 
     @property
@@ -107,7 +107,8 @@ class LlamaConfig:
                 g("hidden_activation", None) or g("hidden_act", "silu")
                 ).startswith("gelu") else "silu"),
             head_dim_override=int(g("head_dim", 0) or 0),
-            sliding_window=int(g("sliding_window", 0) or 0),
+            sliding_window=(int(g("sliding_window", 0) or 0)
+                            if g("use_sliding_window", True) else 0),
         )
 
 

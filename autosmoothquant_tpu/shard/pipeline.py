@@ -180,6 +180,7 @@ def _opt_step(cfg, qcfg, mb, t, compute_dtype):
 
 _STEP_BUILDERS = {
     "llama": _llama_step,
+    "gemma": _llama_step,   # identical layer math (models/gemma.py)
     "mixtral": _mixtral_step,
     "baichuan": _baichuan_step,
     "opt": _opt_step,

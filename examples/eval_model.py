@@ -124,7 +124,9 @@ def main():
         lm = JaxLM(model_mod, params, cfg, qcfg,
                    batch_size=args.batch_size, max_length=args.max_length)
         native_tasks = [load_task(p, tokenizer, num_fewshot=args.num_fewshot)
-                        for p in args.task_files.split(",")]
+                        for p in (x.strip()
+                                  for x in args.task_files.split(","))
+                        if p]
         res = evaluate(lm, native_tasks)
         results.update(res)
         print(make_table(res))

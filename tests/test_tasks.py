@@ -86,3 +86,50 @@ def test_evaluate_over_loaded_tasks(tmp_path):
     assert res["ppl"]["word_perplexity" if "word_perplexity" in res["ppl"]
                       else list(res["ppl"])[0]] > 0
     assert "mc" in make_table(res)
+
+
+def test_enc_strips_special_tokens(tmp_path):
+    """Real tokenizers insert BOS; mid-sequence continuations must not."""
+    from autosmoothquant_tpu.eval.harness import MultipleChoiceTask
+    from autosmoothquant_tpu.eval.tasks import load_task
+
+    class BosTok:
+        def __call__(self, text, add_special_tokens=True):
+            class R:
+                input_ids = ([999] if add_special_tokens else []) + [
+                    int(w) % VOCAB for w in text.split()]
+            return R()
+
+    p = _write(tmp_path, "mc.jsonl",
+               [{"query": "1 2 ", "choices": ["3", "4"], "gold": 0}])
+    t = load_task(p, BosTok())
+    ctx, choices, _ = t.docs[0]
+    assert 999 not in ctx and all(999 not in c for c in choices)
+
+
+def test_rolling_limit_applies(tmp_path):
+    from autosmoothquant_tpu.eval.tasks import load_task
+
+    rows = [{"text": f"{i} {i} {i}"} for i in range(1, 9)]
+    t = load_task(_write(tmp_path, "ppl.jsonl", rows), _WordTok(), limit=3)
+    assert len(t.docs) == 3
+
+
+def test_qwen2_ignores_unused_sliding_window():
+    from autosmoothquant_tpu.models import llama as L
+
+    cfg = L.LlamaConfig.from_hf({"vocab_size": 8, "hidden_size": 8,
+                                 "intermediate_size": 8,
+                                 "num_hidden_layers": 1,
+                                 "num_attention_heads": 1,
+                                 "model_type": "qwen2",
+                                 "sliding_window": 32768,
+                                 "use_sliding_window": False})
+    assert cfg.sliding_window == 0
+    mistral = L.LlamaConfig.from_hf({"vocab_size": 8, "hidden_size": 8,
+                                     "intermediate_size": 8,
+                                     "num_hidden_layers": 1,
+                                     "num_attention_heads": 1,
+                                     "model_type": "mistral",
+                                     "sliding_window": 4096})
+    assert mistral.sliding_window == 4096
