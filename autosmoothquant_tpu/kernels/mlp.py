@@ -55,8 +55,8 @@ def _fused_mlp_kernel(x_ref, wg_ref, wu_ref, sg_ref, su_ref, qs_ref, o_ref,
                                              "interpret"))
 def fused_mlp_int8(x_q: jnp.ndarray, w_gateup: jnp.ndarray,
                    col_scales: jnp.ndarray, quant_scale: jnp.ndarray, *,
-                   block_m: int = 256, block_n: int = 512,
-                   block_k: int = 512, interpret: bool = False) -> jnp.ndarray:
+                   block_m: int = 512, block_n: int = 512,
+                   block_k: int = 2048, interpret: bool = False) -> jnp.ndarray:
     """x_q int8 [M, K]; w_gateup int8 [K, 2I] (gate columns first);
     col_scales f32 [2I]; quant_scale f32 scalar. Returns int8 [M, I]."""
     m, k = x_q.shape
@@ -104,8 +104,8 @@ def fused_mlp_int8(x_q: jnp.ndarray, w_gateup: jnp.ndarray,
 
 
 def fused_mlp_supported(m: int, k: int, inter: int,
-                        block_m: int = 256, block_n: int = 512,
-                        block_k: int = 512) -> bool:
+                        block_m: int = 512, block_n: int = 512,
+                        block_k: int = 2048) -> bool:
     bm, bn, bk = min(block_m, m), min(block_n, inter), min(block_k, k)
     if bm < 32 or bn % 128 or bk % 128:
         return False

@@ -166,14 +166,23 @@ def _use_fused_mlp(mp, down_p, m: int, k: int, inter: int) -> bool:
     weight, per-tensor (quant_scale-carrying) down projection, aligned
     shapes, single device (TP shards the fused weight's column halves
     non-contiguously — kernel mesh support is ROADMAP). ASQ_FUSED_MLP:
-    auto | off | force (force = interpret off-TPU, CI equality)."""
+    auto | on | off | force (force = interpret off-TPU, CI equality).
+
+    Default auto = OFF: measured in-model prefill A/B (TinyLlama shape,
+    b4/t1024, interleaved one-process runs) is parity at the tuned tiles
+    (1.016/1.009/1.000×) and 0.92× at the untuned ones — XLA already fuses
+    the silu·mul·requant chain into the GEMM consumers without the [M, 2I]
+    HBM round-trip the kernel was built to avoid (standalone the kernel
+    wins 2.3×, but that composite never materializes in-model). Same
+    earn-your-keep policy as ASQ_FLASH_DECODE; see BENCHMARKS.md."""
     import os
 
     from ..kernels.mlp import fused_mlp_supported
     from .common import ambient_mesh
 
     mode = os.environ.get("ASQ_FUSED_MLP", "auto")
-    if mode == "off" or mp["w"].dtype != jnp.int8 or "quant_scale" not in down_p:
+    if mode in ("off", "auto") or mp["w"].dtype != jnp.int8 \
+            or "quant_scale" not in down_p:
         return False
     if not fused_mlp_supported(m, k, inter):
         return False
