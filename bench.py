@@ -344,6 +344,60 @@ def main():
             "bf16_tok_per_s": round(tp_bf, 1),
         }))
         return
+    if os.environ.get("ASQ_BENCH_MODE") == "banded":
+        # ragged (left-padded) batch prefill throughput — the admission path
+        # of the continuous engine. Run twice, ASQ_BANDED_PREFILL=auto vs
+        # =off, to A/B the banded flash kernel against eager whole-cache
+        # attention (env is read at trace time, so one mode per process).
+        import jax
+        import jax.numpy as jnp
+
+        from autosmoothquant_tpu.models import llama as L
+        from autosmoothquant_tpu.quant.config import QuantConfig
+
+        preset = os.environ.get("ASQ_BENCH_PRESET", "tinyllama")
+        batch = int(os.environ.get("ASQ_BENCH_BATCH", "8"))
+        t_len = int(os.environ.get("ASQ_BENCH_PROMPT", "1024"))
+        cfg = get_cfg(preset)
+        rng = np.random.default_rng(0)
+        ids = jnp.asarray(rng.integers(0, cfg.vocab_size,
+                                       size=(batch, t_len)), jnp.int32)
+        # ragged: row i valid from pad_starts[i]; spread 1/8..full length
+        pads = jnp.asarray(
+            [(t_len * i) // (batch + 1) for i in range(batch)], jnp.int32)
+        positions = (jnp.arange(t_len, dtype=jnp.int32)[None, :]
+                     - pads[:, None])
+        valid_tokens = int(batch * t_len - int(np.sum(np.asarray(pads))))
+
+        qcfg = QuantConfig(type="int8")
+        params = build_params(cfg, "int8")
+        cache = L.init_kv_cache(cfg, batch, t_len, jnp.bfloat16)
+
+        @jax.jit
+        def pf(params, ids, positions, pads, cache):
+            h, cache, _ = L.forward(params, ids, cfg, qcfg, kv_cache=cache,
+                                    cache_index=0, pad_starts=pads,
+                                    positions=positions,
+                                    compute_dtype=jnp.bfloat16)
+            return h.astype(jnp.float32).sum()
+
+        np.asarray(jax.device_get(pf(params, ids, positions, pads, cache)))
+        reps = int(os.environ.get("ASQ_BENCH_REPS", "7"))
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            np.asarray(jax.device_get(
+                pf(params, ids, positions, pads, cache)))
+            ts.append(time.perf_counter() - t0)
+        tps = valid_tokens / float(np.min(ts))
+        mode = os.environ.get("ASQ_BANDED_PREFILL", "auto")
+        print(json.dumps({
+            "metric": (f"ragged_prefill_tok_per_s_{preset}_b{batch}"
+                       f"_t{t_len}_banded_{mode}"),
+            "value": round(tps, 1), "unit": "tok/s",
+            "vs_baseline": 1.0,
+        }))
+        return
     if os.environ.get("ASQ_BENCH_MODE") == "spec":
         # prompt-lookup speculative decoding vs plain greedy (b1, int8).
         # Wall-clock of one full generate each (tokens are identical by
