@@ -13,10 +13,16 @@ Endpoints:
                     "top_k": int, "top_p": float,
                     "repetition_penalty": float, "stop": [[ids...], ...],
                     "logprobs": bool, "stream": bool,
-                    "eos_token_id": int|null}
+                    "eos_token_id": int|null, "prefix": id|null}
                 -> {"tokens": [...], "text": str|null[, "logprobs": [...]]}
                    or (stream=true) text/event-stream: incremental `data:`
                    events then a final `done` event
+  POST /prefix  {"id": any-json-key, "tokens": [ids] | "text": str}
+                -> {"ok": true, "id": ..., "prefix_tokens": int}
+                registers a shared prompt prefix (system prompt): its KV is
+                prefilled ONCE; /generate requests carrying "prefix": id
+                whose prompt starts with those tokens copy the cached KV and
+                prefill only the suffix. {"id": ..., "drop": true} forgets it.
   GET  /health  -> {"ok": true, "active": int, "waiting": int}
 
 Sampling requests ride the engine's per-request parameters (one compiled
@@ -45,6 +51,10 @@ class ServingAPI:
         self._errors: Dict[int, str] = {}
         self._handles: Dict[int, Any] = {}  # uid -> live Request (streaming)
         self._cancels: List[int] = []  # drained by the scheduler thread
+        # prefix (de)registrations run a device prefill, so they must run on
+        # the scheduler thread (sole device owner): (id, tokens|None, event,
+        # errbox) tuples drained each tick
+        self._prefix_inbox: List[tuple] = []
         self._uid = 0
         self._stop = threading.Event()
         self._thread: Optional[threading.Thread] = None
@@ -98,6 +108,20 @@ class ServingAPI:
             raise TimeoutError(f"request {uid} timed out")
         return self.result(uid, want_logprobs)
 
+    def register_prefix(self, prefix_id, tokens: Optional[List[int]],
+                        timeout: Optional[float] = 600.0) -> None:
+        """Thread-safe prefix (de)registration: enqueue for the scheduler
+        thread (which owns the device) and block until it ran. tokens=None
+        drops the prefix. Raises on engine failure."""
+        ev = threading.Event()
+        errbox: List[str] = []
+        with self._lock:
+            self._prefix_inbox.append((prefix_id, tokens, ev, errbox))
+        if not ev.wait(timeout):
+            raise TimeoutError("prefix registration timed out")
+        if errbox:
+            raise RuntimeError(f"engine error: {errbox[0]}")
+
     def stats(self) -> dict:
         eng = self.engine
         with self._lock:
@@ -120,6 +144,19 @@ class ServingAPI:
                 with self._lock:
                     new, self._inbox = self._inbox, []
                     cancels, self._cancels = self._cancels, []
+                    prefixes, self._prefix_inbox = self._prefix_inbox, []
+                for pid, ptoks, pev, perr in prefixes:
+                    # a failed registration must not poison inflight work:
+                    # report to the registering thread only
+                    try:
+                        if ptoks is None:
+                            eng.drop_prefix(pid)
+                        else:
+                            eng.register_prefix(pid, ptoks)
+                    except Exception as e:
+                        perr.append(f"{type(e).__name__}: {e}")
+                    finally:
+                        pev.set()
                 for uid in cancels:
                     inflight.pop(uid, None)
                     eng.cancel(uid)
@@ -210,7 +247,7 @@ def _make_handler(api: ServingAPI):
                 top_k=int(req.get("top_k", 0)),
                 top_p=float(req.get("top_p", 1.0)),
                 repetition_penalty=float(req.get("repetition_penalty", 1.0)),
-                stop=stop, want_logprobs=want_lp)
+                stop=stop, prefix=req.get("prefix"), want_logprobs=want_lp)
             holdback = max((len(s) for s in (stop or [])), default=0)
             if req.get("eos_token_id") is not None:
                 holdback = max(holdback, 1)
@@ -269,6 +306,33 @@ def _make_handler(api: ServingAPI):
                 self._send(404, {"error": "not found"})
 
         def do_POST(self):
+            if self.path == "/prefix":
+                try:
+                    n = int(self.headers.get("Content-Length", 0))
+                    req = json.loads(self.rfile.read(n) or b"{}")
+                    if "id" not in req:
+                        raise ValueError("prefix registration needs an id")
+                    if req.get("drop"):
+                        api.register_prefix(req["id"], None)
+                        self._send(200, {"ok": True, "id": req["id"],
+                                         "dropped": True})
+                        return
+                    toks = req.get("tokens")
+                    if toks is None and isinstance(req.get("text"), str):
+                        if api.tokenizer is None:
+                            raise ValueError(
+                                "text prefix needs a tokenizer; send ids")
+                        toks = api.tokenizer(req["text"]).input_ids
+                    if not isinstance(toks, list) or not toks or not all(
+                            isinstance(t, int) for t in toks):
+                        raise ValueError(
+                            "tokens must be a non-empty list of ints")
+                    api.register_prefix(req["id"], toks)
+                    self._send(200, {"ok": True, "id": req["id"],
+                                     "prefix_tokens": len(toks)})
+                except Exception as e:
+                    self._send(400, {"error": f"{type(e).__name__}: {e}"})
+                return
             if self.path != "/generate":
                 self._send(404, {"error": "not found"})
                 return
@@ -305,6 +369,7 @@ def _make_handler(api: ServingAPI):
                     repetition_penalty=float(
                         req.get("repetition_penalty", 1.0)),
                     stop=stop,
+                    prefix=req.get("prefix"),
                     want_logprobs=want_lp,
                     timeout=float(req.get("timeout", 600.0)))
                 toks, lps = res if want_lp else (res, None)

@@ -234,3 +234,60 @@ def test_engine_cancel_targets_one_request():
     assert eng.cancel(2)
     assert all(r is not r2 for r in eng.slot_req)
     assert len(r2.output) < 1000
+
+
+def _post_path(port, path, payload):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}{path}",
+        data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"})
+    try:
+        with urllib.request.urlopen(req, timeout=120) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def test_prefix_endpoint_roundtrip(server):
+    """POST /prefix registers a shared system prompt; /generate with
+    prefix=<id> must produce the SAME tokens as a full-prefill generate of
+    the identical prompt (prefix KV copy is exact), and dropping the prefix
+    must keep generation correct via the full-prefill fallback."""
+    L, cfg, params, api, port = server
+    rng = np.random.default_rng(3)
+    sys_prompt = rng.integers(1, 128, size=12).tolist()
+    user = rng.integers(1, 128, size=5).tolist()
+
+    code, resp = _post_path(port, "/prefix",
+                            {"id": "sys", "tokens": sys_prompt})
+    assert code == 200 and resp["ok"] and resp["prefix_tokens"] == 12
+
+    body = {"prompt": sys_prompt + user, "max_new_tokens": 8}
+    code, with_prefix = _post(port, dict(body, prefix="sys"))
+    assert code == 200
+    code, without = _post(port, body)
+    assert code == 200
+    assert with_prefix["tokens"] == without["tokens"]
+
+    # drop it; generation with the stale id falls back to full prefill
+    code, resp = _post_path(port, "/prefix", {"id": "sys", "drop": True})
+    assert code == 200 and resp["dropped"]
+    code, after = _post(port, dict(body, prefix="sys"))
+    assert code == 200 and after["tokens"] == without["tokens"]
+
+
+def test_prefix_endpoint_errors(server):
+    _, _, _, _, port = server
+    code, resp = _post_path(port, "/prefix", {"tokens": [1, 2]})
+    assert code == 400 and "id" in resp["error"]
+    code, resp = _post_path(port, "/prefix", {"id": "x", "tokens": []})
+    assert code == 400
+    code, resp = _post_path(port, "/prefix", {"id": "x", "text": "hi"})
+    assert code == 400 and "tokenizer" in resp["error"]
+    # oversized prefix: engine asserts it fits max_seq; error surfaces as
+    # JSON and the server keeps serving
+    code, resp = _post_path(port, "/prefix",
+                            {"id": "big", "tokens": list(range(1, 100))})
+    assert code == 400 and "error" in resp
+    code, resp = _post_path(port, "/health", {})
+    assert code == 404 or code == 200  # POST /health is not a route

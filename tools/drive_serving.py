@@ -118,7 +118,20 @@ def main():
         assert name == "done" and len(final["tokens"]) == 24, ev[-1]
         # incremental events must be a prefix of the done payload
         assert final["tokens"][: len(inc)] == inc
-        print("functional drive OK (greedy, sampled+logprobs, SSE)")
+        # 4. prefix cache over HTTP: same tokens with and without the
+        # registered system-prompt prefix (KV copy is exact)
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/prefix",
+            data=json.dumps({"id": "sys", "tokens": base * 4}).encode(),
+            method="POST", headers={"Content-Type": "application/json"})
+        pr = json.loads(urllib.request.urlopen(req, timeout=300).read())
+        assert pr["ok"] and pr["prefix_tokens"] == 64, pr
+        full = (base * 4) + base[:8]
+        r_pref = post(port, {"prompt": full, "max_new_tokens": 16,
+                             "prefix": "sys"})
+        r_full = post(port, {"prompt": full, "max_new_tokens": 16})
+        assert r_pref["tokens"] == r_full["tokens"], (r_pref, r_full)
+        print("functional drive OK (greedy, sampled+logprobs, SSE, prefix)")
 
         # 4. concurrent throughput: 16 clients x 64 tokens, repetitive
         # prompts (the regime prompt-lookup speculation targets)
