@@ -129,9 +129,18 @@ def tune_shape(m: int, n: int, k: int, *, include_xla: bool = True,
 def autotune(shapes: List[Tuple[int, int, int]], out_path: str,
              verbose: bool = True) -> Dict[str, List[int]]:
     """Tune every shape and write the tuning-table JSON (plus an `_meta`
-    sidecar recording timings, the exec_time analog)."""
+    sidecar recording timings, the exec_time analog). Merges into an
+    existing table at out_path so coverage can grow across sessions —
+    tuned entries for shapes NOT in `shapes` are preserved."""
     table: Dict[str, List[int]] = {}
     meta: Dict[str, Dict] = {}
+    try:
+        with open(out_path, encoding="utf-8") as f:
+            prev = json.load(f)
+        meta.update(prev.pop("_meta", {}))
+        table.update(prev)
+    except (OSError, ValueError):
+        pass
     for m, n, k in shapes:
         if verbose:
             print(f"shape {m}x{n}x{k}:")

@@ -50,3 +50,39 @@ def test_model_gemm_shapes():
     assert (8, 11264, 2048) in fused
     unfused = model_gemm_shapes(cfg, batch=8, fused=False)
     assert (8, 2048, 2048) in unfused and (8, 256, 2048) in unfused
+
+
+def test_autotune_merges_existing_table(tmp_path, monkeypatch):
+    """autotune() must extend an existing table, not clobber entries for
+    shapes outside the current sweep (coverage grows across sessions)."""
+    from autosmoothquant_tpu.kernels import autotune as at
+
+    path = tmp_path / "table.json"
+    path.write_text(json.dumps({
+        "64,128,256": [32, 128, 128],
+        "_meta": {"64,128,256": {"blocks": [32, 128, 128],
+                                 "exec_time_us": 1.0,
+                                 "xla_time_us": 2.0}}}))
+
+    def fake_tune(m, n, k, verbose=True, **kw):
+        return {"blocks": [64, 128, 128], "exec_time_us": 3.0,
+                "xla_time_us": 4.0}
+
+    monkeypatch.setattr(at, "tune_shape", fake_tune)
+    table = at.autotune([(128, 128, 256)], str(path), verbose=False)
+    out = json.loads(path.read_text())
+    assert out["64,128,256"] == [32, 128, 128]  # preserved
+    assert out["128,128,256"] == [64, 128, 128]  # added
+    assert set(out["_meta"]) == {"64,128,256", "128,128,256"}
+    assert table["64,128,256"] == [32, 128, 128]
+
+    # re-tuning the SAME shape overwrites its entry
+    def fake_tune2(m, n, k, verbose=True, **kw):
+        return {"blocks": [128, 128, 128], "exec_time_us": 0.5,
+                "xla_time_us": 4.0}
+
+    monkeypatch.setattr(at, "tune_shape", fake_tune2)
+    at.autotune([(64, 128, 256)], str(path), verbose=False)
+    out = json.loads(path.read_text())
+    assert out["64,128,256"] == [128, 128, 128]
+    assert out["128,128,256"] == [64, 128, 128]
