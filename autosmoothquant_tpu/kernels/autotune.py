@@ -137,17 +137,29 @@ def autotune(shapes: List[Tuple[int, int, int]], out_path: str,
     try:
         with open(out_path, encoding="utf-8") as f:
             prev = json.load(f)
-        meta.update(prev.pop("_meta", {}))
-        table.update(prev)
+        # a valid-JSON non-object (e.g. a list) must fall back to a fresh
+        # table, not crash the tuner mid-session
+        if isinstance(prev, dict):
+            prev_meta = prev.pop("_meta", {})
+            if isinstance(prev_meta, dict):
+                meta.update(prev_meta)
+            table.update(prev)
     except (OSError, ValueError):
         pass
     for m, n, k in shapes:
         if verbose:
             print(f"shape {m}x{n}x{k}:")
         entry = tune_shape(m, n, k, verbose=verbose)
+        key = f"{m},{n},{k}"
         if entry["blocks"] is not None:
-            table[f"{m},{n},{k}"] = entry["blocks"]
-        meta[f"{m},{n},{k}"] = entry
+            table[key] = entry["blocks"]
+        elif key in table:
+            # every candidate failed on re-tune: drop the stale blocks so the
+            # table and _meta cannot silently diverge
+            if verbose:
+                print(f"  re-tune failed; dropping stale entry {table[key]}")
+            del table[key]
+        meta[key] = entry
     payload = dict(table)
     payload["_meta"] = meta
     with open(out_path, "w", encoding="utf-8") as f:

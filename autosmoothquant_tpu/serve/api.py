@@ -23,6 +23,10 @@ Endpoints:
                 prefilled ONCE; /generate requests carrying "prefix": id
                 whose prompt starts with those tokens copy the cached KV and
                 prefill only the suffix. {"id": ..., "drop": true} forgets it.
+                Registrations are capped (engine max_prefixes, default 16 —
+                each pins a KV cache in HBM): at capacity the endpoint
+                answers 429 until a prefix is dropped. 400 = bad request,
+                500 = engine fault.
   GET  /health  -> {"ok": true, "active": int, "waiting": int}
 
 Sampling requests ride the engine's per-request parameters (one compiled
@@ -112,14 +116,27 @@ class ServingAPI:
                         timeout: Optional[float] = 600.0) -> None:
         """Thread-safe prefix (de)registration: enqueue for the scheduler
         thread (which owns the device) and block until it ran. tokens=None
-        drops the prefix. Raises on engine failure."""
+        drops the prefix. Raises on engine failure. On timeout the queued
+        entry is marked cancelled so the scheduler skips it — a timed-out
+        registration never silently takes effect later."""
         ev = threading.Event()
+        cancelled = threading.Event()
         errbox: List[str] = []
         with self._lock:
-            self._prefix_inbox.append((prefix_id, tokens, ev, errbox))
+            self._prefix_inbox.append(
+                (prefix_id, tokens, ev, errbox, cancelled))
         if not ev.wait(timeout):
+            cancelled.set()
+            # the scheduler may have started executing in the race window;
+            # only guarantee: if it had not started, it never will
             raise TimeoutError("prefix registration timed out")
         if errbox:
+            from .batching import PrefixCacheFull
+            name, _, msg = errbox[0].partition(": ")
+            if name == "PrefixCacheFull":
+                raise PrefixCacheFull(msg)
+            if name in ("ValueError", "AssertionError"):
+                raise ValueError(msg)  # client-side validation failure
             raise RuntimeError(f"engine error: {errbox[0]}")
 
     def stats(self) -> dict:
@@ -145,7 +162,9 @@ class ServingAPI:
                     new, self._inbox = self._inbox, []
                     cancels, self._cancels = self._cancels, []
                     prefixes, self._prefix_inbox = self._prefix_inbox, []
-                for pid, ptoks, pev, perr in prefixes:
+                for pid, ptoks, pev, perr, pcancel in prefixes:
+                    if pcancel.is_set():  # registering thread timed out
+                        continue
                     # a failed registration must not poison inflight work:
                     # report to the registering thread only
                     try:
@@ -307,6 +326,10 @@ def _make_handler(api: ServingAPI):
 
         def do_POST(self):
             if self.path == "/prefix":
+                # status mapping: 400 = request validation, 429 = prefix
+                # cache at capacity (retry after dropping one), 500 =
+                # engine/timeout fault (internal; no raw engine text leaked)
+                from .batching import PrefixCacheFull
                 try:
                     n = int(self.headers.get("Content-Length", 0))
                     req = json.loads(self.rfile.read(n) or b"{}")
@@ -330,8 +353,13 @@ def _make_handler(api: ServingAPI):
                     api.register_prefix(req["id"], toks)
                     self._send(200, {"ok": True, "id": req["id"],
                                      "prefix_tokens": len(toks)})
-                except Exception as e:
+                except PrefixCacheFull:
+                    self._send(429, {"error": "prefix cache full; "
+                                     "drop a prefix and retry"})
+                except (ValueError, json.JSONDecodeError) as e:
                     self._send(400, {"error": f"{type(e).__name__}: {e}"})
+                except Exception:
+                    self._send(500, {"error": "prefix registration failed"})
                 return
             if self.path != "/generate":
                 self._send(404, {"error": "not found"})

@@ -29,6 +29,12 @@ import numpy as np
 from ..quant.config import QuantConfig
 
 
+class PrefixCacheFull(RuntimeError):
+    """register_prefix refused: the engine already holds max_prefixes
+    detached KV caches (each pins [L,1,bucket,...] of HBM). Drop one first.
+    Serving front ends map this to HTTP 429."""
+
+
 @dataclasses.dataclass
 class Request:
     uid: Any
@@ -78,7 +84,7 @@ class ContinuousEngine:
                  steps_per_sync: int = 8, mesh=None, param_shardings=None,
                  prefill_chunk: Optional[int] = None, seed: int = 0,
                  fuse_projections=None, speculative_gamma: int = 0,
-                 speculative_ngram: int = 3):
+                 speculative_ngram: int = 3, max_prefixes: int = 16):
         from .engine import maybe_fuse_projections
 
         params = maybe_fuse_projections(model_mod, params, mesh,
@@ -158,6 +164,11 @@ class ContinuousEngine:
         # prefix cache: prefix_id -> (temp_cache [L,1,bucket,...], plen,
         # last_logits, tokens). Requests submitted with prefix=<id> copy the
         # prefix K/V into their slot row and prefill only the suffix.
+        # Each entry pins a full detached KV cache in HBM, so registrations
+        # are capped (register_prefix raises PrefixCacheFull when at
+        # max_prefixes) — an unauthenticated client must not be able to
+        # exhaust device memory through POST /prefix.
+        self.max_prefixes = max_prefixes
         self._prefixes: Dict[Any, tuple] = {}
         self._copy_prefix_cache = {}
         self.prefill_tokens_processed = 0  # observability (tests assert it)
@@ -335,7 +346,14 @@ class ContinuousEngine:
         from .engine import mesh_context
 
         toks = list(tokens)
-        assert 0 < len(toks) <= self.max_seq - 1, "prefix must fit max_seq"
+        if not 0 < len(toks) <= self.max_seq - 1:
+            raise ValueError(
+                f"prefix must fit max_seq ({len(toks)} vs {self.max_seq})")
+        if (prefix_id not in self._prefixes
+                and len(self._prefixes) >= self.max_prefixes):
+            raise PrefixCacheFull(
+                f"prefix cache full ({self.max_prefixes} entries); "
+                "drop one before registering another")
         bucket = min(_bucket(len(toks)), self.max_seq)
         ids = np.zeros((1, bucket), np.int32)
         ids[0, :len(toks)] = toks

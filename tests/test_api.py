@@ -291,3 +291,54 @@ def test_prefix_endpoint_errors(server):
     assert code == 400 and "error" in resp
     code, resp = _post_path(port, "/health", {})
     assert code == 404 or code == 200  # POST /health is not a route
+
+
+def test_prefix_cap_returns_429():
+    """The prefix cache is capped (advisor: unbounded registrations let any
+    client pin unbounded HBM): at max_prefixes the endpoint answers 429, and
+    dropping an entry frees a slot."""
+    L, cfg, params = _tiny()
+    eng = ContinuousEngine(L, params, cfg, max_batch=4, max_seq=64,
+                           kv_dtype=jnp.float32, compute_dtype=jnp.float32,
+                           max_prefixes=2)
+    api, httpd = serve(eng, port=0)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    port = httpd.server_address[1]
+    try:
+        for pid in ("a", "b"):
+            code, _ = _post_path(port, "/prefix",
+                                 {"id": pid, "tokens": [1, 2, 3]})
+            assert code == 200
+        # re-registering an existing id is an update, not a new slot
+        code, _ = _post_path(port, "/prefix", {"id": "a", "tokens": [4, 5]})
+        assert code == 200
+        code, resp = _post_path(port, "/prefix",
+                                {"id": "c", "tokens": [1, 2, 3]})
+        assert code == 429 and "full" in resp["error"]
+        code, _ = _post_path(port, "/prefix", {"id": "a", "drop": True})
+        assert code == 200
+        code, _ = _post_path(port, "/prefix", {"id": "c", "tokens": [1, 2]})
+        assert code == 200
+    finally:
+        httpd.shutdown()
+        api.stop()
+
+
+def test_prefix_timeout_cancels_queued_entry():
+    """A timed-out register_prefix marks its inbox entry cancelled; when the
+    scheduler later drains the inbox it must SKIP the entry — the client got
+    an error, so the prefix must not silently register afterwards."""
+    L, cfg, params, eng = _engine()
+    api = ServingAPI(eng)  # scheduler NOT started: the entry stays queued
+    with pytest.raises(TimeoutError):
+        api.register_prefix("late", [1, 2, 3], timeout=0.01)
+    api.start()
+    try:
+        # a fresh registration drains the whole inbox, including the
+        # cancelled entry ahead of it
+        api.register_prefix("ok", [4, 5], timeout=60)
+        assert "ok" in eng._prefixes
+        assert "late" not in eng._prefixes
+    finally:
+        api.stop()

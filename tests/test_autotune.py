@@ -86,3 +86,43 @@ def test_autotune_merges_existing_table(tmp_path, monkeypatch):
     out = json.loads(path.read_text())
     assert out["64,128,256"] == [128, 128, 128]
     assert out["128,128,256"] == [64, 128, 128]
+
+
+def test_autotune_non_object_json_falls_back(tmp_path, monkeypatch):
+    """Valid-JSON non-object table files (e.g. a list) must fall back to a
+    fresh table instead of crashing the merge (advisor finding)."""
+    from autosmoothquant_tpu.kernels import autotune as at
+
+    path = tmp_path / "table.json"
+    path.write_text(json.dumps([1, 2, 3]))
+
+    def fake_tune(m, n, k, verbose=True, **kw):
+        return {"blocks": [64, 128, 128], "exec_time_us": 3.0,
+                "xla_time_us": 4.0}
+
+    monkeypatch.setattr(at, "tune_shape", fake_tune)
+    table = at.autotune([(128, 128, 256)], str(path), verbose=False)
+    assert table == {"128,128,256": [64, 128, 128]}
+
+
+def test_autotune_failed_retune_drops_stale_blocks(tmp_path, monkeypatch):
+    """When every candidate fails on a re-tune, the stale blocks must be
+    dropped so table and _meta cannot diverge (advisor finding)."""
+    from autosmoothquant_tpu.kernels import autotune as at
+
+    path = tmp_path / "table.json"
+    path.write_text(json.dumps({
+        "64,128,256": [32, 128, 128],
+        "_meta": {"64,128,256": {"blocks": [32, 128, 128],
+                                 "exec_time_us": 1.0,
+                                 "xla_time_us": 2.0}}}))
+
+    def fail_tune(m, n, k, verbose=True, **kw):
+        return {"blocks": None, "exec_time_us": None, "xla_time_us": 9.0}
+
+    monkeypatch.setattr(at, "tune_shape", fail_tune)
+    table = at.autotune([(64, 128, 256)], str(path), verbose=False)
+    out = json.loads(path.read_text())
+    assert "64,128,256" not in table and "64,128,256" not in out or \
+        out.get("64,128,256") is None
+    assert out["_meta"]["64,128,256"]["blocks"] is None
