@@ -38,9 +38,10 @@ def resolve_ignore_keys(model_mod, cfg, patterns) -> frozenset:
     if proj_names is None:
         return frozenset()
     L = cfg.num_hidden_layers
+    fmt = getattr(model_mod, "HF_LAYER_FMT", "model.layers.{i}")
     ignored = set()
     for key, suffix in proj_names.items():
-        names = [f"model.layers.{i}.{suffix}" for i in range(L)]
+        names = [f"{fmt.format(i=i)}.{suffix}" for i in range(L)]
         hits = match_ignore_patterns(names, patterns)
         if len(hits) == L:
             ignored.add(key)

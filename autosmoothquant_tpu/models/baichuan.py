@@ -211,6 +211,8 @@ def _layer_forward(h, lp, cfg, qcfg, cos, sin, mask, alibi, cache,
         stats["o_in_ch_absmax"] = jnp.max(jnp.abs(ctx.reshape(-1, d)), axis=0)
     attn_out = linear(ctx, lp["attn"]["o"], qcfg, qcfg.out if qcfg else PER_TENSOR,
                       LinearKind.SCALED, compute_dtype)
+    if capture:
+        stats["o_out_absmax"] = jnp.max(jnp.abs(attn_out))
     h = h + attn_out
 
     x2 = rms_norm(h, lp["ln2"]["w"], cfg.rms_norm_eps)
@@ -220,6 +222,9 @@ def _layer_forward(h, lp, cfg, qcfg, cos, sin, mask, alibi, cache,
                   LinearKind.POST_NORM, compute_dtype)
     up = linear(x2, lp["mlp"]["up"], qcfg, qcfg.fc1 if qcfg else PER_TENSOR,
                 LinearKind.POST_NORM, compute_dtype)
+    if capture:
+        stats["gate_out_absmax"] = jnp.max(jnp.abs(gate))
+        stats["up_out_absmax"] = jnp.max(jnp.abs(up))
     act = (jax.nn.silu(gate.astype(jnp.float32)) * up.astype(jnp.float32)
            ).astype(compute_dtype)
     if capture:
@@ -227,6 +232,8 @@ def _layer_forward(h, lp, cfg, qcfg, cos, sin, mask, alibi, cache,
             jnp.abs(act.reshape(-1, cfg.intermediate_size)), axis=0)
     down = linear(act, lp["mlp"]["down"], qcfg, qcfg.fc2 if qcfg else PER_TENSOR,
                   LinearKind.SCALED, compute_dtype)
+    if capture:
+        stats["down_out_absmax"] = jnp.max(jnp.abs(down))
     h = h + down
     return h, new_cache, stats
 
@@ -332,9 +339,18 @@ def init_kv_cache(cfg: BaichuanConfig, batch: int, max_len: int,
 
 
 STAT_KEYS = (
-    "qkv_in_ch_absmax", "attn_out_absmax", "o_in_ch_absmax",
-    "gate_in_ch_absmax", "down_in_ch_absmax",
+    "qkv_in_ch_absmax", "attn_out_absmax", "o_in_ch_absmax", "o_out_absmax",
+    "gate_in_ch_absmax", "gate_out_absmax", "up_out_absmax",
+    "down_in_ch_absmax", "down_out_absmax",
 )
+
+# fp8 ignore-pattern resolution (the reference's fp8 path is llama-only;
+# names follow the vendored Baichuan modeling tree,
+# ref: thirdparty/baichuan/modeling_baichuan.py:195-296)
+HF_PROJ_NAMES = {
+    "wpack": "self_attn.W_pack", "o": "self_attn.o_proj",
+    "gate": "mlp.gate_proj", "up": "mlp.up_proj", "down": "mlp.down_proj",
+}
 
 
 def act_scales_dict(stats) -> Dict[str, jnp.ndarray]:
@@ -359,6 +375,24 @@ def layer_scales(stats) -> Dict[str, jnp.ndarray]:
         "gate_input_scale": jnp.max(stats["gate_in_ch_absmax"], axis=-1) / 127.0,
         "down_input_scale": jnp.max(stats["down_in_ch_absmax"], axis=-1) / 127.0,
     }
+
+
+def fp8_observer_scales(stats) -> Dict[str, jnp.ndarray]:
+    """Per-projection fp8 input/output scales ([L]) — llama contract
+    extended to Baichuan (W_pack's output scale is the fused-projection
+    output absmax)."""
+    m = qmath.FP8_E4M3_MAX
+    per_ch_in = {"wpack": "qkv_in_ch_absmax", "o": "o_in_ch_absmax",
+                 "gate": "gate_in_ch_absmax", "up": "gate_in_ch_absmax",
+                 "down": "down_in_ch_absmax"}
+    out_key = {"wpack": "attn_out_absmax", "o": "o_out_absmax",
+               "gate": "gate_out_absmax", "up": "up_out_absmax",
+               "down": "down_out_absmax"}
+    out = {}
+    for proj, key in per_ch_in.items():
+        out[f"{proj}_input_scale"] = jnp.max(stats[key], axis=-1) / m
+        out[f"{proj}_output_scale"] = stats[out_key[proj]] / m
+    return out
 
 
 def smooth(params, stats, alpha: float = 0.5,
@@ -388,13 +422,20 @@ def smooth(params, stats, alpha: float = 0.5,
 
 
 def quantize(params, qcfg: QuantConfig, scales=None,
-             cfg: Optional[BaichuanConfig] = None):
+             cfg: Optional[BaichuanConfig] = None, *,
+             ignore=frozenset(), quantize_output: bool = False,
+             observer_scales=None):
     """Int8BaichuanForCausalLM.from_float analog (ref: baichuan.py:553-573).
     W_pack: per-SECTION weight scales fused into a [3D] dequant vector
-    (ref QKVLinear alpha/beta/gamma, linear.py:227-241)."""
+    (ref QKVLinear alpha/beta/gamma, linear.py:227-241). The fp8 branch
+    extends the reference's llama-only fp8 recipe (ref: llama.py:143-176)
+    family-wide, keeping per-section W_pack weight scales as a [3D] fp8
+    column-scale vector."""
     lay = params["layers"]
     if not qcfg.is_int8:
-        raise NotImplementedError("reference Baichuan supports int8 only")
+        return _quantize_fp8(params, qcfg, scales, ignore=ignore,
+                             quantize_output=quantize_output,
+                             observer_scales=observer_scales)
     assert scales is not None
     D = lay["attn"]["wpack"]["w"].shape[1]
 
@@ -441,6 +482,73 @@ def quantize(params, qcfg: QuantConfig, scales=None,
             "down": pack(lay["mlp"]["down"], down_in, qcfg.fc2, LinearKind.SCALED),
         },
     }
+    return {**params, "layers": new_layers}
+
+
+def _quantize_fp8(params, qcfg: QuantConfig, scales, *, ignore,
+                  quantize_output, observer_scales):
+    """fp8 packing for Baichuan. W_pack keeps per-SECTION weight scales as a
+    [3D] column vector (the fp8 analog of the int8 dequant vector); other
+    projections follow llama's pack_fp8."""
+    lay = params["layers"]
+    fdt = qcfg.fp8_dtype
+    D = lay["attn"]["wpack"]["w"].shape[1]
+
+    def pack_wpack_fp8(v):
+        if "wpack" in ignore:
+            return dict(v)
+        if qcfg.type == "fp8_e5m2":
+            return {"w": v["w"].astype(fdt)}
+
+        def one(wl):
+            sections = [wl[:, i * D:(i + 1) * D] for i in range(3)]
+            qs, ss = zip(*[qmath.quantize_fp8_per_tensor(s, fdt)
+                           for s in sections])
+            return jnp.concatenate(qs, axis=1), jnp.stack(ss)
+
+        qw, sec_scales = jax.vmap(one)(v["w"])   # [L, D, 3D], [L, 3]
+        col = jnp.repeat(sec_scales, D, axis=1)  # [L, 3D]
+        return {"w": qw, "w_scale": col}
+
+    def pack_fp8(key, v):
+        if key in ignore:
+            return dict(v)
+        if qcfg.type == "fp8_e5m2":
+            return {"w": v["w"].astype(fdt)}
+        qw, w_scale = jax.vmap(
+            lambda ww: qmath.quantize_fp8_per_tensor(ww, fdt))(v["w"])
+        return {"w": qw, "w_scale": w_scale}
+
+    new_layers = {
+        "ln1": dict(lay["ln1"]),
+        "attn": {"wpack": pack_wpack_fp8(lay["attn"]["wpack"]),
+                 "o": pack_fp8("o", lay["attn"]["o"])},
+        "ln2": dict(lay["ln2"]),
+        "mlp": {k: pack_fp8(k, v) for k, v in lay["mlp"].items()},
+    }
+    if qcfg.type == "fp8_e4m3" and qcfg.activation_scheme == "static":
+        groups = {"wpack": "attn", "o": "attn",
+                  "gate": "mlp", "up": "mlp", "down": "mlp"}
+        if observer_scales is not None:
+            for name, grp in groups.items():
+                if name in ignore:
+                    continue
+                new_layers[grp][name]["input_scale"] = \
+                    observer_scales[f"{name}_input_scale"]
+                if quantize_output:
+                    new_layers[grp][name]["output_scale"] = \
+                        observer_scales[f"{name}_output_scale"]
+        else:
+            assert scales is not None, "fp8 static needs observer scales"
+            assert not quantize_output, "quantize_output needs observer_scales"
+            legacy = {"wpack": "attn_input_scale", "o": "out_input_scale",
+                      "gate": "gate_input_scale", "up": "gate_input_scale",
+                      "down": "down_input_scale"}
+            for name, key in legacy.items():
+                if name in ignore:
+                    continue
+                new_layers[groups[name]][name]["input_scale"] = \
+                    scales[key] * 127.0 / qmath.FP8_E4M3_MAX
     return {**params, "layers": new_layers}
 
 

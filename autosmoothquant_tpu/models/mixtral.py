@@ -213,6 +213,18 @@ def _batched_expert_linear(xe, p, qcfg, gran, kind, compute_dtype):
         acc = jax.lax.dot_general(q.astype(jnp.bfloat16), w.astype(jnp.bfloat16),
                                   bdims, preferred_element_type=jnp.float32)
         return acc.astype(compute_dtype)
+    if qcfg.activation_scheme == "static" and "input_scale" in p:
+        # frozen per-expert input scales [E] (FP8LinearStatic semantics)
+        s = p["input_scale"][:, None, None]
+        q = qmath.quantize_fp8_static(xe, s)
+        acc = jax.lax.dot_general(q.astype(jnp.bfloat16),
+                                  w.astype(jnp.bfloat16), bdims,
+                                  preferred_element_type=jnp.float32)
+        out = acc * s * p["w_scale"][:, None, None]
+        if "output_scale" in p:
+            os_ = p["output_scale"][:, None, None]
+            out = qmath.quantize_fp8_static(out, os_).astype(jnp.float32) * os_
+        return out.astype(compute_dtype)
     absmax = jnp.max(jnp.abs(xe.astype(jnp.float32)), axis=-1, keepdims=True)
     s = jnp.maximum(absmax, 1e-8) / qmath.FP8_E4M3_MAX
     q = (xe.astype(jnp.float32) / s).astype(jnp.float8_e4m3fn)
@@ -304,20 +316,33 @@ def _moe_block(x, mp, cfg: MixtralConfig, qcfg, capture, all_experts,
         # token everywhere so the mask is all-ones there
         routed = (weights[:, e] > 0)[:, None]
         din = jnp.max(jnp.abs(act.astype(jnp.float32)) * routed, axis=0)
-        return down, din
+        # per-expert OUTPUT absmaxes (fp8 observer contract), routed-masked
+        # like din so only tokens the expert actually serves contribute
+        outs_abs = (jnp.max(jnp.abs(g.astype(jnp.float32)) * routed),
+                    jnp.max(jnp.abs(u.astype(jnp.float32)) * routed),
+                    jnp.max(jnp.abs(down.astype(jnp.float32)) * routed))
+        return down, din, outs_abs
 
     # static unrolled loop over experts (E small) — masked tokens get weight 0
     outs = []
     down_in_stats = []
+    out_stats = []
     for e in range(E):
-        down, din = one_expert(e)
+        down, din, oabs = one_expert(e)
         outs.append(down)
         down_in_stats.append(din)
+        out_stats.append(oabs)
     expert_out = jnp.stack(outs)          # [E, T, D]
     out = jnp.einsum("etd,te->td", expert_out.astype(jnp.float32), weights)
     if capture:
         stats["moe_in_ch_absmax"] = jnp.max(jnp.abs(x), axis=0)
         stats["down_in_ch_absmax_per_expert"] = jnp.stack(down_in_stats)  # [E, I]
+        stats["w1_out_absmax_per_expert"] = jnp.stack(
+            [s[0] for s in out_stats])                                    # [E]
+        stats["w3_out_absmax_per_expert"] = jnp.stack(
+            [s[1] for s in out_stats])
+        stats["w2_out_absmax_per_expert"] = jnp.stack(
+            [s[2] for s in out_stats])
     return out.astype(compute_dtype), stats
 
 
@@ -362,6 +387,8 @@ def _layer_forward(h, lp, cfg, qcfg, cos, sin, mask, cache, cache_index,
         stats["o_in_ch_absmax"] = jnp.max(jnp.abs(ctx.reshape(-1, n_q * hd)), axis=0)
     attn_out = linear(ctx, lp["attn"]["o"], qcfg, qcfg.out if qcfg else PER_TENSOR,
                       LinearKind.SCALED, compute_dtype)
+    if capture:
+        stats["o_out_absmax"] = jnp.max(jnp.abs(attn_out))
     h = h + attn_out
 
     x2 = rms_norm(h, lp["ln2"]["w"], cfg.rms_norm_eps)
@@ -469,8 +496,22 @@ def init_kv_cache(cfg: MixtralConfig, batch: int, max_len: int,
 
 STAT_KEYS = (
     "qkv_in_ch_absmax", "q_out_absmax", "k_out_absmax", "v_out_absmax",
-    "o_in_ch_absmax", "moe_in_ch_absmax", "down_in_ch_absmax_per_expert",
+    "o_in_ch_absmax", "o_out_absmax", "moe_in_ch_absmax",
+    "down_in_ch_absmax_per_expert", "w1_out_absmax_per_expert",
+    "w3_out_absmax_per_expert", "w2_out_absmax_per_expert",
 )
+
+# fp8 ignore-pattern resolution. Expert projections use the expert-0 HF
+# name as the representative: stacked [L, E] arrays cannot express
+# per-expert exemptions, so a pattern ignores a projection for ALL experts
+# (match every layer) or none — same all-or-nothing rule the pipeline
+# enforces per layer.
+HF_PROJ_NAMES = {
+    "q": "self_attn.q_proj", "k": "self_attn.k_proj", "v": "self_attn.v_proj",
+    "o": "self_attn.o_proj", "w1": "block_sparse_moe.experts.0.w1",
+    "w3": "block_sparse_moe.experts.0.w3",
+    "w2": "block_sparse_moe.experts.0.w2",
+}
 
 
 def act_scales_dict(stats) -> Dict[str, jnp.ndarray]:
@@ -502,6 +543,34 @@ def layer_scales(stats) -> Dict[str, jnp.ndarray]:
         "down_input_scales": jnp.max(
             stats["down_in_ch_absmax_per_expert"], axis=-1) / 127.0,  # [L, E]
     }
+
+
+def fp8_observer_scales(stats) -> Dict[str, jnp.ndarray]:
+    """llama's observer contract extended to MoE: attention scales are [L];
+    expert scales are [L, E] (w1/w3 share the moe input scale per the
+    reference's shared moe_input_scale, w2 is per-expert like the int8
+    down_input_scales, ref: calibration.py:176-180)."""
+    m = qmath.FP8_E4M3_MAX
+    E = stats["down_in_ch_absmax_per_expert"].shape[1]
+    moe_in = jnp.max(stats["moe_in_ch_absmax"], axis=-1) / m        # [L]
+    out = {
+        "q_input_scale": jnp.max(stats["qkv_in_ch_absmax"], axis=-1) / m,
+        "k_input_scale": jnp.max(stats["qkv_in_ch_absmax"], axis=-1) / m,
+        "v_input_scale": jnp.max(stats["qkv_in_ch_absmax"], axis=-1) / m,
+        "o_input_scale": jnp.max(stats["o_in_ch_absmax"], axis=-1) / m,
+        "q_output_scale": stats["q_out_absmax"] / m,
+        "k_output_scale": stats["k_out_absmax"] / m,
+        "v_output_scale": stats["v_out_absmax"] / m,
+        "o_output_scale": stats["o_out_absmax"] / m,
+        "w1_input_scale": jnp.broadcast_to(moe_in[:, None], (moe_in.shape[0], E)),
+        "w3_input_scale": jnp.broadcast_to(moe_in[:, None], (moe_in.shape[0], E)),
+        "w2_input_scale": jnp.max(
+            stats["down_in_ch_absmax_per_expert"], axis=-1) / m,     # [L, E]
+        "w1_output_scale": stats["w1_out_absmax_per_expert"] / m,    # [L, E]
+        "w3_output_scale": stats["w3_out_absmax_per_expert"] / m,
+        "w2_output_scale": stats["w2_out_absmax_per_expert"] / m,
+    }
+    return out
 
 
 def smooth(params, stats, alpha: float = 0.5,
@@ -538,13 +607,20 @@ def smooth(params, stats, alpha: float = 0.5,
 
 
 def quantize(params, qcfg: QuantConfig, scales=None,
-             cfg: Optional[MixtralConfig] = None):
+             cfg: Optional[MixtralConfig] = None, *,
+             ignore=frozenset(), quantize_output: bool = False,
+             observer_scales=None):
     """Int8MixtralForCausalLM.from_float analog (ref: mixtral.py:240-296):
     experts quantized with shared moe_input_scale (w1/w3) and per-expert
-    down scales (w2); router left fp."""
+    down scales (w2); router left fp. The fp8 branch extends the
+    reference's llama-only fp8 recipe (ref: llama.py:143-176) to MoE:
+    per-expert fp8 weight scales [L, E], shared moe input scale for w1/w3,
+    per-expert static input scales for w2."""
     lay = params["layers"]
     if not qcfg.is_int8:
-        raise NotImplementedError("reference Mixtral supports int8 only")
+        return _quantize_fp8(params, qcfg, scales, ignore=ignore,
+                             quantize_output=quantize_output,
+                             observer_scales=observer_scales)
     assert scales is not None
 
     def pack(w, input_scale, gran, kind):
@@ -597,6 +673,84 @@ def quantize(params, qcfg: QuantConfig, scales=None,
                                LinearKind.SCALED),
         },
     }
+    return {**params, "layers": new_layers}
+
+
+def _quantize_fp8(params, qcfg: QuantConfig, scales, *, ignore,
+                  quantize_output, observer_scales):
+    """fp8 packing for Mixtral: attention projections like llama; experts
+    double-vmapped to per-expert weight scales [L, E]; router stays fp
+    (ref: mixtral.py:139-140)."""
+    lay = params["layers"]
+    fdt = qcfg.fp8_dtype
+
+    def pack_fp8(key, v):
+        if key in ignore:
+            return dict(v)
+        if qcfg.type == "fp8_e5m2":
+            return {"w": v["w"].astype(fdt)}
+        qw, w_scale = jax.vmap(
+            lambda ww: qmath.quantize_fp8_per_tensor(ww, fdt))(v["w"])
+        return {"w": qw, "w_scale": w_scale}
+
+    def pack_experts_fp8(key, v):
+        if key in ignore:
+            return dict(v)
+        if qcfg.type == "fp8_e5m2":
+            return {"w": v["w"].astype(fdt)}
+        qw, w_scale = jax.vmap(jax.vmap(
+            lambda ww: qmath.quantize_fp8_per_tensor(ww, fdt)))(v["w"])
+        return {"w": qw, "w_scale": w_scale}  # [L, E, in, out], [L, E]
+
+    new_layers = {
+        "ln1": dict(lay["ln1"]),
+        "attn": {k: pack_fp8(k, v) for k, v in lay["attn"].items()},
+        "ln2": dict(lay["ln2"]),
+        "moe": {"router": dict(lay["moe"]["router"]),
+                "w1": pack_experts_fp8("w1", lay["moe"]["w1"]),
+                "w3": pack_experts_fp8("w3", lay["moe"]["w3"]),
+                "w2": pack_experts_fp8("w2", lay["moe"]["w2"])},
+    }
+    if qcfg.type == "fp8_e4m3" and qcfg.activation_scheme == "static":
+        attn_keys = ("q", "k", "v", "o")
+        expert_keys = ("w1", "w3", "w2")
+        if observer_scales is not None:
+            for name in attn_keys:
+                if name in ignore:
+                    continue
+                new_layers["attn"][name]["input_scale"] = \
+                    observer_scales[f"{name}_input_scale"]
+                if quantize_output:
+                    new_layers["attn"][name]["output_scale"] = \
+                        observer_scales[f"{name}_output_scale"]
+            for name in expert_keys:
+                if name in ignore:
+                    continue
+                new_layers["moe"][name]["input_scale"] = \
+                    observer_scales[f"{name}_input_scale"]     # [L, E]
+                if quantize_output:
+                    new_layers["moe"][name]["output_scale"] = \
+                        observer_scales[f"{name}_output_scale"]
+        else:
+            assert scales is not None, "fp8 static needs observer scales"
+            assert not quantize_output, "quantize_output needs observer_scales"
+            f = 127.0 / qmath.FP8_E4M3_MAX
+            moe_in = scales["moe_input_scale"] * f               # [L]
+            L = moe_in.shape[0]
+            E = lay["moe"]["w1"]["w"].shape[1]
+            legacy_attn = {"q": "attn_input_scale", "k": "attn_input_scale",
+                           "v": "attn_input_scale", "o": "out_input_scale"}
+            for name, key in legacy_attn.items():
+                if name in ignore:
+                    continue
+                new_layers["attn"][name]["input_scale"] = scales[key] * f
+            shared = jnp.broadcast_to(moe_in[:, None], (L, E))
+            for name in ("w1", "w3"):
+                if name not in ignore:
+                    new_layers["moe"][name]["input_scale"] = shared
+            if "w2" not in ignore:
+                new_layers["moe"]["w2"]["input_scale"] = \
+                    scales["down_input_scales"] * f              # [L, E]
     return {**params, "layers": new_layers}
 
 

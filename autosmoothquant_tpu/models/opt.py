@@ -178,6 +178,8 @@ def _layer_forward(h, lp, cfg: OPTConfig, qcfg: Optional[QuantConfig],
         stats["o_in_ch_absmax"] = jnp.max(jnp.abs(ctx.reshape(-1, d)), axis=0)
     attn_out = linear(ctx, lp["attn"]["o"], qcfg, qcfg.out if qcfg else PER_TENSOR,
                       LinearKind.SCALED, compute_dtype)
+    if capture:
+        stats["o_out_absmax"] = jnp.max(jnp.abs(attn_out))
     fused_mlp = cfg.do_layer_norm_before and fused_block_enabled(qcfg, capture)
     if fused_mlp:
         # fused residual-add + LayerNorm + int8-quantize feeding a
@@ -216,12 +218,16 @@ def _layer_forward(h, lp, cfg: OPTConfig, qcfg: Optional[QuantConfig],
         stats["fc1_in_ch_absmax"] = jnp.max(jnp.abs(x2.reshape(-1, d)), axis=0)
     act = linear(x2, lp["mlp"]["fc1"], qcfg, qcfg.fc1 if qcfg else PER_TENSOR,
                  fc1_kind, compute_dtype)
+    if capture:  # pre-ReLU: the Linear module's own output (observer view)
+        stats["fc1_out_absmax"] = jnp.max(jnp.abs(act))
     act = jnp.maximum(act, 0)  # OPT uses ReLU
     if capture:
         stats["fc2_in_ch_absmax"] = jnp.max(
             jnp.abs(act.reshape(-1, cfg.ffn_dim)), axis=0)
     out = linear(act, lp["mlp"]["fc2"], qcfg, qcfg.fc2 if qcfg else PER_TENSOR,
                  LinearKind.SCALED, compute_dtype)
+    if capture:
+        stats["fc2_out_absmax"] = jnp.max(jnp.abs(out))
     h = residual + out
     if not cfg.do_layer_norm_before:
         h = layer_norm(h, lp["ln2"]["w"], lp["ln2"]["b"], eps).astype(compute_dtype)
@@ -327,8 +333,18 @@ def init_kv_cache(cfg: OPTConfig, batch: int, max_len: int,
 
 STAT_KEYS = (
     "qkv_in_ch_absmax", "q_out_absmax", "k_out_absmax", "v_out_absmax",
-    "o_in_ch_absmax", "fc1_in_ch_absmax", "fc2_in_ch_absmax",
+    "o_in_ch_absmax", "o_out_absmax", "fc1_in_ch_absmax", "fc1_out_absmax",
+    "fc2_in_ch_absmax", "fc2_out_absmax",
 )
+
+# HF module-name suffix per projection key + OPT's layer-path format, used
+# by the pipeline's fp8 ignore-pattern resolution
+# (ref: calibration.py:259-278 get_layers_to_ignore)
+HF_PROJ_NAMES = {
+    "q": "self_attn.q_proj", "k": "self_attn.k_proj", "v": "self_attn.v_proj",
+    "o": "self_attn.out_proj", "fc1": "fc1", "fc2": "fc2",
+}
+HF_LAYER_FMT = "model.decoder.layers.{i}"
 
 
 def act_scales_dict(stats) -> Dict[str, jnp.ndarray]:
@@ -356,6 +372,22 @@ def layer_scales(stats) -> Dict[str, jnp.ndarray]:
         "fc1_input_scale": jnp.max(stats["fc1_in_ch_absmax"], axis=-1) / 127.0,
         "fc2_input_scale": jnp.max(stats["fc2_in_ch_absmax"], axis=-1) / 127.0,
     }
+
+
+def fp8_observer_scales(stats) -> Dict[str, jnp.ndarray]:
+    """Per-projection fp8 input AND output scales ([L] each) from an
+    observer pass — same contract as llama.fp8_observer_scales (the
+    reference's fp8 observers are llama-only, linear.py:455-500; extended
+    family-wide here)."""
+    m = qmath.FP8_E4M3_MAX
+    per_ch_in = {"q": "qkv_in_ch_absmax", "k": "qkv_in_ch_absmax",
+                 "v": "qkv_in_ch_absmax", "o": "o_in_ch_absmax",
+                 "fc1": "fc1_in_ch_absmax", "fc2": "fc2_in_ch_absmax"}
+    out = {}
+    for proj, key in per_ch_in.items():
+        out[f"{proj}_input_scale"] = jnp.max(stats[key], axis=-1) / m
+        out[f"{proj}_output_scale"] = stats[f"{proj}_out_absmax"] / m
+    return out
 
 
 def smooth(params, stats, alpha: float = 0.5, cfg: Optional[OPTConfig] = None):
@@ -399,12 +431,19 @@ def smooth(params, stats, alpha: float = 0.5, cfg: Optional[OPTConfig] = None):
 
 
 def quantize(params, qcfg: QuantConfig, scales=None,
-             cfg: Optional[OPTConfig] = None):
-    """Int8OPTForCausalLM.from_float analog (ref: opt.py:240-277). OPT is
-    int8-only in the reference."""
+             cfg: Optional[OPTConfig] = None, *,
+             ignore=frozenset(), quantize_output: bool = False,
+             observer_scales=None):
+    """Int8OPTForCausalLM.from_float analog (ref: opt.py:240-277). The
+    reference is int8-only for OPT; the fp8 branch extends the reference's
+    llama-only fp8 recipe (ref: llama.py:143-176 from_float_to_fp8)
+    family-wide — same contract as llama.quantize's fp8 path (dynamic /
+    static-with-observer / e5m2, ignore keys, optional output quant)."""
     lay = params["layers"]
     if not qcfg.is_int8:
-        raise NotImplementedError("reference OPT supports int8 only")
+        return _quantize_fp8(params, qcfg, scales, ignore=ignore,
+                             quantize_output=quantize_output,
+                             observer_scales=observer_scales)
     assert scales is not None
     pre_ln = cfg.do_layer_norm_before if cfg is not None else True
 
@@ -442,6 +481,57 @@ def quantize(params, qcfg: QuantConfig, scales=None,
             "fc2": pack(lay["mlp"]["fc2"], fc2_in, qcfg.fc2, LinearKind.SCALED),
         },
     }
+    return {**params, "layers": new_layers}
+
+
+def _quantize_fp8(params, qcfg: QuantConfig, scales, *, ignore,
+                  quantize_output, observer_scales):
+    """fp8 e4m3 (dynamic/static) and e5m2 packing for OPT projections —
+    bias-ful variants of llama's pack_fp8 (models/llama.py fp8 branch)."""
+    lay = params["layers"]
+    fdt = qcfg.fp8_dtype
+
+    def pack_fp8(key, v):
+        if key in ignore:
+            return dict(v)
+        if qcfg.type == "fp8_e5m2":
+            # scale-free: e5m2 casts weights directly (ref linear.py:607-614)
+            return {"w": v["w"].astype(fdt),
+                    "bias": v["b"].astype(jnp.float32)}
+        qw, w_scale = jax.vmap(
+            lambda ww: qmath.quantize_fp8_per_tensor(ww, fdt))(v["w"])
+        return {"w": qw, "w_scale": w_scale,
+                "bias": v["b"].astype(jnp.float32)}
+
+    new_layers = {
+        "ln1": dict(lay["ln1"]),
+        "attn": {k: pack_fp8(k, v) for k, v in lay["attn"].items()},
+        "ln2": dict(lay["ln2"]),
+        "mlp": {k: pack_fp8(k, v) for k, v in lay["mlp"].items()},
+    }
+    if qcfg.type == "fp8_e4m3" and qcfg.activation_scheme == "static":
+        groups = {"q": "attn", "k": "attn", "v": "attn", "o": "attn",
+                  "fc1": "mlp", "fc2": "mlp"}
+        if observer_scales is not None:
+            for name, grp in groups.items():
+                if name in ignore:
+                    continue
+                new_layers[grp][name]["input_scale"] = \
+                    observer_scales[f"{name}_input_scale"]
+                if quantize_output:
+                    new_layers[grp][name]["output_scale"] = \
+                        observer_scales[f"{name}_output_scale"]
+        else:
+            assert scales is not None, "fp8 static needs observer scales"
+            assert not quantize_output, "quantize_output needs observer_scales"
+            legacy = {"q": "attn_input_scale", "k": "attn_input_scale",
+                      "v": "attn_input_scale", "o": "out_input_scale",
+                      "fc1": "fc1_input_scale", "fc2": "fc2_input_scale"}
+            for name, key in legacy.items():
+                if name in ignore:
+                    continue
+                new_layers[groups[name]][name]["input_scale"] = \
+                    scales[key] * 127.0 / qmath.FP8_E4M3_MAX
     return {**params, "layers": new_layers}
 
 
