@@ -294,3 +294,157 @@ def load_state_dict(model_path: str) -> Dict[str, Any]:
     else:
         raise FileNotFoundError(f"no model weights found under {model_path}")
     return sd
+
+
+# ---------------------------------------------------------------------------
+# Reference-produced QUANTIZED checkpoints (cross-implementation interop)
+#
+# The reference's deliverable is an HF save_pretrained state_dict holding
+# int8 `weight` [out, in] buffers plus f32 `dequant_scale` (and, for
+# per-tensor o/down/fc2, `quant_scale`) scalars per projection, with norm
+# weights pre-folded for per-tensor consumers
+# (ref: examples/smoothquant_model.py:96-99 save side;
+#  examples/test_model.py:35-41 load contract;
+#  layers/nn/linear.py:35-129,248-329 buffer names/semantics).
+# These mappers consume such an artifact directly into this framework's
+# stacked params pytrees — quantize with the reference, serve on TPU.
+# ---------------------------------------------------------------------------
+
+
+def _to_np_raw(t) -> np.ndarray:
+    """dtype-preserving tensor -> numpy (int8 stays int8)."""
+    if isinstance(t, np.ndarray):
+        return t
+    return t.detach().cpu().numpy()
+
+
+def _qstack(sd, pattern: str, num_layers: int, transpose: bool) -> jnp.ndarray:
+    arrs = []
+    for i in range(num_layers):
+        a = _to_np_raw(sd[pattern.format(i=i)])
+        arrs.append(a.T if transpose else a)
+    return jnp.asarray(np.stack(arrs))
+
+
+def _qproj(sd, base: str, num_layers: int):
+    """One reference W8A8 projection -> {w int8 [L,in,out], dequant_scale
+    [L], quant_scale [L]?, bias [L,out]?}."""
+    p = {
+        "w": _qstack(sd, base + ".weight", num_layers, True),
+        "dequant_scale": _qstack(sd, base + ".dequant_scale", num_layers,
+                                 False).astype(jnp.float32),
+    }
+    assert p["w"].dtype == jnp.int8, f"{base}: expected int8 weights"
+    if base.format(i=0) + ".quant_scale" in sd:
+        p["quant_scale"] = _qstack(sd, base + ".quant_scale", num_layers,
+                                   False).astype(jnp.float32)
+    if base.format(i=0) + ".bias" in sd:
+        p["bias"] = _qstack(sd, base + ".bias", num_layers,
+                            False).astype(jnp.float32)
+    return p
+
+
+def quantized_llama_params_from_state_dict(sd: Dict[str, Any],
+                                           num_layers: int,
+                                           dtype=jnp.float32
+                                           ) -> Dict[str, Any]:
+    """Reference int8 Llama artifact -> this framework's quantized pytree.
+    Norm weights arrive pre-folded (QuantizedLlamaRMSNorm.from_float,
+    ref: models/llama.py:27-37) so they map through unchanged."""
+    def cast(x):
+        return x.astype(dtype)
+
+    base = "model.layers.{i}"
+    p = {
+        "embed": {"w": cast(jnp.asarray(_to_np(sd["model.embed_tokens.weight"])))},
+        "layers": {
+            "ln1": {"w": cast(_stack(sd, base + ".input_layernorm.weight",
+                                     num_layers, False))},
+            "attn": {
+                "q": _qproj(sd, base + ".self_attn.q_proj", num_layers),
+                "k": _qproj(sd, base + ".self_attn.k_proj", num_layers),
+                "v": _qproj(sd, base + ".self_attn.v_proj", num_layers),
+                "o": _qproj(sd, base + ".self_attn.o_proj", num_layers),
+            },
+            "ln2": {"w": cast(_stack(
+                sd, base + ".post_attention_layernorm.weight",
+                num_layers, False))},
+            "mlp": {
+                "gate": _qproj(sd, base + ".mlp.gate_proj", num_layers),
+                "up": _qproj(sd, base + ".mlp.up_proj", num_layers),
+                "down": _qproj(sd, base + ".mlp.down_proj", num_layers),
+            },
+        },
+        "final_norm": {"w": cast(jnp.asarray(_to_np(sd["model.norm.weight"])))},
+    }
+    if "lm_head.weight" in sd:
+        p["lm_head"] = {"w": cast(jnp.asarray(_to_np(sd["lm_head.weight"]).T))}
+    else:
+        p["lm_head"] = {"w": cast(jnp.asarray(np.asarray(p["embed"]["w"]).T))}
+    return p
+
+
+def quantized_opt_params_from_state_dict(sd: Dict[str, Any], num_layers: int,
+                                         dtype=jnp.float32) -> Dict[str, Any]:
+    """Reference int8 OPT artifact -> quantized pytree (bias-ful linears;
+    LayerNorm weight AND bias pre-folded, ref: opt.py:20-29)."""
+    def cast(x):
+        return x.astype(dtype)
+
+    base = "model.decoder.layers.{i}"
+
+    def ln(pat):
+        return {"w": cast(_stack(sd, pat + ".weight", num_layers, False)),
+                "b": cast(_stack(sd, pat + ".bias", num_layers, False))}
+
+    p = {
+        "embed": {"w": cast(jnp.asarray(_to_np(
+            sd["model.decoder.embed_tokens.weight"])))},
+        "embed_pos": {"w": cast(jnp.asarray(_to_np(
+            sd["model.decoder.embed_positions.weight"])))},
+        "layers": {
+            "ln1": ln(base + ".self_attn_layer_norm"),
+            "attn": {
+                "q": _qproj(sd, base + ".self_attn.q_proj", num_layers),
+                "k": _qproj(sd, base + ".self_attn.k_proj", num_layers),
+                "v": _qproj(sd, base + ".self_attn.v_proj", num_layers),
+                "o": _qproj(sd, base + ".self_attn.out_proj", num_layers),
+            },
+            "ln2": ln(base + ".final_layer_norm"),
+            "mlp": {
+                "fc1": _qproj(sd, base + ".fc1", num_layers),
+                "fc2": _qproj(sd, base + ".fc2", num_layers),
+            },
+        },
+        "final_norm": {
+            "w": cast(jnp.asarray(_to_np(
+                sd["model.decoder.final_layer_norm.weight"]))),
+            "b": cast(jnp.asarray(_to_np(
+                sd["model.decoder.final_layer_norm.bias"]))),
+        },
+        "lm_head": {"w": cast(jnp.asarray(_to_np(sd["lm_head.weight"]).T))},
+    }
+    for name in ("project_in", "project_out"):
+        key = f"model.decoder.{name}.weight"
+        if key in sd:
+            p[name] = {"w": cast(jnp.asarray(_to_np(sd[key]).T))}
+    return p
+
+
+_QUANTIZED_LOADERS = {
+    "llama": quantized_llama_params_from_state_dict,
+    "transformers": quantized_opt_params_from_state_dict,  # reference's OPT tag
+    "opt": quantized_opt_params_from_state_dict,
+}
+
+
+def load_reference_quantized(model_path: str, family: str, num_layers: int,
+                             dtype=jnp.float32):
+    """Load a reference-produced quantized checkpoint directory: weights via
+    the family mapper + its quant_config.json. Returns (params, QuantConfig)."""
+    from ..quant.config import parse_quant_config
+
+    sd = load_state_dict(model_path)
+    params = _QUANTIZED_LOADERS[family](sd, num_layers, dtype=dtype)
+    qcfg = parse_quant_config(os.path.join(model_path, "quant_config.json"))
+    return params, qcfg
