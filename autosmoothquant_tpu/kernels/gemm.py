@@ -35,10 +35,7 @@ from .tuning import pallas_wins, pick_blocks
 
 import os
 
-# auto (default): Pallas exactly on shapes where offline tuning MEASURED it
-# faster than the XLA int8 dot (kernels/gemm_table.json _meta); XLA else.
-# "pallas"/"xla" force one backend for every tileable shape.
-_BACKEND = os.environ.get("ASQ_INT8_BACKEND", "auto")
+from ..runtime import flags  # runtime kernel gates (env-seeded)
 
 INT8_MIN = -128.0
 INT8_MAX = 127.0
@@ -185,8 +182,9 @@ def int8_matmul(x_q: jnp.ndarray, w_q: jnp.ndarray,
         # shapes where the offline autotune table measured it faster than
         # XLA's int8 dot (traffic-minimizing big tiles win on prefill-sized
         # GEMMs; XLA keeps small/decode shapes), "pallas"/"xla" force one.
-        want = _BACKEND == "pallas" or (_BACKEND == "auto"
-                                        and pallas_wins(m, n, k))
+        backend = flags().int8_backend
+        want = backend == "pallas" or (backend == "auto"
+                                       and pallas_wins(m, n, k))
         use_pallas = (
             want and jax.default_backend() == "tpu" and blocks is not None
         )
@@ -242,7 +240,7 @@ def _fp8_dot_native_supported(dtype_name: str) -> bool:
     native _scaled_mm path is likewise hard-disabled)."""
     import numpy as np
 
-    if os.environ.get("ASQ_FP8_NATIVE", "auto") == "off":
+    if flags().fp8_native == "off":
         return False
     dtype = getattr(jnp, dtype_name)
     try:

@@ -229,9 +229,9 @@ def fused_block_enabled(qcfg: Optional[QuantConfig], capture: bool) -> bool:
     """Whether the per-tensor decoder block should run the fused
     residual+norm+quant kernel: int8 per-tensor fc1, not capturing stats,
     on TPU (or forced for interpret-mode tests via ASQ_FUSED_BLOCK=force)."""
-    import os
+    from ..runtime import flags
 
-    mode = os.environ.get("ASQ_FUSED_BLOCK", "auto")  # auto | off | force
+    mode = flags().fused_block  # auto | off | force
     if mode == "off" or capture or qcfg is None:
         return False
     if not (qcfg.is_int8 and qcfg.fc1 == PER_TENSOR):
@@ -484,9 +484,9 @@ def _flash_decode_mode() -> str:
     The whole-row kernel soak-tests clean nested (512-step) and stays the
     right tool where XLA must materialize a copy (bare attention calls,
     other runtimes); opt in with "on"."""
-    import os
+    from ..runtime import flags
 
-    return os.environ.get("ASQ_FLASH_DECODE", "auto")
+    return flags().flash_decode
 
 
 def ambient_mesh():
@@ -604,9 +604,9 @@ def _kernel_gate(q, full_cache, carry):
 
 def _banded_mode() -> str:
     """auto | off | force (force = interpret off-TPU, for CI equality)."""
-    import os
+    from ..runtime import flags
 
-    return os.environ.get("ASQ_BANDED_PREFILL", "auto")
+    return flags().banded_prefill
 
 
 def _run_banded_kernel(mesh, q, k_row, v_row, pos, starts, *, scale,
@@ -751,9 +751,9 @@ def update_and_attend(q, k, v, cache, cache_index, mask, scale, compute_dtype,
                 # standalone hits ~550 GB/s (20 us) — the XLA-sliced
                 # flash_decode_simple path (39 us incl. the slice copy)
                 # wins in-scan; see BENCHMARKS.md
-                import os
+                from ..runtime import flags
 
-                if (os.environ.get("ASQ_LAYERED_DECODE") == "on"
+                if (flags().layered_decode == "on"
                         and use_simple
                         and (cache_local[2] * cache_local[3]) % 128 == 0):
                     out = _run_decode_layered(
@@ -981,10 +981,10 @@ def attend(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     plain_causal=True (prefill, no padding, no bias, unquantized) routes to
     the Pallas flash kernel on TPU when shapes align — the [Tq, Tk] score
     matrix then never touches HBM."""
-    import os
+    from ..runtime import flags
 
     if (plain_causal and alibi_bias is None and k_scale is None
-            and os.environ.get("ASQ_NO_FLASH") != "1"
+            and not flags().no_flash
             and jax.default_backend() == "tpu"):
         from ..kernels.attention import flash_attention, flash_supported
 

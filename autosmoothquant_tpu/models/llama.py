@@ -175,12 +175,11 @@ def _use_fused_mlp(mp, down_p, m: int, k: int, inter: int) -> bool:
     HBM round-trip the kernel was built to avoid (standalone the kernel
     wins 2.3×, but that composite never materializes in-model). Same
     earn-your-keep policy as ASQ_FLASH_DECODE; see BENCHMARKS.md."""
-    import os
-
     from ..kernels.mlp import fused_mlp_supported
+    from ..runtime import flags
     from .common import ambient_mesh
 
-    mode = os.environ.get("ASQ_FUSED_MLP", "auto")
+    mode = flags().fused_mlp
     if mode in ("off", "auto") or mp["w"].dtype != jnp.int8 \
             or "quant_scale" not in down_p:
         return False

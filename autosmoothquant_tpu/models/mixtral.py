@@ -280,9 +280,9 @@ def _moe_block(x, mp, cfg: MixtralConfig, qcfg, capture, all_experts,
     # not E. The dense path remains for calibration (all_experts / capture
     # need every expert's io stats) and for tiny token counts where bucket
     # padding would dominate. ASQ_MOE=dense|sparse overrides the heuristic.
-    import os
+    from ..runtime import flags
 
-    moe_mode = os.environ.get("ASQ_MOE", "auto")
+    moe_mode = flags().moe
     use_sparse = (
         not all_experts and not capture
         and moe_mode != "dense"

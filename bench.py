@@ -346,12 +346,14 @@ def main():
         return
     if os.environ.get("ASQ_BENCH_MODE") == "banded":
         # ragged (left-padded) batch prefill throughput — the admission path
-        # of the continuous engine. Run twice, ASQ_BANDED_PREFILL=auto vs
-        # =off, to A/B the banded flash kernel against eager whole-cache
-        # attention (env is read at trace time, so one mode per process).
+        # of the continuous engine. BOTH arms (banded flash kernel vs eager
+        # whole-cache attention) run in THIS process via runtime.override,
+        # which retraces under each flag setting; vs_baseline is the
+        # banded/eager speedup.
         import jax
         import jax.numpy as jnp
 
+        from autosmoothquant_tpu import runtime
         from autosmoothquant_tpu.models import llama as L
         from autosmoothquant_tpu.quant.config import QuantConfig
 
@@ -372,30 +374,35 @@ def main():
         qcfg = QuantConfig(type="int8")
         params = build_params(cfg, "int8")
         cache = L.init_kv_cache(cfg, batch, t_len, jnp.bfloat16)
+        reps = int(os.environ.get("ASQ_BENCH_REPS", "7"))
 
-        @jax.jit
-        def pf(params, ids, positions, pads, cache):
-            h, cache, _ = L.forward(params, ids, cfg, qcfg, kv_cache=cache,
+        def arm():
+            @jax.jit
+            def pf(params, ids, positions, pads, cache):
+                h, c, _ = L.forward(params, ids, cfg, qcfg, kv_cache=cache,
                                     cache_index=0, pad_starts=pads,
                                     positions=positions,
                                     compute_dtype=jnp.bfloat16)
-            return h.astype(jnp.float32).sum()
+                return h.astype(jnp.float32).sum()
 
-        np.asarray(jax.device_get(pf(params, ids, positions, pads, cache)))
-        reps = int(os.environ.get("ASQ_BENCH_REPS", "7"))
-        ts = []
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            np.asarray(jax.device_get(
-                pf(params, ids, positions, pads, cache)))
-            ts.append(time.perf_counter() - t0)
-        tps = valid_tokens / float(np.min(ts))
-        mode = os.environ.get("ASQ_BANDED_PREFILL", "auto")
+            np.asarray(jax.device_get(pf(params, ids, positions, pads, cache)))
+            ts = []
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                np.asarray(jax.device_get(
+                    pf(params, ids, positions, pads, cache)))
+                ts.append(time.perf_counter() - t0)
+            return valid_tokens / float(np.min(ts))
+
+        tps = {}
+        for mode in ("off", "auto"):  # eager first, then banded
+            with runtime.override(banded_prefill=mode):
+                tps[mode] = arm()
         print(json.dumps({
             "metric": (f"ragged_prefill_tok_per_s_{preset}_b{batch}"
-                       f"_t{t_len}_banded_{mode}"),
-            "value": round(tps, 1), "unit": "tok/s",
-            "vs_baseline": 1.0,
+                       f"_t{t_len}_banded"),
+            "value": round(tps["auto"], 1), "unit": "tok/s",
+            "vs_baseline": round(tps["auto"] / tps["off"], 3),
         }))
         return
     if os.environ.get("ASQ_BENCH_MODE") == "spec":
@@ -447,6 +454,31 @@ def main():
             "vs_baseline": round(t_plain / t_spec, 4),
             "greedy_tok_per_s": round(max_new / t_plain, 2),
             "greedy_match_prefix": prefix,
+        }))
+        return
+    if os.environ.get("ASQ_BENCH_MODE") == "fusedmlp":
+        # fused int8 MLP kernel A/B — both arms in ONE process via
+        # runtime.override (retrace per arm); vs_baseline = fused/unfused.
+        from autosmoothquant_tpu import runtime
+        from autosmoothquant_tpu.models import llama as L
+        from autosmoothquant_tpu.quant.config import QuantConfig
+
+        preset = os.environ.get("ASQ_BENCH_PRESET", "tinyllama")
+        batch = int(os.environ.get("ASQ_BENCH_BATCH", "8"))
+        s_max = int(os.environ.get("ASQ_BENCH_SMAX", "512"))
+        cfg = get_cfg(preset)
+        qcfg = QuantConfig(type="int8")
+        params = build_params(cfg, "int8")
+        tps = {}
+        for mode in ("off", "on"):
+            with runtime.override(fused_mlp=mode):
+                tps[mode] = decode_tps(L, cfg, qcfg, params, batch=batch,
+                                       prompt_len=128, s_max=s_max)
+        print(json.dumps({
+            "metric": f"decode_tok_per_s_fused_mlp_{preset}_b{batch}",
+            "value": round(tps["on"], 2), "unit": "tok/s",
+            "vs_baseline": round(tps["on"] / tps["off"], 4),
+            "unfused_tok_per_s": round(tps["off"], 2),
         }))
         return
     if os.environ.get("ASQ_BENCH_MODE") == "churn":
