@@ -328,6 +328,103 @@ class QuantKVCacheLayer(NamedTuple):
     v_scale: jnp.ndarray  # f32  [B, S_max, H_kv]
 
 
+class PagedKVPool(NamedTuple):
+    """Block-paged KV store (vLLM-style block tables, TPU-native form).
+
+    Physical pages hold ``block_size`` consecutive tokens of ONE sequence;
+    a per-slot block table maps virtual block j of slot b to its physical
+    page. Capacity is pooled across slots (total pages can be far below
+    max_batch x max_seq worth of contiguous rows) and full prefix blocks
+    are SHARED between slots by pointing multiple table rows at the same
+    page (copy-free prefix caching — the round-2 prefix cache copied K/V
+    into every slot row, serve/batching.py register_prefix).
+
+    Beyond-reference scope: the reference has no serving tier at all
+    (SURVEY.md §2.6); this mirrors production TPU serving stacks.
+
+    k, v:  [L, N_pages, block_size, H_kv, Dh]
+    table: int32 [B, M] physical page of (slot, virtual block); page 0 is
+           the engine's scratch page (inactive rows write there).
+    """
+
+    k: jnp.ndarray
+    v: jnp.ndarray
+    table: jnp.ndarray
+
+
+def _paged_write(pages, val, l, table, positions):
+    """Scatter val [B, T, H, D] into pages [L, N, bs, H, D] at layer l;
+    positions [B, T] are absolute token positions routed through table."""
+    bs = pages.shape[2]
+    pid = jnp.take_along_axis(table, positions // bs, axis=1)   # [B, T]
+    off = positions % bs
+    return pages.at[l, pid, off].set(val.astype(pages.dtype))
+
+
+def paged_attend(q, k_pages, v_pages, table, pos_q, scale, compute_dtype):
+    """Online-softmax attention over block-paged KV — pure lax (scan over
+    virtual blocks), so it runs INSIDE the decode layer-scan without the
+    nested-pallas execution hazard this runtime has (ROADMAP "Environment
+    gotchas"). Bandwidth-optimal like a flash kernel: each mapped page is
+    gathered once; no [B, S_virtual] cache copy is ever materialized.
+
+    q: [B, T, Hq, D] (post-RoPE); k_pages/v_pages: [N, bs, Hkv, D] (layer
+    slice); table: [B, M]; pos_q: [B, T] absolute positions of the queries
+    (causal mask: key position <= query position). The caller writes the
+    new tokens' K/V into the pages FIRST (write-then-attend, same as the
+    contiguous path), so self-attention needs no separate in-chunk pass."""
+    b, t, hq, d = q.shape
+    n, bs, hkv, _ = k_pages.shape
+    m = table.shape[1]
+    g = hq // hkv
+    qf = (q.astype(jnp.float32) * scale).reshape(b, t, hkv, g, d)
+    neg = jnp.float32(-1e30)
+
+    def blk(carry, j):
+        mx, s, acc = carry                       # [B,T,Hkv,G], same, +[D]
+        pid = table[:, j]                        # [B]
+        kb = k_pages[pid].astype(jnp.float32)    # [B, bs, Hkv, D]
+        vb = v_pages[pid].astype(jnp.float32)
+        sc = jnp.einsum("bthgd,bshd->bthgs", qf, kb)   # [B,T,Hkv,G,bs]
+        posk = j * bs + jnp.arange(bs, dtype=jnp.int32)
+        valid = posk[None, None, :] <= pos_q[:, :, None]        # [B,T,bs]
+        sc = jnp.where(valid[:, :, None, None, :], sc, neg)
+        bmx = jnp.max(sc, axis=-1)                              # [B,T,Hkv,G]
+        nmx = jnp.maximum(mx, bmx)
+        corr = jnp.exp(mx - nmx)
+        p = jnp.exp(sc - nmx[..., None])                        # [B,T,Hkv,G,bs]
+        s = s * corr + jnp.sum(p, axis=-1)
+        acc = acc * corr[..., None] + jnp.einsum(
+            "bthgs,bshd->bthgd", p, vb)
+        return (nmx, s, acc), None
+
+    init = (jnp.full((b, t, hkv, g), neg, jnp.float32),
+            jnp.zeros((b, t, hkv, g), jnp.float32),
+            jnp.zeros((b, t, hkv, g, d), jnp.float32))
+    (mx, s, acc), _ = jax.lax.scan(blk, init,
+                                   jnp.arange(m, dtype=jnp.int32))
+    out = acc / jnp.maximum(s, 1e-30)[..., None]
+    return out.reshape(b, t, hq, d).astype(compute_dtype)
+
+
+def paged_update_and_attend(q, k, v, carry, cache_index, scale,
+                            compute_dtype):
+    """Carry-mode write+attend against a PagedKVPool (decode steps and
+    suffix-chunk prefill). No ALiBi/sliding-window support yet — the paged
+    engine serves the llama family (see serve/paged.py)."""
+    cache_full, l = carry
+    b, t = q.shape[:2]
+    pos = cache_slots(cache_index, b, t)
+    new_cache = PagedKVPool(
+        k=_paged_write(cache_full.k, k, l, cache_full.table, pos),
+        v=_paged_write(cache_full.v, v, l, cache_full.table, pos),
+        table=cache_full.table)
+    kl = _layer_slice(new_cache.k, l)
+    vl = _layer_slice(new_cache.v, l)
+    ctx = paged_attend(q, kl, vl, new_cache.table, pos, scale, compute_dtype)
+    return new_cache, ctx
+
+
 def make_kv_cache(num_layers: int, batch: int, max_len: int, num_kv_heads: int,
                   head_dim: int, dtype=jnp.bfloat16):
     """dtype jnp.int8 -> quantized cache; anything else -> plain cache."""
@@ -425,6 +522,12 @@ def cache_mask_and_routing(kv_cache, cache_index, b: int, t: int,
     index, no kv_valid) — the banded flash path (pad_starts rides along as
     the kernel's per-row start)."""
     assert cache_index is not None
+    if isinstance(kv_cache, PagedKVPool):
+        # paged pool: masking happens inside paged_attend (key position <=
+        # query position via the block table); no [B, S_max] mask exists
+        assert kv_valid is None and pad_starts is None and not sliding_window, \
+            "paged KV serves unpadded prompts without sliding windows"
+        return cache_slots(cache_index, b, t), None, None, False, False
     s_max = kv_cache.k.shape[2]
     slots = cache_slots(cache_index, b, t)
     col = jnp.arange(s_max, dtype=jnp.int32)[None, None, None, :]
@@ -657,6 +760,10 @@ def update_and_attend(q, k, v, cache, cache_index, mask, scale, compute_dtype,
     eager path materializes f32 [T, S_max] scores per layer)."""
     b, t = q.shape[:2]
     full_cache = carry[0] if carry is not None else cache
+    if isinstance(full_cache, PagedKVPool):
+        assert carry is not None and alibi_bias is None and window is None
+        return paged_update_and_attend(q, k, v, carry, cache_index, scale,
+                                       compute_dtype)
     if chunk0_causal and t > 1 and alibi_bias is None and full_cache is not None:
         if carry is not None:
             cache_full, l = carry

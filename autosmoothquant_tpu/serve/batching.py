@@ -123,7 +123,7 @@ class ContinuousEngine:
         else:
             self.params = params
 
-        self.pool = model_mod.init_kv_cache(cfg, max_batch, max_seq, kv_dtype)
+        self.pool = self._make_pool()
         if mesh is not None:
             from ..shard.sharding import kv_cache_spec_tree, shard_kv_cache
 
@@ -172,6 +172,11 @@ class ContinuousEngine:
         self._prefixes: Dict[Any, tuple] = {}
         self._copy_prefix_cache = {}
         self.prefill_tokens_processed = 0  # observability (tests assert it)
+
+    def _make_pool(self):
+        """The slot KV store; PagedEngine overrides with a block-paged pool."""
+        return self.model.init_kv_cache(self.cfg, self.max_batch,
+                                        self.max_seq, self.kv_dtype)
 
     # -- jitted pieces ------------------------------------------------------
 

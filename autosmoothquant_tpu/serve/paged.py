@@ -1,0 +1,345 @@
+"""Block-paged continuous-batching engine (vLLM-style block tables).
+
+``ContinuousEngine`` reserves a contiguous ``max_seq`` row per slot, so HBM
+capacity = max_batch x max_seq regardless of actual request lengths, and
+its prefix cache COPIES shared K/V into every slot row. ``PagedEngine``
+pools capacity instead: K/V lives in fixed-size pages, a per-slot block
+table maps virtual positions to pages, admission reserves only
+ceil((prompt + max_new) / block_size) pages per request, and registered
+prefixes SHARE their full pages across slots copy-free (only a partial
+tail block is copied per request). Model-side compute is
+models/common.paged_attend — an online-softmax scan over mapped pages
+(flash-style: no virtual-cache materialization), pure lax so it nests
+inside the decode layer-scan safely on this runtime.
+
+Beyond-reference scope: the reference has no serving tier (SURVEY.md
+§2.6); this is the north-star long-context serving requirement
+(VERDICT round 2, item 4).
+
+Current limits (asserted): llama-family models (no ALiBi / sliding
+window), float/bf16 KV (no int8 pages yet), single-device (no mesh).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.common import PagedKVPool
+from .batching import ContinuousEngine, PrefixCacheFull, Request, _bucket
+
+
+class PagedEngine(ContinuousEngine):
+    """Drop-in ContinuousEngine with a block-paged KV pool.
+
+    num_pages bounds TOTAL cache capacity: it may be far below
+    max_batch x blocks_per_slot — requests are admitted while pages last
+    (backpressure queues the rest), so many short/medium requests can run
+    concurrently in the HBM a contiguous pool would burn on worst-case
+    rows. Page 0 is a scratch page: inactive decode rows write there."""
+
+    def __init__(self, model_mod, params, cfg, qcfg=None, *,
+                 block_size: int = 32, num_pages: Optional[int] = None,
+                 mesh=None, speculative_gamma: int = 0, **kw):
+        assert mesh is None, "PagedEngine is single-device for now"
+        self.block_size = block_size
+        self.num_pages = num_pages
+        self._scatter_cache: Dict[Any, Any] = {}
+        super().__init__(model_mod, params, cfg, qcfg, mesh=None,
+                         speculative_gamma=speculative_gamma, **kw)
+        assert self.kv_dtype != jnp.int8, "int8 KV pages not supported yet"
+
+    # -- pool + page allocator ----------------------------------------------
+
+    def _make_pool(self):
+        cfg = self.cfg
+        bs = self.block_size
+        assert self.max_seq % bs == 0 or self.max_seq > bs, \
+            "block_size must not exceed max_seq"
+        self.blocks_per_slot = -(-self.max_seq // bs)
+        if self.num_pages is None:
+            # default: same worst-case capacity as the contiguous pool
+            self.num_pages = self.max_batch * self.blocks_per_slot + 1
+        n_kv = getattr(cfg, "num_key_value_heads", None) or \
+            cfg.num_attention_heads
+        shape = (cfg.num_hidden_layers, self.num_pages, bs, n_kv,
+                 cfg.head_dim)
+        self._free: List[int] = list(range(self.num_pages - 1, 0, -1))
+        self._ref = np.zeros(self.num_pages, np.int64)
+        self._row_pages: List[List[int]] = [[] for _ in
+                                            range(self.max_batch)]
+        self._table_np = np.zeros((self.max_batch, self.blocks_per_slot),
+                                  np.int32)
+        return PagedKVPool(k=jnp.zeros(shape, self.kv_dtype),
+                           v=jnp.zeros(shape, self.kv_dtype),
+                           table=jnp.asarray(self._table_np))
+
+    @property
+    def free_pages(self) -> int:
+        return len(self._free)
+
+    def _alloc(self, n: int) -> Optional[List[int]]:
+        if n > len(self._free):
+            return None
+        out = [self._free.pop() for _ in range(n)]
+        for p in out:
+            self._ref[p] = 1
+        return out
+
+    def _incref(self, pages) -> None:
+        for p in pages:
+            self._ref[p] += 1
+
+    def _decref(self, pages) -> None:
+        for p in pages:
+            self._ref[p] -= 1
+            assert self._ref[p] >= 0
+            if self._ref[p] == 0:
+                self._free.append(p)
+
+    def _push_table(self) -> None:
+        self.pool = self.pool._replace(table=jnp.asarray(self._table_np))
+
+    def _set_row(self, row: int, pages: List[int]) -> None:
+        self._row_pages[row] = list(pages)
+        self._table_np[row, :] = 0
+        self._table_np[row, :len(pages)] = pages
+        self._push_table()
+
+    def _release_row(self, row: int) -> None:
+        if self._row_pages[row]:
+            self._decref(self._row_pages[row])
+            self._row_pages[row] = []
+            self._table_np[row, :] = 0
+            self._push_table()
+
+    def _pages_needed(self, req: Request) -> int:
+        total = len(req.prompt) + req.max_new_tokens + self.speculative_gamma
+        return min(-(-total // self.block_size), self.blocks_per_slot)
+
+    # -- jitted paged pieces -------------------------------------------------
+
+    def _scatter_temp(self, bucket: int, n_pages: int):
+        """Write the first n_pages blocks of a temp contiguous cache
+        [L, 1, bucket, H, D] into the given physical pages."""
+        key = ("scatter", bucket, n_pages)
+        if key not in self._scatter_cache:
+            bs = self.block_size
+
+            @functools.partial(jax.jit, donate_argnums=(0,))
+            def scatter(pool, temp, page_ids):
+                span = n_pages * bs
+
+                def put(pages, t):
+                    t = t[:, 0]                       # [L, bucket, H, D]
+                    if span > t.shape[1]:
+                        pad = span - t.shape[1]
+                        t = jnp.pad(t, ((0, 0), (0, pad), (0, 0), (0, 0)))
+                    t = t[:, :span].reshape(t.shape[0], n_pages, bs,
+                                            *t.shape[2:])
+                    return pages.at[:, page_ids].set(t.astype(pages.dtype))
+
+                return PagedKVPool(k=put(pool.k, temp.k),
+                                   v=put(pool.v, temp.v), table=pool.table)
+
+            self._scatter_cache[key] = scatter
+        return self._scatter_cache[key]
+
+    def _copy_page(self):
+        if "copy" not in self._scatter_cache:
+            @functools.partial(jax.jit, donate_argnums=(0,))
+            def copy(pool, src, dst):
+                return PagedKVPool(
+                    k=pool.k.at[:, dst].set(pool.k[:, src]),
+                    v=pool.v.at[:, dst].set(pool.v[:, src]),
+                    table=pool.table)
+
+            self._scatter_cache["copy"] = copy
+        return self._scatter_cache["copy"]
+
+    def _chunk_prefill(self, chunk: int):
+        """Paged suffix/chunk prefill: same signature as the contiguous
+        version so _advance_prefills works unchanged. Attention runs over
+        the row's mapped pages (paged_attend handles t > 1 with the causal
+        position mask); K/V of the chunk scatters into the row's pages."""
+        if chunk not in self._chunk_cache:
+            model, cfg, qcfg, cdt = (self.model, self.cfg, self.qcfg,
+                                     self.compute_dtype)
+            M = self.blocks_per_slot
+
+            @functools.partial(jax.jit, donate_argnums=(1,))
+            def prefill_chunk(params, pool, ids, row, pos, valid_len):
+                trow = jax.lax.dynamic_slice(pool.table, (row, 0), (1, M))
+                view = PagedKVPool(pool.k, pool.v, trow)
+                h, view, _ = model.forward(params, ids, cfg, qcfg,
+                                           kv_cache=view, cache_index=pos,
+                                           compute_dtype=cdt)
+                logits = model.logits(params, h)[0, valid_len - 1]
+                return (PagedKVPool(view.k, view.v, pool.table), logits)
+
+            self._chunk_cache[chunk] = prefill_chunk
+        return self._chunk_cache[chunk]
+
+    def _advance_prefills(self):
+        """Chunked prefill, paged variant. The contiguous engine's final
+        ragged chunk RE-FEEDS the last bucket window of the whole prompt
+        (identical K/V rewritten — harmless there). Here that window could
+        reach back into SHARED prefix pages and rewrite them through a
+        numerically different attention path, perturbing other requests'
+        reads — so the final chunk is right-padded from the current
+        position instead (garbage tail positions route through unset table
+        entries to the scratch page, or are overwritten by decode)."""
+        done_rows = []
+        chunk_cap = self.prefill_chunk or self.max_seq
+        for row, st in self._admitting.items():
+            req, pos = st["req"], st["pos"]
+            prompt = req.prompt
+            n = len(prompt)
+            remaining = n - pos
+            if remaining >= chunk_cap:
+                chunk, valid = chunk_cap, chunk_cap
+                ids = np.asarray(prompt[pos:pos + chunk], np.int32)[None]
+            else:
+                chunk = min(_bucket(remaining), self.max_seq)
+                valid = remaining
+                ids = np.zeros((1, chunk), np.int32)
+                ids[0, :remaining] = prompt[pos:]
+            self.pool, last_logits = self._chunk_prefill(chunk)(
+                self.params, self.pool, jnp.asarray(ids), row, pos, valid)
+            self.prefill_tokens_processed += valid
+            st["pos"] = pos + valid
+            if st["pos"] >= n:
+                done_rows.append(row)
+                self._activate(row, req, last_logits)
+        for row in done_rows:
+            del self._admitting[row]
+
+    # -- admission -----------------------------------------------------------
+
+    def _admit(self):
+        free = self._free_slots()
+        while free and self.waiting:
+            req = self.waiting[0]
+            self._trim(req)
+            pref = self._prefix_for(req)
+            n_total = self._pages_needed(req)
+            if pref is None:
+                bucket = min(_bucket(len(req.prompt)), self.max_seq)
+                n_bucket = -(-bucket // self.block_size)
+                alloc = self._alloc(max(n_total, n_bucket))
+                if alloc is None:
+                    break  # backpressure: wait for pages to free
+                self.waiting.pop(0)
+                row = free.pop(0)
+                self._set_row(row, alloc)
+                ids = np.zeros((1, bucket), np.int32)
+                ids[0, :len(req.prompt)] = req.prompt[:bucket]
+                temp, last_logits = self._prefill(bucket)(
+                    self.params, jnp.asarray(ids), len(req.prompt))
+                self.prefill_tokens_processed += len(req.prompt)
+                self.pool = self._scatter_temp(bucket, n_bucket)(
+                    self.pool, temp, jnp.asarray(alloc[:n_bucket],
+                                                 jnp.int32))
+                self._activate(row, req, last_logits)
+                continue
+            # shared-prefix admission: full prefix pages are SHARED
+            # (refcount++), the partial tail block is copied once, and only
+            # the suffix runs through (paged) chunk prefill
+            shared, tail_page, plen, last_logits, _ = (
+                pref["pages"], pref["tail"], pref["plen"],
+                pref["last"], pref["tokens"])
+            n_private = max(n_total - len(shared), 1 if tail_page else 0)
+            alloc = self._alloc(n_private)
+            if alloc is None:
+                break
+            self.waiting.pop(0)
+            row = free.pop(0)
+            self._incref(shared)
+            self._set_row(row, list(shared) + alloc)
+            if tail_page is not None:
+                # tail template -> this row's first private page
+                self.pool = self._copy_page()(self.pool,
+                                              jnp.int32(tail_page),
+                                              jnp.int32(alloc[0]))
+            if len(req.prompt) == plen:
+                self._activate(row, req, last_logits)
+            else:
+                self._admitting[row] = {"req": req, "pos": plen}
+
+    # -- prefix cache (copy-free page sharing) -------------------------------
+
+    def register_prefix(self, prefix_id, tokens: List[int]) -> None:
+        toks = list(tokens)
+        if not 0 < len(toks) <= self.max_seq - 1:
+            raise ValueError(
+                f"prefix must fit max_seq ({len(toks)} vs {self.max_seq})")
+        if (prefix_id not in self._prefixes
+                and len(self._prefixes) >= self.max_prefixes):
+            raise PrefixCacheFull(
+                f"prefix cache full ({self.max_prefixes} entries); "
+                "drop one before registering another")
+        bs = self.block_size
+        plen = len(toks)
+        n_full = plen // bs
+        tail = plen % bs
+        pages = self._alloc(n_full + (1 if tail else 0))
+        if pages is None:
+            raise PrefixCacheFull("no free pages for prefix registration")
+        bucket = min(_bucket(plen), self.max_seq)
+        ids = np.zeros((1, bucket), np.int32)
+        ids[0, :plen] = toks
+        temp, last = self._prefill(bucket)(self.params, jnp.asarray(ids),
+                                           plen)
+        self.prefill_tokens_processed += plen
+        self.pool = self._scatter_temp(bucket, len(pages))(
+            self.pool, temp, jnp.asarray(pages, jnp.int32))
+        self.drop_prefix(prefix_id)  # re-registration frees the old pages
+        self._prefixes[prefix_id] = {
+            "pages": pages[:n_full],
+            "tail": pages[n_full] if tail else None,
+            "plen": plen, "last": last, "tokens": toks,
+        }
+
+    def drop_prefix(self, prefix_id) -> None:
+        entry = self._prefixes.pop(prefix_id, None)
+        if entry is not None:
+            pages = list(entry["pages"])
+            if entry["tail"] is not None:
+                pages.append(entry["tail"])
+            self._decref(pages)
+
+    def _prefix_for(self, req: Request):
+        if req.prefix is None or req.prefix not in self._prefixes:
+            return None
+        entry = self._prefixes[req.prefix]
+        if (len(req.prompt) < entry["plen"]
+                or req.prompt[:entry["plen"]] != entry["tokens"]):
+            return None
+        return entry
+
+    # -- page release on completion/eviction ---------------------------------
+
+    def _check_done(self, row: int):
+        had = self.slot_req[row] is not None
+        super()._check_done(row)
+        if had and self.slot_req[row] is None:
+            self._release_row(row)
+
+    def cancel(self, uid) -> bool:
+        rows = [r for r, req in enumerate(self.slot_req)
+                if req is not None and req.uid == uid]
+        rows += [r for r, st in self._admitting.items()
+                 if st["req"].uid == uid]
+        found = super().cancel(uid)
+        for r in rows:
+            self._release_row(r)
+        return found
+
+    def reset_slots(self) -> None:
+        super().reset_slots()
+        for r in range(self.max_batch):
+            self._release_row(r)

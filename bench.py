@@ -456,6 +456,67 @@ def main():
             "greedy_match_prefix": prefix,
         }))
         return
+    if os.environ.get("ASQ_BENCH_MODE") == "paged":
+        # paged-vs-contiguous serving A/B at EQUAL KV-cache HBM budget.
+        # The contiguous engine must reserve max_seq per slot, so a fixed
+        # byte budget caps its concurrency; the paged engine reserves per
+        # actual need (prompt+max_new) and fits more concurrent requests in
+        # the same bytes. Metric: aggregate tok/s serving the same request
+        # list; vs_baseline = paged/contiguous.
+        import jax.numpy as jnp
+
+        from autosmoothquant_tpu.models import llama as L
+        from autosmoothquant_tpu.quant.config import QuantConfig
+        from autosmoothquant_tpu.serve.batching import ContinuousEngine
+        from autosmoothquant_tpu.serve.paged import PagedEngine
+
+        preset = os.environ.get("ASQ_BENCH_PRESET", "tinyllama")
+        max_seq = int(os.environ.get("ASQ_BENCH_SMAX", "2048"))
+        n_req = int(os.environ.get("ASQ_BENCH_NREQ", "32"))
+        prompt_len = int(os.environ.get("ASQ_BENCH_PROMPT", "128"))
+        max_new = int(os.environ.get("ASQ_BENCH_NEW", "128"))
+        slots_contig = int(os.environ.get("ASQ_BENCH_BATCH", "4"))
+        block = int(os.environ.get("ASQ_BENCH_BLOCK", "64"))
+        cfg = get_cfg(preset)
+        qcfg = QuantConfig(type="int8")
+        params = build_params(cfg, "int8")
+        rng = np.random.default_rng(0)
+        prompts = [rng.integers(1, cfg.vocab_size,
+                                size=prompt_len).tolist()
+                   for _ in range(n_req)]
+        # equal KV budget: contiguous = slots_contig x max_seq tokens;
+        # paged gets the same token capacity in pages but 4x the slots
+        budget_tokens = slots_contig * max_seq
+        results = {}
+        for kind in ("contig", "paged"):
+            if kind == "contig":
+                eng = ContinuousEngine(
+                    L, params, cfg, qcfg, max_batch=slots_contig,
+                    max_seq=max_seq, kv_dtype=jnp.bfloat16,
+                    compute_dtype=jnp.bfloat16)
+            else:
+                eng = PagedEngine(
+                    L, params, cfg, qcfg, max_batch=4 * slots_contig,
+                    max_seq=max_seq, kv_dtype=jnp.bfloat16,
+                    compute_dtype=jnp.bfloat16, block_size=block,
+                    num_pages=budget_tokens // block + 1)
+            reqs = [eng.submit(i, p, max_new_tokens=max_new)
+                    for i, p in enumerate(prompts)]
+            # warm compile outside the timed region: admit + one tick
+            eng.step()
+            t0 = time.perf_counter()
+            eng.run()
+            total = sum(min(len(r.output), max_new) for r in reqs)
+            results[kind] = total / (time.perf_counter() - t0)
+            del eng
+        print(json.dumps({
+            "metric": (f"paged_serving_tok_per_s_{preset}"
+                       f"_req{n_req}_new{max_new}"),
+            "value": round(results["paged"], 1), "unit": "tok/s",
+            "vs_baseline": round(results["paged"] / results["contig"], 3),
+            "contiguous_tok_per_s": round(results["contig"], 1),
+        }))
+        return
     if os.environ.get("ASQ_BENCH_MODE") == "fusedmlp":
         # fused int8 MLP kernel A/B — both arms in ONE process via
         # runtime.override (retrace per arm); vs_baseline = fused/unfused.

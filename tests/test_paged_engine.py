@@ -1,0 +1,200 @@
+"""Block-paged continuous engine (serve/paged.py): token equality with the
+contiguous engine, pooled-capacity admission beyond contiguous limits,
+copy-free prefix page sharing, and page-accounting invariants."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from autosmoothquant_tpu.models import llama as L
+from autosmoothquant_tpu.serve.batching import ContinuousEngine
+from autosmoothquant_tpu.serve.paged import PagedEngine
+
+TINY = dict(
+    vocab_size=256, hidden_size=64, intermediate_size=128, num_hidden_layers=2,
+    num_attention_heads=4, num_key_value_heads=2, max_position_embeddings=256,
+)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = L.LlamaConfig(**TINY)
+    params = L.init_params(cfg, jax.random.PRNGKey(0))
+    return cfg, params
+
+
+def _contiguous(cfg, params, **kw):
+    kw.setdefault("max_batch", 4)
+    kw.setdefault("max_seq", 128)
+    return ContinuousEngine(L, params, cfg, kv_dtype=jnp.float32,
+                            compute_dtype=jnp.float32, **kw)
+
+
+def _paged(cfg, params, **kw):
+    kw.setdefault("max_batch", 4)
+    kw.setdefault("max_seq", 128)
+    kw.setdefault("block_size", 16)
+    return PagedEngine(L, params, cfg, kv_dtype=jnp.float32,
+                       compute_dtype=jnp.float32, **kw)
+
+
+def _submit_all(eng, specs):
+    for uid, prompt, n, kws in specs:
+        eng.submit(uid, prompt, max_new_tokens=n, **kws)
+    return eng.run()
+
+
+SPECS = [
+    ("a", [3, 1, 4, 1, 5, 9, 2, 6], 10, {}),
+    ("b", [9] * 17, 8, {}),
+    ("c", list(range(1, 40)), 6, {}),
+    ("d", [2, 8], 12, {}),
+    ("e", [7, 7, 7, 7, 7], 9, {}),
+    ("f", list(range(200, 230)), 5, {}),
+]
+
+
+def test_matches_contiguous_engine_greedy(setup):
+    """Same requests, same greedy tokens — including slot churn (6 requests
+    through 4 slots)."""
+    cfg, params = setup
+    want = _submit_all(_contiguous(cfg, params, steps_per_sync=3),
+                       [(u, list(p), n, dict(k)) for u, p, n, k in SPECS])
+    pe = _paged(cfg, params, steps_per_sync=3)
+    got = _submit_all(pe, [(u, list(p), n, dict(k)) for u, p, n, k in SPECS])
+    assert got == want
+    # every page returned to the free list after completion
+    assert pe.free_pages == pe.num_pages - 1  # page 0 is scratch
+
+
+def test_matches_contiguous_engine_sampled(setup):
+    """Sampled requests: equal seeds + equal scheduling order -> equal
+    tokens (the engine's fold_in(seed, event#) determinism)."""
+    cfg, params = setup
+    specs = [("s1", [5, 6, 7, 8], 8,
+              dict(temperature=0.8, top_k=20, top_p=0.9)),
+             ("s2", [11] * 9, 8, dict(temperature=1.1))]
+    want = _submit_all(_contiguous(cfg, params, seed=7), list(specs))
+    got = _submit_all(_paged(cfg, params, seed=7), list(specs))
+    assert got == want
+
+
+def test_chunked_prefill_matches(setup):
+    cfg, params = setup
+    specs = [("long", list(range(1, 90)), 7, {}),
+             ("short", [4, 2], 7, {})]
+    want = _submit_all(_contiguous(cfg, params, prefill_chunk=32),
+                       [(u, list(p), n, dict(k)) for u, p, n, k in specs])
+    got = _submit_all(_paged(cfg, params, prefill_chunk=32),
+                      [(u, list(p), n, dict(k)) for u, p, n, k in specs])
+    assert got == want
+
+
+def test_pooled_capacity_beyond_contiguous(setup):
+    """The capacity headline: 4 concurrent requests run in a pool that
+    holds FAR less than max_batch x max_seq contiguous capacity (worst
+    case would need 4x128 tokens = 32 blocks; the pool has 13), because
+    reservation is per actual need, not per worst case."""
+    cfg, params = setup
+    pe = _paged(cfg, params, num_pages=14)  # 13 usable + scratch
+    specs = [(f"r{i}", [i + 1, 2 * i + 1, 7], 10, {}) for i in range(4)]
+    # each needs ceil((3+10)/16) = 1 page -> all 4 admitted concurrently
+    reqs = {uid: pe.submit(uid, p, max_new_tokens=n, **kw)
+            for uid, p, n, kw in specs}
+    pe._admit()
+    assert sum(r is not None for r in pe.slot_req) == 4
+    pe.run()
+    outs = {u: r.output[:r.max_new_tokens] for u, r in reqs.items()}
+    want = _submit_all(_contiguous(cfg, params),
+                       [(u, list(p), n, dict(k)) for u, p, n, k in specs])
+    assert outs == want
+
+
+def test_backpressure_when_pages_exhausted(setup):
+    """More demand than pages: admission queues the excess (no crash, no
+    corruption) and completes everything as pages free up."""
+    cfg, params = setup
+    pe = _paged(cfg, params, num_pages=7)  # 6 usable pages
+    specs = [(f"q{i}", list(range(1, 30)), 14, {}) for i in range(5)]
+    # each needs ceil((29+14)/16) = 3 pages -> only 2 fit at once
+    reqs = {uid: pe.submit(uid, p, max_new_tokens=n, **kw)
+            for uid, p, n, kw in specs}
+    pe._admit()
+    assert sum(r is not None for r in pe.slot_req) == 2
+    pe.run()
+    outs = {u: r.output[:r.max_new_tokens] for u, r in reqs.items()}
+    want = _submit_all(_contiguous(cfg, params),
+                       [(u, list(p), n, dict(k)) for u, p, n, k in specs])
+    assert outs == want
+    assert pe.free_pages == 6
+
+
+def test_prefix_sharing_is_copy_free(setup):
+    """Registered prefix pages are SHARED: admitting 3 requests over a
+    32-token prefix (2 full 16-token blocks) consumes zero extra pages for
+    the shared part, and outputs equal full-prefill runs."""
+    cfg, params = setup
+    pe = _paged(cfg, params)
+    prefix = list(range(1, 33))  # 2 full blocks, no tail
+    pe.register_prefix("sys", prefix)
+    free_after_reg = pe.free_pages
+    entry = pe._prefixes["sys"]
+    assert len(entry["pages"]) == 2 and entry["tail"] is None
+
+    specs = [(f"p{i}", prefix + [50 + i, 60 + i, 70 + i], 6,
+              dict(prefix="sys")) for i in range(3)]
+    reqs = {uid: pe.submit(uid, p, max_new_tokens=n, **kw)
+            for uid, p, n, kw in specs}
+    pe._admit()
+    # shared blocks: refcount 1 (registry) + 3 (slots); each request's
+    # private need = ceil((35+6)/16) - 2 shared = 1 page
+    assert all(pe._ref[p] == 4 for p in entry["pages"])
+    assert pe.free_pages == free_after_reg - 3
+    pe.run()
+    outs = {u: r.output[:r.max_new_tokens] for u, r in reqs.items()}
+
+    want = _submit_all(_paged(cfg, params),
+                       [(u, list(p), n, {}) for u, p, n, _ in specs])
+    assert outs == want
+    # slots released their shares; registry keeps one ref
+    assert all(pe._ref[p] == 1 for p in entry["pages"])
+    pe.drop_prefix("sys")
+    assert pe.free_pages == pe.num_pages - 1
+
+
+def test_prefix_with_partial_tail_block(setup):
+    """A prefix whose length is not block-aligned: full blocks shared, the
+    tail block copied per request; tokens equal the full-prefill run."""
+    cfg, params = setup
+    pe = _paged(cfg, params)
+    prefix = list(range(1, 25))  # 24 tokens: 1 full block + 8-token tail
+    pe.register_prefix("sys", prefix)
+    entry = pe._prefixes["sys"]
+    assert len(entry["pages"]) == 1 and entry["tail"] is not None
+
+    prompt = prefix + [99, 98]
+    got = _submit_all(pe, [("x", prompt, 8, dict(prefix="sys"))])
+    want = _submit_all(_paged(cfg, params), [("y", list(prompt), 8, {})])
+    assert got["x"] == want["y"]
+
+
+def test_cancel_frees_pages(setup):
+    cfg, params = setup
+    pe = _paged(cfg, params)
+    pe.submit("gone", [1, 2, 3, 4], max_new_tokens=50)
+    pe._admit()
+    assert pe.free_pages < pe.num_pages - 1
+    assert pe.cancel("gone")
+    assert pe.free_pages == pe.num_pages - 1
+
+
+def test_register_prefix_guards(setup):
+    from autosmoothquant_tpu.serve.batching import PrefixCacheFull
+
+    cfg, params = setup
+    pe = _paged(cfg, params, num_pages=3)  # 2 usable
+    with pytest.raises(ValueError, match="max_seq"):
+        pe.register_prefix("big", list(range(1, 300)))
+    with pytest.raises(PrefixCacheFull, match="free pages"):
+        pe.register_prefix("wide", list(range(1, 60)))  # needs 4 pages
