@@ -16,6 +16,49 @@ import numpy as np
 
 from .lm_adapter import JaxLM, gather_results, shard_requests
 
+# ---------------------------------------------------------------------------
+# Per-metric aggregation registry — the analog of the vendored fork's
+# metric plumbing (ref: benchmarks/evaluator.py aggregation +
+# lm_eval metrics registry): each metric name maps to how per-sample values
+# reduce and whether larger is better (used by make_table arrows and any
+# model-comparison tooling).
+# ---------------------------------------------------------------------------
+
+AGGREGATIONS: Dict[str, Callable[[Sequence[float]], float]] = {
+    "mean": lambda v: float(np.mean(v)),
+    "sum": lambda v: float(np.sum(v)),
+    "perplexity": lambda nll_and_count: float(
+        math.exp(sum(x for x, _ in nll_and_count)
+                 / max(sum(n for _, n in nll_and_count), 1))),
+    "bits_per_token": lambda nll_and_count: float(
+        sum(x for x, _ in nll_and_count)
+        / max(sum(n for _, n in nll_and_count), 1) / math.log(2)),
+}
+
+HIGHER_IS_BETTER: Dict[str, bool] = {
+    "acc": True, "acc_norm": True, "exact_match": True,
+    "perplexity": False, "bits_per_token": False,
+}
+
+
+def register_metric(name: str, agg: Callable, higher_is_better: bool) -> None:
+    """Extend the registry (custom tasks can add f1, bleu, ...)."""
+    AGGREGATIONS[name] = agg
+    HIGHER_IS_BETTER[name] = higher_is_better
+
+
+def aggregate_metrics(samples: Dict[str, Sequence],
+                      kinds: Dict[str, str],
+                      stderr_for: Sequence[str] = ()) -> Dict[str, float]:
+    """Reduce per-sample metric values through the registry; appends
+    bootstrap stderr columns for the requested mean-like metrics."""
+    out = {}
+    for metric, values in samples.items():
+        out[metric] = AGGREGATIONS[kinds.get(metric, "mean")](values)
+        if metric in stderr_for:
+            out[f"{metric}_stderr"] = bootstrap_stderr(list(values))
+    return out
+
 
 @dataclasses.dataclass
 class MultipleChoiceTask:
@@ -24,6 +67,7 @@ class MultipleChoiceTask:
     (acc_norm), matching lm-eval conventions."""
 
     REQUEST_TYPE = "loglikelihood"
+    VERSION = 0  # task versioning (lm-eval results["versions"] analog)
 
     name: str
     docs: Sequence[Tuple[Sequence[int], Sequence[Sequence[int]], int]]
@@ -47,9 +91,8 @@ class MultipleChoiceTask:
             lls_norm = [ll / max(len(c), 1) for ll, c in zip(lls, choices)]
             accs.append(float(int(np.argmax(lls)) == gold))
             accs_norm.append(float(int(np.argmax(lls_norm)) == gold))
-        return {"acc": float(np.mean(accs)),
-                "acc_norm": float(np.mean(accs_norm)),
-                "acc_stderr": bootstrap_stderr(accs)}
+        return aggregate_metrics({"acc": accs, "acc_norm": accs_norm},
+                                 kinds={}, stderr_for=("acc",))
 
 
 @dataclasses.dataclass
@@ -61,6 +104,7 @@ class GenerateUntilTask:
     truncation."""
 
     REQUEST_TYPE = "generate_until"
+    VERSION = 0
 
     name: str
     docs: Sequence[Tuple[Sequence[int], Sequence[int]]]
@@ -84,8 +128,8 @@ class GenerateUntilTask:
         for di, toks in zip(index, results):
             exp = list(self.docs[di][1])
             matches.append(float(list(toks)[: len(exp)] == exp))
-        return {"exact_match": float(np.mean(matches)),
-                "exact_match_stderr": bootstrap_stderr(matches)}
+        return aggregate_metrics({"exact_match": matches}, kinds={},
+                                 stderr_for=("exact_match",))
 
 
 @dataclasses.dataclass
@@ -95,6 +139,7 @@ class RollingPPLTask:
     metrics are token-level perplexity and bits-per-token."""
 
     REQUEST_TYPE = "loglikelihood_rolling"
+    VERSION = 0
 
     name: str
     docs: Sequence[Sequence[int]]
@@ -106,14 +151,12 @@ class RollingPPLTask:
         return lm.loglikelihood_rolling(reqs)
 
     def aggregate(self, results, index) -> Dict[str, float]:
-        total_nll = 0.0
-        total_toks = 0
-        for di, ll in zip(index, results):
-            total_nll += -float(ll)
-            total_toks += len(self.docs[di])
-        ppl = math.exp(total_nll / max(total_toks, 1))
-        return {"perplexity": ppl,
-                "bits_per_token": total_nll / max(total_toks, 1) / math.log(2)}
+        nll_and_count = [(-float(ll), len(self.docs[di]))
+                         for di, ll in zip(index, results)]
+        return aggregate_metrics(
+            {"perplexity": nll_and_count, "bits_per_token": nll_and_count},
+            kinds={"perplexity": "perplexity",
+                   "bits_per_token": "bits_per_token"})
 
 
 def bootstrap_stderr(values: Sequence[float], iters: int = 1000,
@@ -156,10 +199,38 @@ def evaluate(lm: JaxLM, tasks: Sequence,
     return results
 
 
-def make_table(results: Dict[str, Dict[str, float]]) -> str:
-    """ref: benchmarks/utils.py make_table / lm_eval.utils.make_table."""
-    lines = ["| task | metric | value |", "|------|--------|-------|"]
+def simple_evaluate(lm: JaxLM, tasks: Sequence, rank: int = 0,
+                    world_size: int = 1) -> Dict[str, Dict]:
+    """The reference CLI's entry-point shape (ref: evaluator.py:23-46
+    simple_evaluate returns {"results", "versions", "config"}): task
+    metrics plus per-task VERSION stamps and the run configuration."""
+    results = evaluate(lm, tasks, rank=rank, world_size=world_size)
+    return {
+        "results": results,
+        "versions": {t.name: getattr(t, "VERSION", 0) for t in tasks},
+        "config": {
+            "model": type(lm).__name__,
+            "model_family": getattr(lm.model, "FAMILY", None),
+            "batch_size": lm.batch_size,
+            "max_length": lm.max_length,
+            "quantized": lm.qcfg is not None,
+            "world_size": world_size,
+        },
+    }
+
+
+def make_table(results: Dict[str, Dict[str, float]],
+               versions: Optional[Dict[str, int]] = None) -> str:
+    """ref: benchmarks/utils.py make_table / lm_eval.utils.make_table.
+    Accepts either evaluate() output or simple_evaluate() output."""
+    if "results" in results and isinstance(results.get("results"), dict) \
+            and "versions" in results:
+        versions = results.get("versions")
+        results = results["results"]
+    lines = ["| task | version | metric | value |",
+             "|------|---------|--------|-------|"]
     for task, metrics in sorted(results.items()):
+        ver = (versions or {}).get(task, "-")
         for metric, value in sorted(metrics.items()):
-            lines.append(f"| {task} | {metric} | {value:.4f} |")
+            lines.append(f"| {task} | {ver} | {metric} | {value:.4f} |")
     return "\n".join(lines)

@@ -2,7 +2,17 @@
 analog of the reference's HFLM + simple_evaluate path
 (ref: examples/eval_model.py:107-123). Falls back with a clear error when
 lm_eval isn't installed (this framework ships its own native harness in
-eval/harness.py for that case)."""
+eval/harness.py for that case).
+
+API pin: written against lm-evaluation-harness **v0.4.x** (the line the
+reference's eval_model.py targets): `lm_eval.api.model.LM` subclassing
+with `loglikelihood / loglikelihood_rolling / generate_until` taking
+`lm_eval.api.instance.Instance` lists (`.args` = (context, continuation) /
+(context,) / (context, gen_kwargs)), and `lm_eval.simple_evaluate(model=,
+tasks=, num_fewshot=)`. This environment has no package index, so the
+integration is exercised by tests/test_lm_eval_adapter.py against a stub
+that mirrors exactly this v0.4 surface; install `lm-eval>=0.4,<0.5` to
+run the real registry tasks."""
 
 from __future__ import annotations
 

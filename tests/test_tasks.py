@@ -133,3 +133,88 @@ def test_qwen2_ignores_unused_sliding_window():
                                      "model_type": "mistral",
                                      "sliding_window": 4096})
     assert mistral.sliding_window == 4096
+
+
+def test_random_fewshot_excludes_self_and_is_seeded(tmp_path, tok):
+    """fewshot_sample='random': every scored doc gets its own exemplars,
+    drawn with a seeded RNG and never containing the doc itself."""
+    import json
+
+    from autosmoothquant_tpu.eval.tasks import load_task
+
+    docs = [{"query": f"q{i} ", "choices": [f"a{i}", f"b{i}"], "gold": 0}
+            for i in range(6)]
+    path = tmp_path / "mc.jsonl"
+    path.write_text("\n".join(json.dumps(d) for d in docs))
+    t1 = load_task(str(path), tok, num_fewshot=2, fewshot_sample="random",
+                   fewshot_seed=5)
+    t2 = load_task(str(path), tok, num_fewshot=2, fewshot_sample="random",
+                   fewshot_seed=5)
+    t3 = load_task(str(path), tok, num_fewshot=2, fewshot_sample="random",
+                   fewshot_seed=6)
+    assert len(t1.docs) == 6  # random mode scores every doc
+    ctxs1 = [tuple(d[0]) for d in t1.docs]
+    assert ctxs1 == [tuple(d[0]) for d in t2.docs]  # seeded determinism
+    assert ctxs1 != [tuple(d[0]) for d in t3.docs]
+    # self-exclusion: doc i's own query appears exactly ONCE in its context
+    for i, (ctx, _, _) in enumerate(t1.docs):
+        text = tok.decode(list(ctx))
+        assert text.count(f"q{i} ") == 1, text
+
+
+def test_description_prepended(tmp_path, tok):
+    import json
+
+    from autosmoothquant_tpu.eval.tasks import load_task
+
+    docs = [{"query": "q ", "choices": ["x", "y"], "gold": 1}]
+    path = tmp_path / "mc.jsonl"
+    path.write_text("\n".join(json.dumps(d) for d in docs))
+    t = load_task(str(path), tok, description="Answer the question.")
+    text = tok.decode(list(t.docs[0][0]))
+    assert text.startswith("Answer the question.")
+
+
+def test_simple_evaluate_versions_and_config():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from autosmoothquant_tpu.eval.harness import (
+        MultipleChoiceTask, make_table, simple_evaluate)
+    from autosmoothquant_tpu.eval.lm_adapter import JaxLM
+    from autosmoothquant_tpu.models import llama as L
+
+    cfg = L.LlamaConfig(vocab_size=64, hidden_size=32, intermediate_size=64,
+                        num_hidden_layers=1, num_attention_heads=2,
+                        num_key_value_heads=2, max_position_embeddings=64)
+    lm = JaxLM(L, L.init_params(cfg, jax.random.PRNGKey(0)), cfg,
+               batch_size=2, max_length=32)
+    rng = np.random.default_rng(0)
+    docs = [(rng.integers(1, 64, size=3).tolist(),
+             [rng.integers(1, 64, size=2).tolist() for _ in range(2)], 0)
+            for _ in range(3)]
+    out = simple_evaluate(lm, [MultipleChoiceTask("t", docs)])
+    assert set(out) == {"results", "versions", "config"}
+    assert out["versions"] == {"t": 0}
+    assert out["config"]["model_family"] == "llama"
+    assert out["config"]["quantized"] is False
+    table = make_table(out)
+    assert "version" in table and "| t | 0 |" in table
+
+
+def test_metric_registry_extension():
+    from autosmoothquant_tpu.eval.harness import (
+        AGGREGATIONS, HIGHER_IS_BETTER, aggregate_metrics, register_metric)
+
+    register_metric("geom_mean", lambda v: float(
+        __import__("numpy").exp(__import__("numpy").mean(
+            __import__("numpy").log(v)))), True)
+    try:
+        out = aggregate_metrics({"geom_mean": [1.0, 4.0]},
+                                kinds={"geom_mean": "geom_mean"})
+        assert abs(out["geom_mean"] - 2.0) < 1e-9
+        assert HIGHER_IS_BETTER["geom_mean"]
+    finally:
+        AGGREGATIONS.pop("geom_mean", None)
+        HIGHER_IS_BETTER.pop("geom_mean", None)
