@@ -41,6 +41,7 @@ from .common import (
     cache_mask_and_routing,
     cache_slots,
     decode_window,
+    uncached_mask_and_positions,
     update_and_attend,
     make_kv_cache,
     LinearKind,
@@ -175,7 +176,7 @@ def _layer_forward(h, lp, cfg, qcfg, cos, sin, mask, alibi, cache,
                    cache_index, capture, compute_dtype,
                    plain_causal: bool = False, window=None,
                    chunk0: bool = False, banded: bool = False,
-                   banded_starts=None):
+                   banded_starts=None, kv_window=None):
     b, t, d = h.shape
     hd = cfg.head_dim
     n_h = cfg.num_attention_heads
@@ -200,7 +201,7 @@ def _layer_forward(h, lp, cfg, qcfg, cos, sin, mask, alibi, cache,
             q, k, v, None, cache_index, mask, 1.0 / math.sqrt(hd),
             compute_dtype, window=window, alibi_bias=alibi, carry=cache,
             chunk0_causal=chunk0, banded=banded,
-            banded_starts=banded_starts)
+            banded_starts=banded_starts, kv_window=kv_window)
     else:
         new_cache, ctx = update_and_attend(
             q, k, v, cache, cache_index, mask, 1.0 / math.sqrt(hd),
@@ -246,6 +247,7 @@ def forward(params, input_ids: jnp.ndarray, cfg: BaichuanConfig,
             positions: Optional[jnp.ndarray] = None,
             attention_mask: Optional[jnp.ndarray] = None,
             capture_stats: bool = False,
+            kv_window=None,
             compute_dtype=jnp.float32) -> Tuple[jnp.ndarray, Any, Any]:
     b, t = input_ids.shape
     h = params["embed"]["w"][input_ids].astype(compute_dtype)
@@ -259,14 +261,9 @@ def forward(params, input_ids: jnp.ndarray, cfg: BaichuanConfig,
             positions = slots
         key_pos = jnp.arange(kv_cache.k.shape[2], dtype=jnp.int32)  # ALiBi
     else:
-        if positions is None:
-            positions = jnp.broadcast_to(
-                jnp.arange(t, dtype=jnp.int32)[None, :], (b, t))
-        col = jnp.arange(t, dtype=jnp.int32)
-        mask = col[None, None, None, :] <= jnp.arange(t)[None, None, :, None]
-        if attention_mask is not None:
-            mask = mask & attention_mask[:, None, None, :].astype(bool)
-        key_pos = col
+        positions, mask, plain_causal = uncached_mask_and_positions(
+            b, t, positions, attention_mask)
+        key_pos = jnp.arange(t, dtype=jnp.int32)
 
     if cfg.position_embedding == "ROPE":
         cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta)
@@ -303,7 +300,7 @@ def forward(params, input_ids: jnp.ndarray, cfg: BaichuanConfig,
                 hh, lp, cfg, quant_config, cos, sin, mask, alibi, (cache, l),
                 cache_index, capture_stats, compute_dtype, window=window,
                 chunk0=chunk0, banded=chunkN,
-                banded_starts=pad_starts)
+                banded_starts=pad_starts, kv_window=kv_window)
             return (hh, cache, l + 1), (st if capture_stats else None)
 
         (h, new_kv, _), stats = jax.lax.scan(

@@ -555,6 +555,27 @@ def cache_mask_and_routing(kv_cache, cache_index, b: int, t: int,
     return slots, mask, window, chunk0, chunkN
 
 
+def uncached_mask_and_positions(b: int, t: int, positions, attention_mask,
+                                sliding_window: int = 0):
+    """The per-family forward prologue for the NO-cache path (the twin of
+    cache_mask_and_routing): default rope/embedding positions [B, T], the
+    causal (optionally sliding-window) mask merged with an HF-style
+    attention_mask, and the plain_causal fast-path flag. One helper, four
+    families — the hunk used to be copy-pasted per forward."""
+    if positions is None:
+        positions = jnp.broadcast_to(
+            jnp.arange(t, dtype=jnp.int32)[None, :], (b, t))
+    col = jnp.arange(t, dtype=jnp.int32)[None, None, None, :]
+    row = jnp.arange(t, dtype=jnp.int32)[None, None, :, None]
+    mask = col <= row
+    if sliding_window:
+        mask = mask & (col > row - sliding_window)
+    if attention_mask is not None:
+        mask = mask & attention_mask[:, None, None, :].astype(bool)
+    plain_causal = attention_mask is None and not sliding_window
+    return positions, mask, plain_causal
+
+
 def decode_window(cache_index, kv_valid, batch: int,
                   sliding_window: int = 0):
     """Per-row [start, length) windows of valid cache slots for the
@@ -742,7 +763,7 @@ def _run_banded_kernel(mesh, q, k_row, v_row, pos, starts, *, scale,
 def update_and_attend(q, k, v, cache, cache_index, mask, scale, compute_dtype,
                       *, window=None, alibi_bias=None, plain_causal=False,
                       carry=None, chunk0_causal=False, banded=False,
-                      banded_starts=None):
+                      banded_starts=None, kv_window=None):
     """Cache write + attention for one layer, routing the single-token decode
     step through the flash-decode Pallas kernel when possible (in-VMEM int8
     dequant — the production form of the reference's vestigial int8 BMM
@@ -895,7 +916,7 @@ def update_and_attend(q, k, v, cache, cache_index, mask, scale, compute_dtype,
         cache_full, l = carry
         new_cache, ctx = carry_update_and_attend(
             q, k, v, cache_full, l, cache_index, mask, scale, compute_dtype,
-            alibi_bias=alibi_bias)
+            alibi_bias=alibi_bias, kv_window=kv_window)
         return new_cache, ctx
 
     new_cache, k_att, v_att, ks, vs = cache_update_and_read_raw(
@@ -959,7 +980,8 @@ def _carry_write(cache, l, k, v, cache_index, b, t):
 
 
 def carry_update_and_attend(q, k, v, cache, l, cache_index, mask, scale,
-                            compute_dtype, *, window=None, alibi_bias=None):
+                            compute_dtype, *, window=None, alibi_bias=None,
+                            kv_window=None):
     """Carry-mode cache update + attention for one layer of a scan whose
     CARRY holds the full [L, B, S, ...] cache (vs the round-1 xs/ys layout,
     which forced a full-cache rewrite into the stacked scan outputs every
@@ -1000,8 +1022,32 @@ def carry_update_and_attend(q, k, v, cache, l, cache_index, mask, scale,
             v=_scatter_tokens(cache.v, v.astype(cache.v.dtype), l,
                               cache_index, b, t))
         ks_l = vs_l = None
-    k_l = _layer_slice(cache.k, l)
-    v_l = _layer_slice(cache.v, l)
+    if kv_window is not None and kv_window < s_max:
+        # STATIC context window (a 256-step bucket covering every live
+        # slot): the per-layer dynamic_index of the carried cache
+        # materializes an UNFUSED full-length [B, S_max, H, D] copy per
+        # layer (measured ~50 us/layer at b8/s2048 even when barely
+        # consumed — the dominant long-context decode overhead). The layer
+        # index and the window must be ONE dynamic_slice: a static slice
+        # stacked on the dynamic index still copies the full length first.
+        s_max = kv_window
+
+        def _sl(full):
+            sizes = (1, full.shape[1], kv_window) + full.shape[3:]
+            start = (l,) + (0,) * (full.ndim - 1)
+            return jax.lax.dynamic_slice(full, start, sizes)[0]
+
+        k_l = _sl(cache.k)
+        v_l = _sl(cache.v)
+        if quant:
+            ks_l = _sl(cache.k_scale)
+            vs_l = _sl(cache.v_scale)
+        mask = mask[..., :s_max]
+        if alibi_bias is not None:
+            alibi_bias = alibi_bias[..., :s_max]
+    else:
+        k_l = _layer_slice(cache.k, l)
+        v_l = _layer_slice(cache.v, l)
 
     slots = cache_slots(cache_index, b, t)                      # [B, T]
     # cache-part mask: the base mask minus the columns being written now.
@@ -1048,8 +1094,20 @@ def carry_update_and_attend(q, k, v, cache, l, cache_index, mask, scale,
             ali_b, slots[:, None, None, :], axis=3)           # [B, H, T, T]
         ss = ss + ss_bias.reshape(b, hkv, g, t, t)
     ss = jnp.where(mask_s[:, :, None, :, :], ss, -1e30)
-    probs = jax.nn.softmax(jnp.concatenate([sc, ss], axis=-1), axis=-1)
-    pc, ps = probs[..., :s_max], probs[..., s_max:]
+    # joint softmax over (cache scores, self scores) WITHOUT concatenating:
+    # concat to S_max+T lanes forced an odd-lane-size relayout of the whole
+    # [B,Hkv,G,T,S] score buffer per layer (S+1 pads to the next multiple
+    # of 128) plus a slice-copy back — pure context-proportional overhead
+    # in the decode hot loop. The two-buffer max/exp/sum form is the same
+    # math with every op at the native S_max lane layout.
+    m = jnp.maximum(jnp.max(sc, axis=-1, keepdims=True),
+                    jnp.max(ss, axis=-1, keepdims=True))
+    ec = jnp.exp(sc - m)
+    es = jnp.exp(ss - m)
+    denom = (jnp.sum(ec, axis=-1, keepdims=True)
+             + jnp.sum(es, axis=-1, keepdims=True))
+    pc = ec / denom
+    ps = es / denom
     if vs_l is not None:
         pc = pc * jnp.transpose(vs_l.astype(jnp.float32),
                                 (0, 2, 1))[:, :, None, None, :]

@@ -41,6 +41,7 @@ from .common import (
     fused_add_norm_quant,
     fused_block_enabled,
     make_kv_cache,
+    uncached_mask_and_positions,
     update_and_attend,
     LinearKind,
     apply_rope,
@@ -196,7 +197,7 @@ def _layer_forward(h, lp, cfg: LlamaConfig, qcfg: Optional[QuantConfig],
                    cache_index, capture: bool, compute_dtype,
                    plain_causal: bool = False, window=None,
                    chunk0: bool = False, banded: bool = False,
-                   banded_starts=None):
+                   banded_starts=None, kv_window=None):
     """One decoder layer. h: [B, T, D] compute_dtype. Returns (h', cache',
     stats)."""
     b, t, d = h.shape
@@ -239,7 +240,7 @@ def _layer_forward(h, lp, cfg: LlamaConfig, qcfg: Optional[QuantConfig],
         new_cache, ctx = update_and_attend(
             q, k, v, None, cache_index, mask, 1.0 / math.sqrt(hd),
             compute_dtype, window=window, carry=cache, chunk0_causal=chunk0, banded=banded,
-            banded_starts=banded_starts)
+            banded_starts=banded_starts, kv_window=kv_window)
     else:
         new_cache, ctx = update_and_attend(
             q, k, v, cache, cache_index, mask, 1.0 / math.sqrt(hd),
@@ -329,8 +330,13 @@ def forward(params, input_ids: jnp.ndarray, cfg: LlamaConfig,
             positions: Optional[jnp.ndarray] = None,
             attention_mask: Optional[jnp.ndarray] = None,
             capture_stats: bool = False,
+            kv_window: Optional[int] = None,
             compute_dtype=jnp.float32) -> Tuple[jnp.ndarray, Any, Any]:
     """Run the decoder stack. input_ids: int32 [B, T].
+
+    kv_window: STATIC bound on live cache slots (a pow2 bucket >= every
+    row's fill+steps): decode attention then touches only [:, :kv_window]
+    of the cache — see common.carry_update_and_attend.
 
     kv_cache: None, or KVCacheLayer with leaves stacked [L, B, S_max, ...]
     plus int32 ``cache_index`` (current fill length; tokens are written at
@@ -352,21 +358,12 @@ def forward(params, input_ids: jnp.ndarray, cfg: LlamaConfig,
         if positions is None:
             positions = slots  # no padding: slot == rope position
     else:
-        if positions is None:
-            positions = jnp.broadcast_to(
-                jnp.arange(t, dtype=jnp.int32)[None, :], (b, t))
-        col = jnp.arange(t, dtype=jnp.int32)[None, None, None, :]
-        row = jnp.arange(t, dtype=jnp.int32)[None, None, :, None]
-        mask = col <= row
-        if cfg.sliding_window:
-            mask = mask & (col > row - cfg.sliding_window)
-        if attention_mask is not None:
-            mask = mask & attention_mask[:, None, None, :].astype(bool)
+        positions, mask, plain_causal = uncached_mask_and_positions(
+            b, t, positions, attention_mask, cfg.sliding_window)
 
     cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta)
 
-    plain_causal = (kv_cache is None and attention_mask is None
-                    and not cfg.sliding_window)
+    plain_causal = kv_cache is None and plain_causal
 
     def step(carry, layer_in):
         hh = carry
@@ -396,7 +393,7 @@ def forward(params, input_ids: jnp.ndarray, cfg: LlamaConfig,
                 hh, lp, cfg, quant_config, cos, sin, mask, (cache, l),
                 cache_index, capture_stats, compute_dtype, window=window,
                 chunk0=chunk0, banded=chunkN,
-                banded_starts=pad_starts)
+                banded_starts=pad_starts, kv_window=kv_window)
             return (hh, cache, l + 1), (st if capture_stats else None)
 
         (h, new_kv, _), stats = jax.lax.scan(

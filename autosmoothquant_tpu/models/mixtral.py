@@ -35,6 +35,7 @@ from .common import (
     cache_mask_and_routing,
     cache_slots,
     decode_window,
+    uncached_mask_and_positions,
     update_and_attend,
     make_kv_cache,
     LinearKind,
@@ -350,7 +351,7 @@ def _layer_forward(h, lp, cfg, qcfg, cos, sin, mask, cache, cache_index,
                    capture, all_experts, compute_dtype,
                    plain_causal: bool = False, window=None,
                    chunk0: bool = False, banded: bool = False,
-                   banded_starts=None):
+                   banded_starts=None, kv_window=None):
     b, t, d = h.shape
     hd = cfg.head_dim
     n_q, n_kv = cfg.num_attention_heads, cfg.num_key_value_heads
@@ -377,7 +378,7 @@ def _layer_forward(h, lp, cfg, qcfg, cos, sin, mask, cache, cache_index,
         new_cache, ctx = update_and_attend(
             q, k, v, None, cache_index, mask, 1.0 / math.sqrt(hd),
             compute_dtype, window=window, carry=cache, chunk0_causal=chunk0,
-            banded=banded, banded_starts=banded_starts)
+            banded=banded, banded_starts=banded_starts, kv_window=kv_window)
     else:
         new_cache, ctx = update_and_attend(
             q, k, v, cache, cache_index, mask, 1.0 / math.sqrt(hd),
@@ -409,6 +410,7 @@ def forward(params, input_ids: jnp.ndarray, cfg: MixtralConfig,
             attention_mask: Optional[jnp.ndarray] = None,
             capture_stats: bool = False,
             calibrate_all_experts: bool = False,
+            kv_window=None,
             compute_dtype=jnp.float32) -> Tuple[jnp.ndarray, Any, Any]:
     b, t = input_ids.shape
     h = params["embed"]["w"][input_ids].astype(compute_dtype)
@@ -421,18 +423,12 @@ def forward(params, input_ids: jnp.ndarray, cfg: MixtralConfig,
         if positions is None:
             positions = slots  # no padding: slot == rope position
     else:
-        if positions is None:
-            positions = jnp.broadcast_to(
-                jnp.arange(t, dtype=jnp.int32)[None, :], (b, t))
-        col = jnp.arange(t, dtype=jnp.int32)[None, None, None, :]
-        row = jnp.arange(t, dtype=jnp.int32)[None, None, :, None]
-        mask = col <= row
-        if attention_mask is not None:
-            mask = mask & attention_mask[:, None, None, :].astype(bool)
+        positions, mask, plain_causal = uncached_mask_and_positions(
+            b, t, positions, attention_mask)
 
     cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta)
 
-    plain_causal = kv_cache is None and attention_mask is None
+    plain_causal = kv_cache is None and plain_causal
 
     def step(carry, layer_in):
         lp, layer_cache = layer_in
@@ -455,7 +451,7 @@ def forward(params, input_ids: jnp.ndarray, cfg: MixtralConfig,
                 hh, lp, cfg, quant_config, cos, sin, mask, (cache, l),
                 cache_index, capture_stats, calibrate_all_experts,
                 compute_dtype, window=window, chunk0=chunk0, banded=chunkN,
-                banded_starts=pad_starts)
+                banded_starts=pad_starts, kv_window=kv_window)
             return (hh, cache, l + 1), (st if capture_stats else None)
 
         (h, new_kv, _), stats = jax.lax.scan(

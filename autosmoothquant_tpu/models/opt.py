@@ -38,6 +38,7 @@ from .common import (
     decode_window,
     fused_add_norm_quant,
     fused_block_enabled,
+    uncached_mask_and_positions,
     update_and_attend,
     make_kv_cache,
     LinearKind,
@@ -133,7 +134,7 @@ def _layer_forward(h, lp, cfg: OPTConfig, qcfg: Optional[QuantConfig],
                    mask, cache, cache_index, capture, compute_dtype,
                    plain_causal: bool = False, window=None,
                    chunk0: bool = False, banded: bool = False,
-                   banded_starts=None):
+                   banded_starts=None, kv_window=None):
     b, t, d = h.shape
     hd = cfg.head_dim
     n_h = cfg.num_attention_heads
@@ -168,7 +169,7 @@ def _layer_forward(h, lp, cfg: OPTConfig, qcfg: Optional[QuantConfig],
         new_cache, ctx = update_and_attend(
             q, k, v, None, cache_index, mask, 1.0 / math.sqrt(hd),
             compute_dtype, window=window, carry=cache, chunk0_causal=chunk0, banded=banded,
-            banded_starts=banded_starts)
+            banded_starts=banded_starts, kv_window=kv_window)
     else:
         new_cache, ctx = update_and_attend(
             q, k, v, cache, cache_index, mask, 1.0 / math.sqrt(hd),
@@ -242,6 +243,7 @@ def forward(params, input_ids: jnp.ndarray, cfg: OPTConfig,
             positions: Optional[jnp.ndarray] = None,
             attention_mask: Optional[jnp.ndarray] = None,
             capture_stats: bool = False,
+            kv_window=None,
             compute_dtype=jnp.float32) -> Tuple[jnp.ndarray, Any, Any]:
     """Mirrors Int8OPTDecoder.forward (= HF OPTDecoder.forward, ref opt.py)."""
     b, t = input_ids.shape
@@ -257,19 +259,13 @@ def forward(params, input_ids: jnp.ndarray, cfg: OPTConfig,
         if positions is None:
             positions = slots  # no padding: slot == learned-embedding index
     else:
-        if positions is None:
-            positions = jnp.broadcast_to(
-                jnp.arange(t, dtype=jnp.int32)[None, :], (b, t))
-        col = jnp.arange(t, dtype=jnp.int32)[None, None, None, :]
-        row = jnp.arange(t, dtype=jnp.int32)[None, None, :, None]
-        mask = col <= row
-        if attention_mask is not None:
-            mask = mask & attention_mask[:, None, None, :].astype(bool)
+        positions, mask, plain_causal = uncached_mask_and_positions(
+            b, t, positions, attention_mask)
 
     pos_emb = params["embed_pos"]["w"][positions + POS_OFFSET].astype(compute_dtype)
     h = h + pos_emb
 
-    plain_causal = kv_cache is None and attention_mask is None
+    plain_causal = kv_cache is None and plain_causal
 
     def step(carry, layer_in):
         lp, layer_cache = layer_in
@@ -291,7 +287,7 @@ def forward(params, input_ids: jnp.ndarray, cfg: OPTConfig,
             hh, cache, st = _layer_forward(
                 hh, lp, cfg, quant_config, mask, (cache, l), cache_index,
                 capture_stats, compute_dtype, window=window, chunk0=chunk0, banded=chunkN,
-                banded_starts=pad_starts)
+                banded_starts=pad_starts, kv_window=kv_window)
             return (hh, cache, l + 1), (st if capture_stats else None)
 
         (h, new_kv, _), stats = jax.lax.scan(

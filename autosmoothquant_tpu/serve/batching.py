@@ -256,8 +256,8 @@ class ContinuousEngine:
         return self._chunk_cache[chunk]
 
     def _decode(self, n: int, sampling: bool = False, penalize: bool = False,
-                want_lp: bool = False):
-        key_ = (n, sampling, penalize, want_lp)
+                want_lp: bool = False, kv_window: Optional[int] = None):
+        key_ = (n, sampling, penalize, want_lp, kv_window)
         if key_ not in self._decode_fns:
             model, cfg, qcfg, cdt = self.model, self.cfg, self.qcfg, self.compute_dtype
             out_sh = None
@@ -282,7 +282,7 @@ class ContinuousEngine:
                     h, pool, _ = model.forward(
                         params, toks[:, None], cfg, qcfg, kv_cache=pool,
                         cache_index=lens, positions=positions,
-                        compute_dtype=cdt)
+                        kv_window=kv_window, compute_dtype=cdt)
                     logits = model.logits(params, h)[:, 0]
                     raw = logits
                     if penalize:
@@ -711,11 +711,19 @@ class ContinuousEngine:
         sampling = bool((self.temps > 0.0)[active].any())
         penalize = bool((self.reppens != 1.0)[active].any())
         want_lp = any(r is not None and r.want_logprobs for r in self.slot_req)
+        # static context bucket (256-step): decode attention touches only
+        # the live slots — the full-length per-layer cache slice copy was
+        # the dominant long-context decode overhead (BENCHMARKS.md
+        # "Decode ablation"); compiles at most max_seq/256 extra variants
+        need = int(self.lens[active].max()) + n + 1
+        kv_window = min(-(-need // 256) * 256, self.max_seq)
+        if kv_window >= self.max_seq:
+            kv_window = None
         key = jax.random.fold_in(jax.random.PRNGKey(self.seed), self._event)
         self._event += 1
         seen = (jnp.asarray(self._seen_np) if penalize
                 else jnp.zeros((self.max_batch, 1), bool))
-        out = self._decode(n, sampling, penalize, want_lp)(
+        out = self._decode(n, sampling, penalize, want_lp, kv_window)(
             self.params, self.pool, jnp.asarray(self.pending_tok),
             jnp.asarray(lens_dec), jnp.asarray(active),
             jnp.asarray(self.temps), jnp.asarray(self.topks),

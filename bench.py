@@ -157,6 +157,14 @@ def decode_tps(L, cfg, qcfg, params, *, batch, prompt_len, s_max,
         tok = jnp.argmax(L.logits(params, h[:, -1:, :])[:, 0], -1).astype(jnp.int32)
         return tok, cache
 
+    # static context bucket: decode touches only the live slots (the
+    # full-length per-layer cache slice was the dominant long-context
+    # overhead — see common.carry_update_and_attend kv_window)
+    need = prompt_len + n_hi + 1
+    kv_window = min(-(-need // 256) * 256, s_max)  # 256-step buckets
+    if kv_window >= s_max:
+        kv_window = None
+
     # dynamic trip count -> ONE compile serves both slope points
     @jax.jit
     def decode_n(params, tok, cache, nsteps):
@@ -164,6 +172,7 @@ def decode_tps(L, cfg, qcfg, params, *, batch, prompt_len, s_max,
             tok, cache, slot = carry
             h, cache, _ = L.forward(params, tok[:, None], cfg, qcfg,
                                     kv_cache=cache, cache_index=slot,
+                                    kv_window=kv_window,
                                     compute_dtype=jnp.bfloat16)
             nxt = jnp.argmax(L.logits(params, h)[:, 0], -1).astype(jnp.int32)
             return (nxt, cache, slot + 1)
