@@ -46,6 +46,11 @@ def get_cfg(preset: str):
                              intermediate_size=11008, num_hidden_layers=32,
                              num_attention_heads=32, num_key_value_heads=32,
                              max_position_embeddings=2048)
+    if preset == "llama13b":  # llama-2-13b shape (the north-star model size)
+        return L.LlamaConfig(vocab_size=32000, hidden_size=5120,
+                             intermediate_size=13824, num_hidden_layers=40,
+                             num_attention_heads=40, num_key_value_heads=40,
+                             max_position_embeddings=2048)
     # tinyllama-1.1b shape (BASELINE config 1)
     return L.LlamaConfig(vocab_size=32000, hidden_size=2048,
                          intermediate_size=5632, num_hidden_layers=22,
@@ -98,10 +103,26 @@ def build_params(cfg, kind: str):
     KVD = cfg.num_key_value_heads * cfg.head_dim
     key = jax.random.PRNGKey(1)
 
+    import functools
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def _fill(arr, part, i):
+        return jax.lax.dynamic_update_index_in_dim(arr, part, i, 0)
+
     def qw(*shape):
         nonlocal key
         key, sub = jax.random.split(key)
-        return jax.random.randint(sub, shape, -127, 128, jnp.int8)
+        if int(np.prod(shape)) <= 2 ** 27:
+            return jax.random.randint(sub, shape, -127, 128, jnp.int8)
+        # 13B-scale stacks: randint materializes 4-byte random bits before
+        # the int8 cast (an 11 GB transient for the MLP stack) — generate
+        # layer-by-layer into a donated buffer instead
+        arr = jnp.zeros(shape, jnp.int8)
+        for i in range(shape[0]):
+            sub, one = jax.random.split(sub)
+            part = jax.random.randint(one, shape[1:], -127, 128, jnp.int8)
+            arr = _fill(arr, part, i)
+        return arr
 
     def scl(*shape):
         return jnp.full(shape, 1e-3, jnp.float32)
@@ -428,11 +449,44 @@ def main():
         gamma = int(os.environ.get("ASQ_BENCH_GAMMA", "4"))
         cfg = get_cfg(preset)
         qcfg = QuantConfig(type="int8")
-        params = build_params(cfg, "int8")
+        peaked = os.environ.get("ASQ_BENCH_SPEC_WEIGHTS") == "peaked"
+        import jax.numpy as jnp
+
+        if peaked:
+            # hand-shaped PEAKED logits (round-2 finding: random weights
+            # give near-flat logits, capping acceptance; real checkpoints
+            # are peaked). Zeroed layer weights pass the embedding through
+            # the residual stream; the lm_head maps cycle token i -> i+1,
+            # so greedy generation is perfectly periodic and prompt-lookup
+            # drafts are accepted at ~100% — the gamma+1 regime.
+            params = build_params(cfg, "int8")
+            import jax
+
+            C = 16
+            emb = params["embed"]["w"]
+            nxt = jnp.asarray([(i % C) + 1 for i in range(1, C + 1)])
+            cyc = jnp.arange(1, C + 1)
+            head = jnp.zeros_like(params["lm_head"]["w"])
+            head = head.at[:, nxt].set(50.0 * emb[cyc].T.astype(head.dtype))
+            params["lm_head"]["w"] = head
+
+            def zero_proj(p):
+                return {k: (jnp.zeros_like(v) if k == "w" else v)
+                        for k, v in p.items()}
+
+            lay = params["layers"]
+            params["layers"] = {
+                **lay,
+                "attn": {k: zero_proj(v) for k, v in lay["attn"].items()},
+                "mlp": {k: zero_proj(v) for k, v in lay["mlp"].items()},
+            }
+            prompt = [list(range(1, C + 1)) * 8]
+        else:
+            params = build_params(cfg, "int8")
+            prompt = [list(np.random.default_rng(0).integers(
+                1, cfg.vocab_size, size=16)) * 8]
         eng = Engine(L, params, cfg, qcfg, max_batch=1,
                      max_seq=max_new + 128 + gamma + 8)
-        prompt = [list(np.random.default_rng(0).integers(
-            1, cfg.vocab_size, size=16)) * 8]
         prompt = [p[:128] for p in prompt]
         plain_cfg = GenerationConfig(max_new_tokens=max_new)
         spec_cfg = GenerationConfig(max_new_tokens=max_new,
@@ -458,7 +512,8 @@ def main():
         prefix = next((i for i, (a, b) in enumerate(zip(o1, o2)) if a != b),
                       len(o1))
         print(json.dumps({
-            "metric": f"speculative_speedup_{preset}_g{gamma}",
+            "metric": (f"speculative_speedup_{preset}_g{gamma}"
+                       + ("_peaked" if peaked else "")),
             "value": round(max_new / t_spec, 2), "unit": "tok/s",
             "vs_baseline": round(t_plain / t_spec, 4),
             "greedy_tok_per_s": round(max_new / t_plain, 2),
@@ -582,6 +637,16 @@ def main():
     qparams = build_params(cfg, "int8")
     tps_int8 = decode_tps(L, cfg, qcfg, qparams, batch=batch,
                           prompt_len=prompt_len, s_max=s_max)
+    if os.environ.get("ASQ_BENCH_ONLY") == "int8":
+        # 13B-shape runs: the bf16 twin (26 GB) cannot fit one chip, so
+        # report int8 alone; vs_baseline carries the int8/bf16 WEIGHT-byte
+        # ratio bound instead of a measured twin
+        print(json.dumps({
+            "metric": f"decode_tok_per_s_w8a8_int8_{preset}_b{batch}",
+            "value": round(tps_int8, 2), "unit": "tok/s",
+            "vs_baseline": 0.0, "note": "int8-only (bf16 twin exceeds HBM)",
+        }))
+        return
     del qparams  # free HBM before materializing the bf16 baseline
     params = build_params(cfg, "bf16")
     # baseline is pure bf16 (weights AND cache) whatever ASQ_BENCH_KV says
