@@ -361,7 +361,8 @@ def _paged_write(pages, val, l, table, positions):
     return pages.at[l, pid, off].set(val.astype(pages.dtype))
 
 
-def paged_attend(q, k_pages, v_pages, table, pos_q, scale, compute_dtype):
+def paged_attend(q, k_pages, v_pages, table, pos_q, scale, compute_dtype,
+                 m_used=None):
     """Online-softmax attention over block-paged KV — pure lax (scan over
     virtual blocks), so it runs INSIDE the decode layer-scan without the
     nested-pallas execution hazard this runtime has (ROADMAP "Environment
@@ -375,7 +376,7 @@ def paged_attend(q, k_pages, v_pages, table, pos_q, scale, compute_dtype):
     contiguous path), so self-attention needs no separate in-chunk pass."""
     b, t, hq, d = q.shape
     n, bs, hkv, _ = k_pages.shape
-    m = table.shape[1]
+    m = table.shape[1] if m_used is None else min(m_used, table.shape[1])
     g = hq // hkv
     qf = (q.astype(jnp.float32) * scale).reshape(b, t, hkv, g, d)
     neg = jnp.float32(-1e30)
@@ -408,7 +409,7 @@ def paged_attend(q, k_pages, v_pages, table, pos_q, scale, compute_dtype):
 
 
 def paged_update_and_attend(q, k, v, carry, cache_index, scale,
-                            compute_dtype):
+                            compute_dtype, kv_window=None):
     """Carry-mode write+attend against a PagedKVPool (decode steps and
     suffix-chunk prefill). No ALiBi/sliding-window support yet — the paged
     engine serves the llama family (see serve/paged.py)."""
@@ -421,7 +422,12 @@ def paged_update_and_attend(q, k, v, carry, cache_index, scale,
         table=cache_full.table)
     kl = _layer_slice(new_cache.k, l)
     vl = _layer_slice(new_cache.v, l)
-    ctx = paged_attend(q, kl, vl, new_cache.table, pos, scale, compute_dtype)
+    # kv_window bounds the block scan to the live virtual blocks (the
+    # paged analog of the contiguous static context bucket)
+    bs = cache_full.k.shape[2]
+    m_used = (-(-kv_window // bs)) if kv_window is not None else None
+    ctx = paged_attend(q, kl, vl, new_cache.table, pos, scale, compute_dtype,
+                       m_used=m_used)
     return new_cache, ctx
 
 
@@ -784,7 +790,7 @@ def update_and_attend(q, k, v, cache, cache_index, mask, scale, compute_dtype,
     if isinstance(full_cache, PagedKVPool):
         assert carry is not None and alibi_bias is None and window is None
         return paged_update_and_attend(q, k, v, carry, cache_index, scale,
-                                       compute_dtype)
+                                       compute_dtype, kv_window=kv_window)
     if chunk0_causal and t > 1 and alibi_bias is None and full_cache is not None:
         if carry is not None:
             cache_full, l = carry

@@ -40,6 +40,15 @@ def parse_args():
                    help="engine-level prompt-lookup speculative decoding "
                         "draft length (greedy requests only; 0 = off)")
     p.add_argument("--speculative-ngram", type=int, default=3)
+    p.add_argument("--paged", action="store_true",
+                   help="block-paged KV engine: pooled cache capacity + "
+                        "copy-free prefix sharing (llama-family, "
+                        "single-device, bf16 KV)")
+    p.add_argument("--block-size", type=int, default=64,
+                   help="paged engine page size (tokens)")
+    p.add_argument("--num-pages", type=int, default=0,
+                   help="paged engine total pages (0 = contiguous-equivalent"
+                        " capacity); smaller pools oversubscribe slots")
     return p.parse_args()
 
 
@@ -66,12 +75,14 @@ def build(args):
     mesh = None
     n_dev = len(jax.devices())
     tp = args.tp if args.tp else (n_dev if n_dev > 1 else 1)
+    if getattr(args, "paged", False):
+        assert args.tp in (0, 1), "--paged is single-device for now"
+        tp = 1  # paged engine: no mesh even on multi-device hosts
     if tp > 1:
         from autosmoothquant_tpu.shard import make_mesh
 
         mesh = make_mesh(data=1, model=tp, devices=jax.devices()[:tp])
-    eng = ContinuousEngine(
-        model_mod, params, cfg, qcfg,
+    kw = dict(
         max_batch=args.max_batch, max_seq=args.max_seq,
         kv_dtype=jnp.int8 if args.kv_dtype == "int8" else jnp.bfloat16,
         steps_per_sync=args.steps_per_sync,
@@ -79,6 +90,15 @@ def build(args):
         mesh=mesh, seed=args.seed,
         speculative_gamma=args.speculative_gamma,
         speculative_ngram=args.speculative_ngram)
+    if getattr(args, "paged", False):
+        from autosmoothquant_tpu.serve.paged import PagedEngine
+
+        assert mesh is None, "--paged is single-device for now"
+        kw.update(kv_dtype=jnp.bfloat16, block_size=args.block_size,
+                  num_pages=args.num_pages or None)
+        eng = PagedEngine(model_mod, params, cfg, qcfg, **kw)
+    else:
+        eng = ContinuousEngine(model_mod, params, cfg, qcfg, **kw)
     api, httpd = serve(eng, host=args.host, port=args.port,
                        tokenizer=tokenizer)
     return api, httpd, family

@@ -185,3 +185,45 @@ def test_eval_cli_native_tasks(hf_dir, quantized_dir, capsys):
         sys.argv = old
     out = capsys.readouterr().out
     assert "task_mc" in out and "acc" in out
+
+
+def test_serve_cli_paged(hf_dir, quantized_dir):
+    """--paged builds a PagedEngine behind the same HTTP surface; a prefix
+    registration + generate round-trips (copy-free page sharing live)."""
+    import threading
+    import urllib.request
+
+    from autosmoothquant_tpu.serve.paged import PagedEngine
+
+    cli = _load_cli("serve_model")
+    argv = ["serve_model.py",
+            "--quantized-model-path", str(quantized_dir),
+            "--tokenizer-path", str(hf_dir),
+            "--port", "0", "--max-batch", "2", "--max-seq", "64",
+            "--prefill-chunk", "0", "--paged", "--block-size", "16"]
+    old = sys.argv
+    sys.argv = argv
+    try:
+        api, httpd, family = cli.build(cli.parse_args())
+    finally:
+        sys.argv = old
+    assert isinstance(api.engine, PagedEngine)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        def post(path, payload):
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}{path}",
+                data=json.dumps(payload).encode(),
+                headers={"Content-Type": "application/json"})
+            with urllib.request.urlopen(req, timeout=120) as r:
+                return json.loads(r.read())
+
+        assert post("/prefix", {"id": "sys", "text": "7 12 9 4"})["ok"]
+        out = post("/generate", {"prompt": "7 12 9 4 2", "prefix": "sys",
+                                 "max_new_tokens": 4})
+        assert len(out["tokens"]) == 4
+    finally:
+        httpd.shutdown()
+        api.stop()
