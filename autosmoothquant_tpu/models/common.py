@@ -352,9 +352,31 @@ class PagedKVPool(NamedTuple):
     table: jnp.ndarray
 
 
+class QuantPagedKVPool(NamedTuple):
+    """INT8 block-paged KV store: PagedKVPool with per-token-per-head
+    absmax scales riding in scale pages — paging's pooled capacity TIMES
+    the int8 cache's 2x bytes-per-token win (the reference's vestigial
+    int8-BMM promise, SURVEY.md #18/#35, realized at serving scale).
+
+    k, v:               int8 [L, N_pages, block_size, H_kv, Dh]
+    k_scale, v_scale:   f32  [L, N_pages, block_size, H_kv]
+    table:              int32 [B, M]
+    """
+
+    k: jnp.ndarray
+    v: jnp.ndarray
+    k_scale: jnp.ndarray
+    v_scale: jnp.ndarray
+    table: jnp.ndarray
+
+
+PAGED_POOL_TYPES = (PagedKVPool, QuantPagedKVPool)
+
+
 def _paged_write(pages, val, l, table, positions):
-    """Scatter val [B, T, H, D] into pages [L, N, bs, H, D] at layer l;
-    positions [B, T] are absolute token positions routed through table."""
+    """Scatter val [B, T, H, D] (or scales [B, T, H]) into pages
+    [L, N, bs, H(, D)] at layer l; positions [B, T] are absolute token
+    positions routed through table."""
     bs = pages.shape[2]
     pid = jnp.take_along_axis(table, positions // bs, axis=1)   # [B, T]
     off = positions % bs
@@ -362,7 +384,7 @@ def _paged_write(pages, val, l, table, positions):
 
 
 def paged_attend(q, k_pages, v_pages, table, pos_q, scale, compute_dtype,
-                 m_used=None):
+                 m_used=None, ks_pages=None, vs_pages=None):
     """Online-softmax attention over block-paged KV — pure lax (scan over
     virtual blocks), so it runs INSIDE the decode layer-scan without the
     nested-pallas execution hazard this runtime has (ROADMAP "Environment
@@ -373,7 +395,10 @@ def paged_attend(q, k_pages, v_pages, table, pos_q, scale, compute_dtype,
     slice); table: [B, M]; pos_q: [B, T] absolute positions of the queries
     (causal mask: key position <= query position). The caller writes the
     new tokens' K/V into the pages FIRST (write-then-attend, same as the
-    contiguous path), so self-attention needs no separate in-chunk pass."""
+    contiguous path), so self-attention needs no separate in-chunk pass.
+    ks_pages/vs_pages: optional int8-cache dequant scale pages
+    [N, bs, Hkv] — factored out of the matmuls exactly like the
+    contiguous raw-int8 attend (scores *= ks, probs *= vs)."""
     b, t, hq, d = q.shape
     n, bs, hkv, _ = k_pages.shape
     m = table.shape[1] if m_used is None else min(m_used, table.shape[1])
@@ -387,6 +412,9 @@ def paged_attend(q, k_pages, v_pages, table, pos_q, scale, compute_dtype,
         kb = k_pages[pid].astype(jnp.float32)    # [B, bs, Hkv, D]
         vb = v_pages[pid].astype(jnp.float32)
         sc = jnp.einsum("bthgd,bshd->bthgs", qf, kb)   # [B,T,Hkv,G,bs]
+        if ks_pages is not None:
+            ks = ks_pages[pid]                   # [B, bs, Hkv]
+            sc = sc * jnp.transpose(ks, (0, 2, 1))[:, None, :, None, :]
         posk = j * bs + jnp.arange(bs, dtype=jnp.int32)
         valid = posk[None, None, :] <= pos_q[:, :, None]        # [B,T,bs]
         sc = jnp.where(valid[:, :, None, None, :], sc, neg)
@@ -395,6 +423,9 @@ def paged_attend(q, k_pages, v_pages, table, pos_q, scale, compute_dtype,
         corr = jnp.exp(mx - nmx)
         p = jnp.exp(sc - nmx[..., None])                        # [B,T,Hkv,G,bs]
         s = s * corr + jnp.sum(p, axis=-1)
+        if vs_pages is not None:
+            vs = vs_pages[pid]
+            p = p * jnp.transpose(vs, (0, 2, 1))[:, None, :, None, :]
         acc = acc * corr[..., None] + jnp.einsum(
             "bthgs,bshd->bthgd", p, vb)
         return (nmx, s, acc), None
@@ -416,10 +447,26 @@ def paged_update_and_attend(q, k, v, carry, cache_index, scale,
     cache_full, l = carry
     b, t = q.shape[:2]
     pos = cache_slots(cache_index, b, t)
-    new_cache = PagedKVPool(
-        k=_paged_write(cache_full.k, k, l, cache_full.table, pos),
-        v=_paged_write(cache_full.v, v, l, cache_full.table, pos),
-        table=cache_full.table)
+    quant = isinstance(cache_full, QuantPagedKVPool)
+    if quant:
+        kq, ks_new = _quantize_kv(k)
+        vq, vs_new = _quantize_kv(v)
+        new_cache = QuantPagedKVPool(
+            k=_paged_write(cache_full.k, kq, l, cache_full.table, pos),
+            v=_paged_write(cache_full.v, vq, l, cache_full.table, pos),
+            k_scale=_paged_write(cache_full.k_scale, ks_new, l,
+                                 cache_full.table, pos),
+            v_scale=_paged_write(cache_full.v_scale, vs_new, l,
+                                 cache_full.table, pos),
+            table=cache_full.table)
+        ks_l = _layer_slice(new_cache.k_scale, l)
+        vs_l = _layer_slice(new_cache.v_scale, l)
+    else:
+        new_cache = PagedKVPool(
+            k=_paged_write(cache_full.k, k, l, cache_full.table, pos),
+            v=_paged_write(cache_full.v, v, l, cache_full.table, pos),
+            table=cache_full.table)
+        ks_l = vs_l = None
     kl = _layer_slice(new_cache.k, l)
     vl = _layer_slice(new_cache.v, l)
     # kv_window bounds the block scan to the live virtual blocks (the
@@ -427,7 +474,7 @@ def paged_update_and_attend(q, k, v, carry, cache_index, scale,
     bs = cache_full.k.shape[2]
     m_used = (-(-kv_window // bs)) if kv_window is not None else None
     ctx = paged_attend(q, kl, vl, new_cache.table, pos, scale, compute_dtype,
-                       m_used=m_used)
+                       m_used=m_used, ks_pages=ks_l, vs_pages=vs_l)
     return new_cache, ctx
 
 
@@ -528,7 +575,7 @@ def cache_mask_and_routing(kv_cache, cache_index, b: int, t: int,
     index, no kv_valid) — the banded flash path (pad_starts rides along as
     the kernel's per-row start)."""
     assert cache_index is not None
-    if isinstance(kv_cache, PagedKVPool):
+    if isinstance(kv_cache, PAGED_POOL_TYPES):
         # paged pool: masking happens inside paged_attend (key position <=
         # query position via the block table); no [B, S_max] mask exists
         assert kv_valid is None and pad_starts is None and not sliding_window, \
@@ -787,7 +834,7 @@ def update_and_attend(q, k, v, cache, cache_index, mask, scale, compute_dtype,
     eager path materializes f32 [T, S_max] scores per layer)."""
     b, t = q.shape[:2]
     full_cache = carry[0] if carry is not None else cache
-    if isinstance(full_cache, PagedKVPool):
+    if isinstance(full_cache, PAGED_POOL_TYPES):
         assert carry is not None and alibi_bias is None and window is None
         return paged_update_and_attend(q, k, v, carry, cache_index, scale,
                                        compute_dtype, kv_window=kv_window)

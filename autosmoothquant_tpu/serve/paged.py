@@ -17,7 +17,8 @@ Beyond-reference scope: the reference has no serving tier (SURVEY.md
 (VERDICT round 2, item 4).
 
 Current limits (asserted): llama-family models (no ALiBi / sliding
-window), float/bf16 KV (no int8 pages yet), single-device (no mesh).
+window), single-device (no mesh). KV pages may be bf16/f32 OR int8
+(QuantPagedKVPool: value+scale pages, 2x capacity per HBM byte).
 """
 
 from __future__ import annotations
@@ -29,7 +30,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..models.common import PagedKVPool
+from ..models.common import PagedKVPool, QuantPagedKVPool
 from .batching import ContinuousEngine, PrefixCacheFull, Request, _bucket
 
 
@@ -51,7 +52,6 @@ class PagedEngine(ContinuousEngine):
         self._scatter_cache: Dict[Any, Any] = {}
         super().__init__(model_mod, params, cfg, qcfg, mesh=None,
                          speculative_gamma=speculative_gamma, **kw)
-        assert self.kv_dtype != jnp.int8, "int8 KV pages not supported yet"
 
     # -- pool + page allocator ----------------------------------------------
 
@@ -74,6 +74,14 @@ class PagedEngine(ContinuousEngine):
                                             range(self.max_batch)]
         self._table_np = np.zeros((self.max_batch, self.blocks_per_slot),
                                   np.int32)
+        if self.kv_dtype == jnp.int8:
+            # int8 pages + per-token-per-head scale pages: paging's pooled
+            # capacity x the int8 cache's 2x bytes-per-token
+            return QuantPagedKVPool(
+                k=jnp.zeros(shape, jnp.int8), v=jnp.zeros(shape, jnp.int8),
+                k_scale=jnp.ones(shape[:-1], jnp.float32),
+                v_scale=jnp.ones(shape[:-1], jnp.float32),
+                table=jnp.asarray(self._table_np))
         return PagedKVPool(k=jnp.zeros(shape, self.kv_dtype),
                            v=jnp.zeros(shape, self.kv_dtype),
                            table=jnp.asarray(self._table_np))
@@ -135,14 +143,21 @@ class PagedEngine(ContinuousEngine):
                 span = n_pages * bs
 
                 def put(pages, t):
-                    t = t[:, 0]                       # [L, bucket, H, D]
+                    t = t[:, 0]                  # [L, bucket, H(, D)]
                     if span > t.shape[1]:
                         pad = span - t.shape[1]
-                        t = jnp.pad(t, ((0, 0), (0, pad), (0, 0), (0, 0)))
+                        t = jnp.pad(t, ((0, 0), (0, pad))
+                                    + ((0, 0),) * (t.ndim - 2))
                     t = t[:, :span].reshape(t.shape[0], n_pages, bs,
                                             *t.shape[2:])
                     return pages.at[:, page_ids].set(t.astype(pages.dtype))
 
+                if isinstance(pool, QuantPagedKVPool):
+                    return QuantPagedKVPool(
+                        k=put(pool.k, temp.k), v=put(pool.v, temp.v),
+                        k_scale=put(pool.k_scale, temp.k_scale),
+                        v_scale=put(pool.v_scale, temp.v_scale),
+                        table=pool.table)
                 return PagedKVPool(k=put(pool.k, temp.k),
                                    v=put(pool.v, temp.v), table=pool.table)
 
@@ -153,10 +168,10 @@ class PagedEngine(ContinuousEngine):
         if "copy" not in self._scatter_cache:
             @functools.partial(jax.jit, donate_argnums=(0,))
             def copy(pool, src, dst):
-                return PagedKVPool(
-                    k=pool.k.at[:, dst].set(pool.k[:, src]),
-                    v=pool.v.at[:, dst].set(pool.v[:, src]),
-                    table=pool.table)
+                return pool._replace(**{
+                    f: getattr(pool, f).at[:, dst].set(
+                        getattr(pool, f)[:, src])
+                    for f in pool._fields if f != "table"})
 
             self._scatter_cache["copy"] = copy
         return self._scatter_cache["copy"]
@@ -174,12 +189,12 @@ class PagedEngine(ContinuousEngine):
             @functools.partial(jax.jit, donate_argnums=(1,))
             def prefill_chunk(params, pool, ids, row, pos, valid_len):
                 trow = jax.lax.dynamic_slice(pool.table, (row, 0), (1, M))
-                view = PagedKVPool(pool.k, pool.v, trow)
+                view = pool._replace(table=trow)
                 h, view, _ = model.forward(params, ids, cfg, qcfg,
                                            kv_cache=view, cache_index=pos,
                                            compute_dtype=cdt)
                 logits = model.logits(params, h)[0, valid_len - 1]
-                return (PagedKVPool(view.k, view.v, pool.table), logits)
+                return (view._replace(table=pool.table), logits)
 
             self._chunk_cache[chunk] = prefill_chunk
         return self._chunk_cache[chunk]

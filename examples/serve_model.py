@@ -43,7 +43,7 @@ def parse_args():
     p.add_argument("--paged", action="store_true",
                    help="block-paged KV engine: pooled cache capacity + "
                         "copy-free prefix sharing (llama-family, "
-                        "single-device, bf16 KV)")
+                        "single-device; bf16 or int8 KV pages)")
     p.add_argument("--block-size", type=int, default=64,
                    help="paged engine page size (tokens)")
     p.add_argument("--num-pages", type=int, default=0,
@@ -94,7 +94,7 @@ def build(args):
         from autosmoothquant_tpu.serve.paged import PagedEngine
 
         assert mesh is None, "--paged is single-device for now"
-        kw.update(kv_dtype=jnp.bfloat16, block_size=args.block_size,
+        kw.update(block_size=args.block_size,
                   num_pages=args.num_pages or None)
         eng = PagedEngine(model_mod, params, cfg, qcfg, **kw)
     else:

@@ -27,7 +27,8 @@ def setup():
 def _contiguous(cfg, params, **kw):
     kw.setdefault("max_batch", 4)
     kw.setdefault("max_seq", 128)
-    return ContinuousEngine(L, params, cfg, kv_dtype=jnp.float32,
+    kw.setdefault("kv_dtype", jnp.float32)
+    return ContinuousEngine(L, params, cfg,
                             compute_dtype=jnp.float32, **kw)
 
 
@@ -35,7 +36,8 @@ def _paged(cfg, params, **kw):
     kw.setdefault("max_batch", 4)
     kw.setdefault("max_seq", 128)
     kw.setdefault("block_size", 16)
-    return PagedEngine(L, params, cfg, kv_dtype=jnp.float32,
+    kw.setdefault("kv_dtype", jnp.float32)
+    return PagedEngine(L, params, cfg,
                        compute_dtype=jnp.float32, **kw)
 
 
@@ -198,3 +200,34 @@ def test_register_prefix_guards(setup):
         pe.register_prefix("big", list(range(1, 300)))
     with pytest.raises(PrefixCacheFull, match="free pages"):
         pe.register_prefix("wide", list(range(1, 60)))  # needs 4 pages
+
+
+def test_int8_kv_pages_match_contiguous_int8_kv(setup):
+    """int8 KV pages (QuantPagedKVPool): token equality with the contiguous
+    engine running its int8 KV cache — paging's pooled capacity stacks on
+    the int8 cache's 2x bytes-per-token."""
+    from autosmoothquant_tpu.models.common import QuantPagedKVPool
+
+    cfg, params = setup
+    specs = [(u, list(p), n, dict(k)) for u, p, n, k in SPECS[:4]]
+    want = _submit_all(_contiguous(cfg, params, kv_dtype=jnp.int8), specs)
+    pe = _paged(cfg, params, kv_dtype=jnp.int8)
+    assert isinstance(pe.pool, QuantPagedKVPool)
+    got = _submit_all(pe, [(u, list(p), n, dict(k))
+                           for u, p, n, k in SPECS[:4]])
+    assert got == want
+    assert pe.free_pages == pe.num_pages - 1
+
+
+def test_int8_kv_pages_prefix_sharing(setup):
+    """Prefix page sharing with int8 pages: scale pages share alongside
+    value pages; tokens equal the full-prefill int8-paged run."""
+    cfg, params = setup
+    pe = _paged(cfg, params, kv_dtype=jnp.int8)
+    prefix = list(range(1, 33))
+    pe.register_prefix("sys", prefix)
+    got = _submit_all(pe, [("x", prefix + [9, 8, 7], 6,
+                            dict(prefix="sys"))])
+    want = _submit_all(_paged(cfg, params, kv_dtype=jnp.int8),
+                       [("y", prefix + [9, 8, 7], 6, {})])
+    assert got["x"] == want["y"]
