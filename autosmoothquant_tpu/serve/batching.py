@@ -124,22 +124,15 @@ class ContinuousEngine:
             self.params = params
 
         self.pool = self._make_pool()
+        self._pool_shardings = None
         if mesh is not None:
-            from ..shard.sharding import kv_cache_spec_tree, shard_kv_cache
-
-            self.pool = shard_kv_cache(self.pool, mesh, cfg, shard_batch=False)
-            # NamedSharding tree for sharding-constraining the jit-internal
-            # prefill cache (same head sharding as the pool)
-            spec_tree = kv_cache_spec_tree(self.pool, cfg, mesh, shard_batch=False)
-            self._kv_shardings = jax.tree.map(
-                lambda s: jax.sharding.NamedSharding(mesh, s), spec_tree,
-                is_leaf=lambda x: isinstance(x, jax.sharding.PartitionSpec))
             # explicit jit out_shardings: under an ambient mesh (mesh_context)
             # jax tries to express every inferred output sharding in mesh
             # axes, which fails when GSPMD picks a tiling the mesh can't
             # express (e.g. splitting one axis across two tensor dims)
             self._repl = jax.sharding.NamedSharding(
                 mesh, jax.sharding.PartitionSpec())
+            self._shard_pool_for_mesh(mesh)
         self.lens = np.zeros(max_batch, np.int32)        # tokens in cache per slot
         self.slot_req: List[Optional[Request]] = [None] * max_batch
         self.pending_tok = np.zeros(max_batch, np.int32)  # next token to feed
@@ -178,6 +171,22 @@ class ContinuousEngine:
         return self.model.init_kv_cache(self.cfg, self.max_batch,
                                         self.max_seq, self.kv_dtype)
 
+    def _shard_pool_for_mesh(self, mesh):
+        """device_put the pool with head-sharded specs and record the
+        NamedSharding trees: _kv_shardings constrains jit-internal TEMP
+        contiguous caches (prefill), _pool_shardings the slot pool itself
+        (identical here; PagedEngine overrides with block-paged specs)."""
+        from ..shard.sharding import kv_cache_spec_tree, shard_kv_cache
+
+        self.pool = shard_kv_cache(self.pool, mesh, self.cfg,
+                                   shard_batch=False)
+        spec_tree = kv_cache_spec_tree(self.pool, self.cfg, mesh,
+                                       shard_batch=False)
+        self._kv_shardings = jax.tree.map(
+            lambda sp: jax.sharding.NamedSharding(mesh, sp), spec_tree,
+            is_leaf=lambda x: isinstance(x, jax.sharding.PartitionSpec))
+        self._pool_shardings = self._kv_shardings
+
     # -- jitted pieces ------------------------------------------------------
 
     def _prefill(self, bucket: int):
@@ -209,7 +218,7 @@ class ContinuousEngine:
     def _insert(self, bucket: int):
         if bucket not in self._insert_cache:
             @functools.partial(jax.jit, donate_argnums=(0,), static_argnums=(),
-                               out_shardings=self._kv_shardings)
+                               out_shardings=self._pool_shardings)
             def insert(pool, temp, row):
                 def put(p, t):
                     # p: [L, B, S, ...]; t: [L, 1, bucket, ...]
@@ -227,8 +236,8 @@ class ContinuousEngine:
         jit, donated pool, a single compile variant per chunk size."""
         if chunk not in self._chunk_cache:
             model, cfg, qcfg, cdt = self.model, self.cfg, self.qcfg, self.compute_dtype
-            out_sh = ((self._kv_shardings, self._repl)
-                      if self._kv_shardings is not None else None)
+            out_sh = ((self._pool_shardings, self._repl)
+                      if self._pool_shardings is not None else None)
 
             @functools.partial(jax.jit, donate_argnums=(1,), out_shardings=out_sh)
             def prefill_chunk(params, pool, ids, row, pos, valid_len):
@@ -261,8 +270,8 @@ class ContinuousEngine:
         if key_ not in self._decode_fns:
             model, cfg, qcfg, cdt = self.model, self.cfg, self.qcfg, self.compute_dtype
             out_sh = None
-            if self._kv_shardings is not None:
-                out_sh = ((self._repl, self._kv_shardings, self._repl)
+            if self._pool_shardings is not None:
+                out_sh = ((self._repl, self._pool_shardings, self._repl)
                           + ((self._repl,) if penalize else ())
                           + ((self._repl,) if want_lp else ()))
 
@@ -601,8 +610,8 @@ class ContinuousEngine:
         if "verify" not in self._decode_fns:
             model, cfg, qcfg, cdt = (self.model, self.cfg, self.qcfg,
                                      self.compute_dtype)
-            out_sh = ((self._repl, self._kv_shardings)
-                      if self._kv_shardings is not None else None)
+            out_sh = ((self._repl, self._pool_shardings)
+                      if self._pool_shardings is not None else None)
 
             @functools.partial(jax.jit, donate_argnums=(1,), out_shardings=out_sh)
             def verify(params, pool, inputs, lens):

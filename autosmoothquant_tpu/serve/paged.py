@@ -17,7 +17,7 @@ Beyond-reference scope: the reference has no serving tier (SURVEY.md
 (VERDICT round 2, item 4).
 
 Current limits (asserted): llama-family models (no ALiBi / sliding
-window), single-device (no mesh). KV pages may be bf16/f32 OR int8
+window). KV pages may be bf16/f32 OR int8
 (QuantPagedKVPool: value+scale pages, 2x capacity per HBM byte).
 """
 
@@ -46,11 +46,10 @@ class PagedEngine(ContinuousEngine):
     def __init__(self, model_mod, params, cfg, qcfg=None, *,
                  block_size: int = 32, num_pages: Optional[int] = None,
                  mesh=None, speculative_gamma: int = 0, **kw):
-        assert mesh is None, "PagedEngine is single-device for now"
         self.block_size = block_size
         self.num_pages = num_pages
         self._scatter_cache: Dict[Any, Any] = {}
-        super().__init__(model_mod, params, cfg, qcfg, mesh=None,
+        super().__init__(model_mod, params, cfg, qcfg, mesh=mesh,
                          speculative_gamma=speculative_gamma, **kw)
 
     # -- pool + page allocator ----------------------------------------------
@@ -86,6 +85,39 @@ class PagedEngine(ContinuousEngine):
                            v=jnp.zeros(shape, self.kv_dtype),
                            table=jnp.asarray(self._table_np))
 
+    def _shard_pool_for_mesh(self, mesh):
+        """TP sharding for the paged pool: pages shard over KV heads on the
+        model axis (same head split as the contiguous pool); the block
+        table is replicated. Temp contiguous prefill caches keep the
+        contiguous head shardings (_kv_shardings)."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..shard.sharding import kv_cache_spec_tree
+
+        m = mesh.shape.get("model", 1)
+        n_kv = getattr(self.cfg, "num_key_value_heads", None) or \
+            self.cfg.num_attention_heads
+        head = "model" if m > 1 and n_kv % m == 0 else None
+        kv_spec = P(None, None, None, head, None)
+        sc_spec = P(None, None, None, head)
+        spec_tree = self.pool._replace(
+            **{f: (kv_spec if f in ("k", "v")
+                   else sc_spec if f.endswith("_scale") else P())
+               for f in self.pool._fields})
+        self._pool_shardings = jax.tree.map(
+            lambda sp: NamedSharding(mesh, sp), spec_tree,
+            is_leaf=lambda x: isinstance(x, P))
+        self.pool = jax.tree.map(jax.device_put, self.pool,
+                                 self._pool_shardings)
+        # temp contiguous cache shardings for the shared _prefill jit
+        temp_struct = self.model.init_kv_cache(self.cfg, 1, self.block_size,
+                                               self.kv_dtype)
+        tree = kv_cache_spec_tree(temp_struct, self.cfg, mesh,
+                                  shard_batch=False)
+        self._kv_shardings = jax.tree.map(
+            lambda sp: NamedSharding(mesh, sp), tree,
+            is_leaf=lambda x: isinstance(x, P))
+
     @property
     def free_pages(self) -> int:
         return len(self._free)
@@ -110,7 +142,11 @@ class PagedEngine(ContinuousEngine):
                 self._free.append(p)
 
     def _push_table(self) -> None:
-        self.pool = self.pool._replace(table=jnp.asarray(self._table_np))
+        t = jnp.asarray(self._table_np)
+        if self.mesh is not None:
+            t = jax.device_put(t, jax.sharding.NamedSharding(
+                self.mesh, jax.sharding.PartitionSpec()))
+        self.pool = self.pool._replace(table=t)
 
     def _set_row(self, row: int, pages: List[int]) -> None:
         self._row_pages[row] = list(pages)
@@ -138,7 +174,8 @@ class PagedEngine(ContinuousEngine):
         if key not in self._scatter_cache:
             bs = self.block_size
 
-            @functools.partial(jax.jit, donate_argnums=(0,))
+            @functools.partial(jax.jit, donate_argnums=(0,),
+                               out_shardings=self._pool_shardings)
             def scatter(pool, temp, page_ids):
                 span = n_pages * bs
 
@@ -166,7 +203,8 @@ class PagedEngine(ContinuousEngine):
 
     def _copy_page(self):
         if "copy" not in self._scatter_cache:
-            @functools.partial(jax.jit, donate_argnums=(0,))
+            @functools.partial(jax.jit, donate_argnums=(0,),
+                               out_shardings=self._pool_shardings)
             def copy(pool, src, dst):
                 return pool._replace(**{
                     f: getattr(pool, f).at[:, dst].set(
@@ -185,8 +223,11 @@ class PagedEngine(ContinuousEngine):
             model, cfg, qcfg, cdt = (self.model, self.cfg, self.qcfg,
                                      self.compute_dtype)
             M = self.blocks_per_slot
+            out_sh = ((self._pool_shardings, self._repl)
+                      if self._pool_shardings is not None else None)
 
-            @functools.partial(jax.jit, donate_argnums=(1,))
+            @functools.partial(jax.jit, donate_argnums=(1,),
+                               out_shardings=out_sh)
             def prefill_chunk(params, pool, ids, row, pos, valid_len):
                 trow = jax.lax.dynamic_slice(pool.table, (row, 0), (1, M))
                 view = pool._replace(table=trow)

@@ -75,9 +75,6 @@ def build(args):
     mesh = None
     n_dev = len(jax.devices())
     tp = args.tp if args.tp else (n_dev if n_dev > 1 else 1)
-    if getattr(args, "paged", False):
-        assert args.tp in (0, 1), "--paged is single-device for now"
-        tp = 1  # paged engine: no mesh even on multi-device hosts
     if tp > 1:
         from autosmoothquant_tpu.shard import make_mesh
 
@@ -93,7 +90,6 @@ def build(args):
     if getattr(args, "paged", False):
         from autosmoothquant_tpu.serve.paged import PagedEngine
 
-        assert mesh is None, "--paged is single-device for now"
         kw.update(block_size=args.block_size,
                   num_pages=args.num_pages or None)
         eng = PagedEngine(model_mod, params, cfg, qcfg, **kw)

@@ -231,3 +231,22 @@ def test_int8_kv_pages_prefix_sharing(setup):
     want = _submit_all(_paged(cfg, params, kv_dtype=jnp.int8),
                        [("y", prefix + [9, 8, 7], 6, {})])
     assert got["x"] == want["y"]
+
+
+def test_paged_engine_tensor_parallel_mesh(setup):
+    """Paged pool sharded over a (1, 2) model mesh (pages split on KV
+    heads, table replicated): token equality with the unmeshed paged
+    engine, including prefix sharing and int8 pages."""
+    from autosmoothquant_tpu.shard.mesh import make_mesh
+
+    cfg, params = setup
+    mesh = make_mesh(data=1, model=2, devices=jax.devices()[:2])
+    specs = [(u, list(p), n, dict(k)) for u, p, n, k in SPECS[:4]]
+    for kv in (jnp.float32, jnp.int8):
+        want = _submit_all(_paged(cfg, params, kv_dtype=kv),
+                           [(u, list(p), n, dict(k))
+                            for u, p, n, k in SPECS[:4]])
+        pe = _paged(cfg, params, kv_dtype=kv, mesh=mesh)
+        pe.register_prefix("sys", list(SPECS[0][1]))
+        got = _submit_all(pe, specs)
+        assert got == want, kv
