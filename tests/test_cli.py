@@ -227,3 +227,70 @@ def test_serve_cli_paged(hf_dir, quantized_dir):
     finally:
         httpd.shutdown()
         api.stop()
+
+
+@pytest.fixture(scope="module")
+def opt_quantized_dir(tmp_path_factory):
+    """BASELINE config 2's executable stand-in: OPT driven through
+    smoothquant_model.py --generate-scale --quantize-model (per-tensor
+    int8) on a tiny on-disk HF OPT checkpoint."""
+    torch = pytest.importorskip("torch")
+    from tokenizers import Tokenizer, models, pre_tokenizers
+    from transformers import (OPTConfig, OPTForCausalLM,
+                              PreTrainedTokenizerFast)
+
+    d = tmp_path_factory.mktemp("hf_opt")
+    torch.manual_seed(0)
+    hf = OPTForCausalLM(OPTConfig(
+        vocab_size=VOCAB, hidden_size=64, ffn_dim=128, num_hidden_layers=2,
+        num_attention_heads=4, max_position_embeddings=128,
+        attn_implementation="eager")).eval().float()
+    hf.save_pretrained(d, safe_serialization=True)
+    tok = Tokenizer(models.WordLevel({str(i): i for i in range(VOCAB)},
+                                     unk_token="0"))
+    tok.pre_tokenizer = pre_tokenizers.Whitespace()
+    PreTrainedTokenizerFast(tokenizer_object=tok,
+                            unk_token="0").save_pretrained(d)
+    rng = np.random.default_rng(0)
+    with open(d / "val.jsonl", "w") as f:
+        for _ in range(16):
+            words = " ".join(str(x) for x in rng.integers(1, VOCAB, size=64))
+            f.write(json.dumps({"text": words}) + "\n")
+
+    out = tmp_path_factory.mktemp("quant_opt") / "model-int8"
+    cli = _load_cli("smoothquant_model")
+    argv = ["smoothquant_model.py",
+            "--model-path", str(d),
+            "--dataset-path", str(d / "val.jsonl"),
+            "--generate-scale", "--quantize-model",
+            "--scale-output", str(out.parent / "act_scales.pkl"),
+            "--scale-input", str(out.parent / "act_scales.pkl"),
+            "--num-samples", "8", "--seq-len", "32",
+            "--model-output", str(out)]
+    old = sys.argv
+    sys.argv = argv
+    try:
+        cli.main()
+    finally:
+        sys.argv = old
+    sub = list(out.glob("*smoothquant*"))
+    return d, (sub[0] if sub else out)
+
+
+def test_opt_quantize_and_generate_cli(opt_quantized_dir, capsys):
+    hf_dir, qdir = opt_quantized_dir
+    assert (qdir / "quant_config.json").exists()
+    assert json.load(open(qdir / "config.json"))["model_type"] == "opt"
+    cli = _load_cli("test_model")
+    argv = ["test_model.py",
+            "--quantized-model-path", str(qdir),
+            "--tokenizer-path", str(hf_dir),
+            "--prompt", "7 12 9 101 44",
+            "--max-new-tokens", "4", "--max-seq", "64"]
+    old = sys.argv
+    sys.argv = argv
+    try:
+        cli.main()
+    finally:
+        sys.argv = old
+    assert capsys.readouterr().out.strip()
