@@ -214,3 +214,30 @@ def load_quantized(path: str):
         with open(cfg_path, "r", encoding="utf-8") as f:
             config_dict = json.load(f)
     return params, qcfg, config_dict
+
+
+def load_any_quantized(path: str):
+    """Load a quantized checkpoint in EITHER format: this framework's
+    native artifact (asq_manifest.json) or a REFERENCE-produced
+    save_pretrained artifact (HF state_dict of int8 weights + scale
+    buffers + quant_config.json, ref: examples/test_model.py:35-41) — the
+    CLIs call this so a reference user's existing checkpoints serve
+    directly. Returns (params, QuantConfig, config_dict)."""
+    if os.path.exists(os.path.join(path, _MANIFEST)):
+        return load_quantized(path)
+    qc_path = os.path.join(path, "quant_config.json")
+    cfg_path = os.path.join(path, "config.json")
+    if os.path.exists(qc_path) and os.path.exists(cfg_path):
+        from ..models.registry import get_model_family
+
+        from .hf import load_reference_quantized
+
+        with open(cfg_path, "r", encoding="utf-8") as f:
+            config = json.load(f)
+        _, family = get_model_family(config)
+        params, qcfg = load_reference_quantized(
+            path, family, config["num_hidden_layers"])
+        return params, qcfg, config
+    raise FileNotFoundError(
+        f"{path}: neither a native quantized artifact ({_MANIFEST}) nor a "
+        "reference-format one (quant_config.json + config.json)")

@@ -27,8 +27,15 @@ def get_model_family(config) -> tuple:
         else getattr(config, "architectures", [])
     ) or []
     for arch in architectures:
-        if arch in MODEL_REGISTRY:
-            return MODEL_REGISTRY[arch], MODEL_TYPE[arch]
+        # reference-produced quantized checkpoints carry the reference's
+        # class names (QuantizedLlamaForCausalLM / Int8OPTForCausalLM / ...,
+        # ref: save_pretrained writes config.architectures); strip the
+        # quantization prefix back to the HF architecture
+        for prefix in ("", "Quantized", "Int8"):
+            if prefix and arch.startswith(prefix):
+                arch = arch[len(prefix):]
+            if arch in MODEL_REGISTRY:
+                return MODEL_REGISTRY[arch], MODEL_TYPE[arch]
     raise ValueError(
         f"Model architectures {architectures} are not supported for now. "
         f"Supported architectures: {list(MODEL_REGISTRY.keys())}"

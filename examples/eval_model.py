@@ -66,9 +66,9 @@ def main():
         params = load_hf_params(args.model_path, family, cfg.num_hidden_layers)
         qcfg = None
     else:
-        from autosmoothquant_tpu.convert.pipeline import load_quantized
+        from autosmoothquant_tpu.convert.pipeline import load_any_quantized
 
-        params, qcfg, config = load_quantized(args.model_path)
+        params, qcfg, config = load_any_quantized(args.model_path)
         model_mod, family = get_model_family(config)
         cfg = model_mod.config_from_hf(config)
 

@@ -55,11 +55,11 @@ def parse_args():
 def build(args):
     """Construct (api, httpd, family) from parsed args — separated from
     main() so tests can drive the CLI wiring without serve_forever()."""
-    from autosmoothquant_tpu.convert.pipeline import load_quantized
+    from autosmoothquant_tpu.convert.pipeline import load_any_quantized
     from autosmoothquant_tpu.models.registry import get_model_family
     from autosmoothquant_tpu.serve import ContinuousEngine, serve
 
-    params, qcfg, config = load_quantized(args.quantized_model_path)
+    params, qcfg, config = load_any_quantized(args.quantized_model_path)
     model_mod, family = get_model_family(config)
     cfg = model_mod.config_from_hf(config)
 

@@ -18,8 +18,13 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 def parse_args():
     p = argparse.ArgumentParser()
     p.add_argument("--quantized-model-path", required=True)
-    p.add_argument("--tokenizer-path", required=True)
+    p.add_argument("--tokenizer-path", default=None,
+                   help="required unless --prompt-ids is given")
     p.add_argument("--prompt", default="Life is beautiful")
+    p.add_argument("--prompt-ids", default=None,
+                   help="comma-separated token ids; skips the tokenizer "
+                        "(e.g. when generating from a reference-produced "
+                        "checkpoint directory without one)")
     p.add_argument("--max-new-tokens", type=int, default=20)
     p.add_argument("--temperature", type=float, default=0.0,
                    help="0 = greedy; >0 samples (with --top-k/--top-p)")
@@ -43,19 +48,24 @@ def parse_args():
 
 
 def main():
-    from autosmoothquant_tpu.convert.pipeline import load_quantized
+    from autosmoothquant_tpu.convert.pipeline import load_any_quantized
     from autosmoothquant_tpu.models.registry import get_model_family
     from autosmoothquant_tpu.serve.engine import Engine, GenerationConfig
 
     args = parse_args()
-    params, qcfg, config = load_quantized(args.quantized_model_path)
+    params, qcfg, config = load_any_quantized(args.quantized_model_path)
     model_mod, family = get_model_family(config)
     cfg = model_mod.config_from_hf(config)
 
-    from transformers import AutoTokenizer
+    if args.prompt_ids:
+        tok = None
+        ids = [int(t) for t in args.prompt_ids.split(",")]
+    else:
+        assert args.tokenizer_path, "--tokenizer-path or --prompt-ids needed"
+        from transformers import AutoTokenizer
 
-    tok = AutoTokenizer.from_pretrained(args.tokenizer_path)
-    ids = tok(args.prompt).input_ids
+        tok = AutoTokenizer.from_pretrained(args.tokenizer_path)
+        ids = tok(args.prompt).input_ids
 
     import jax
     import jax.numpy as jnp
@@ -76,12 +86,16 @@ def main():
                          temperature=args.temperature, top_k=args.top_k,
                          top_p=args.top_p,
                          repetition_penalty=args.repetition_penalty,
-                         eos_token_id=tok.eos_token_id,
+                         eos_token_id=(tok.eos_token_id
+                                       if tok is not None else None),
                          speculative_gamma=args.speculative_gamma,
                          speculative_ngram=args.speculative_ngram),
         seed=args.seed,
     )[0]
-    print(tok.decode(ids + out))
+    if tok is not None:
+        print(tok.decode(ids + out))
+    else:
+        print(" ".join(str(t) for t in out))
 
 
 if __name__ == "__main__":

@@ -141,3 +141,30 @@ def test_reference_per_token_artifact(setup, tmp_path):
     assert np.isfinite(lg).all()
     agree = (lg.argmax(-1) == lg_fp.argmax(-1)).mean()
     assert agree > 0.85, agree
+
+
+def test_cli_loads_reference_artifact_directly(setup, tmp_path, capsys):
+    """A reference user's existing quantized checkpoint serves through
+    THIS framework's test_model.py unchanged (load_any_quantized format
+    auto-detection)."""
+    import importlib.util
+    import sys
+
+    hf, cfg, calib, ids = setup
+    outdir = _make_artifact(hf, calib, tmp_path)
+
+    spec = importlib.util.spec_from_file_location(
+        "test_model_cli", os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "examples", "test_model.py"))
+    cli = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(cli)
+    argv = ["test_model.py", "--quantized-model-path", outdir,
+            "--prompt-ids", "7,12,9,101,44",
+            "--max-new-tokens", "4", "--max-seq", "64"]
+    old = sys.argv
+    sys.argv = argv
+    try:
+        cli.main()
+    finally:
+        sys.argv = old
+    assert capsys.readouterr().out.strip()

@@ -57,7 +57,8 @@ def post(port, body, stream=False):
         f"http://127.0.0.1:{port}/generate",
         data=json.dumps(body).encode(), method="POST",
         headers={"Content-Type": "application/json"})
-    resp = urllib.request.urlopen(req, timeout=300)
+    resp = urllib.request.urlopen(
+        req, timeout=float(os.environ.get("ASQ_DRIVE_TIMEOUT", "300")))
     if not stream:
         return json.loads(resp.read())
     events, name = [], None
@@ -73,13 +74,18 @@ def post(port, body, stream=False):
 
 def main():
     gamma = int(os.environ.get("ASQ_DRIVE_GAMMA", "0"))
+    paged = os.environ.get("ASQ_DRIVE_PAGED") == "1"
     d = Path(tempfile.mkdtemp(prefix="serve_ckpt_"))
     build_ckpt(d)
-    port = 8731 + gamma
+    port = 8731 + gamma + (3 if paged else 0)
     args = [sys.executable, str(ROOT / "examples" / "serve_model.py"),
             "--quantized-model-path", str(d), "--port", str(port),
             "--max-batch", "8", "--max-seq", "512",
             "--prefill-chunk", "128"]
+    if paged:
+        # block-paged engine behind the same HTTP surface (the prefix
+        # endpoint then SHARES pages copy-free)
+        args += ["--paged", "--block-size", "64", "--tp", "1"]
     if gamma:
         args += ["--speculative-gamma", str(gamma)]
     srv = subprocess.Popen(args, stdout=subprocess.PIPE,
@@ -124,7 +130,9 @@ def main():
             f"http://127.0.0.1:{port}/prefix",
             data=json.dumps({"id": "sys", "tokens": base * 4}).encode(),
             method="POST", headers={"Content-Type": "application/json"})
-        pr = json.loads(urllib.request.urlopen(req, timeout=300).read())
+        pr = json.loads(urllib.request.urlopen(
+            req, timeout=float(os.environ.get("ASQ_DRIVE_TIMEOUT", "300"))
+        ).read())
         assert pr["ok"] and pr["prefix_tokens"] == 64, pr
         full = (base * 4) + base[:8]
         r_pref = post(port, {"prompt": full, "max_new_tokens": 16,
