@@ -162,9 +162,11 @@ class ShardedServingPool:
     result dict on all hosts (fixed-shape allgather marshalling)."""
 
     def __init__(self, model_mod, params, cfg, qcfg=None, *,
-                 max_new_cap: int = 512, **engine_kw):
-        self.engine = ContinuousEngine(model_mod, params, cfg, qcfg,
-                                       **engine_kw)
+                 max_new_cap: int = 512, engine_cls=None, **engine_kw):
+        # engine_cls selects the per-replica engine (e.g. serve.paged
+        # PagedEngine for pooled-capacity replicas); default contiguous
+        cls = engine_cls or ContinuousEngine
+        self.engine = cls(model_mod, params, cfg, qcfg, **engine_kw)
         self.max_new_cap = max_new_cap
         self._local: List[Request] = []
 

@@ -95,3 +95,24 @@ def test_owner_routing_stable_and_balanced():
     assert owners == [ShardedServingPool._owner(uid, 4) for uid in range(4096)]
     counts = np.bincount(owners, minlength=4)
     assert counts.min() > 4096 / 4 * 0.8, counts
+
+
+def test_sharded_pool_paged_engine():
+    """Engine-per-replica DP over the block-paged engine (engine_cls):
+    the full production topology — pooled KV capacity per replica, DP
+    routing + gather across replicas."""
+    from autosmoothquant_tpu.serve.paged import PagedEngine
+
+    L, cfg, params = _tiny()
+    pool = ShardedServingPool(L, params, cfg, engine_cls=PagedEngine,
+                              max_batch=4, max_seq=64, block_size=16,
+                              kv_dtype=jnp.float32,
+                              compute_dtype=jnp.float32, max_new_cap=16)
+    plain = ShardedServingPool(L, params, cfg, max_batch=4, max_seq=64,
+                               kv_dtype=jnp.float32,
+                               compute_dtype=jnp.float32, max_new_cap=16)
+    for p in (pool, plain):
+        for r in _requests():
+            p.submit(r.uid, r.prompt, max_new_tokens=r.max_new_tokens)
+        p.run()
+    assert pool.gather() == plain.gather()

@@ -250,3 +250,19 @@ def test_paged_engine_tensor_parallel_mesh(setup):
         pe.register_prefix("sys", list(SPECS[0][1]))
         got = _submit_all(pe, specs)
         assert got == want, kv
+
+
+def test_paged_speculative_greedy_exact(setup):
+    """Engine-level prompt-lookup speculation over the paged pool: the
+    gamma+1-position verify forward routes its writes through the block
+    table (t>1 vector-index paged path) and page reservation covers the
+    draft overhang — outputs must equal plain paged decoding exactly."""
+    cfg, params = setup
+    specs = [("a", [7] * 4 + [3, 1, 4] * 6, 10), ("b", [9] * 17, 8)]
+    outs = {}
+    for g in (0, 2):
+        pe = _paged(cfg, params, speculative_gamma=g)
+        for u, p, n in specs:
+            pe.submit(u, list(p), max_new_tokens=n)
+        outs[g] = pe.run()
+    assert outs[0] == outs[2]
