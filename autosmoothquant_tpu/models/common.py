@@ -120,6 +120,16 @@ def quant_linear(x: jnp.ndarray, p: dict, cfg: QuantConfig, granularity: str,
     x2 = x.reshape(-1, x.shape[-1])
     bias = p.get("bias")
 
+    if cfg.type == "int4":
+        # weight-only W4A16 (beyond the reference): activations stay in the
+        # compute dtype; the kernel streams packed nibbles + group scales
+        # (kernels/int4.py) so decode reads HALF the int8 weight bytes
+        from ..kernels.int4 import int4_matmul
+
+        out = int4_matmul(x2, p["w"], p["w_scales"], bias=bias,
+                          out_dtype=out_dtype)
+        return out.reshape(*lead, -1)
+
     if cfg.type == "int8":
         w = p["w"]
         if granularity == PER_TOKEN:
@@ -186,6 +196,14 @@ def fused_linear(x: jnp.ndarray, p: dict, qcfg: Optional[QuantConfig],
         if p.get("bias") is not None:
             out = out + p["bias"].astype(jnp.float32)
         return out.reshape(*lead, -1).astype(compute_dtype)
+    if p["w"].dtype == jnp.uint8:
+        # int4 fused path: group scales are already per-column [K/g, N], so
+        # per-section scales concatenate for free along N
+        from ..kernels.int4 import int4_matmul
+
+        out = int4_matmul(x2, p["w"], p["w_scales"], bias=p.get("bias"),
+                          out_dtype=compute_dtype)
+        return out.reshape(*lead, -1)
     if p["w"].dtype != jnp.int8:
         # fp8 fused path: dequant via col vector after the fp8 dot
         from ..kernels.gemm import fp8_matmul
@@ -286,7 +304,8 @@ def float_linear(x: jnp.ndarray, p: dict, out_dtype=None) -> jnp.ndarray:
     return out.astype(out_dtype)
 
 
-_QUANT_DTYPES = (jnp.int8, jnp.float8_e4m3fn, jnp.float8_e5m2)
+_QUANT_DTYPES = (jnp.int8, jnp.float8_e4m3fn, jnp.float8_e5m2,
+                 jnp.uint8)  # uint8 = nibble-packed int4 (kernels/int4.py)
 
 
 def linear(x, p, cfg: Optional[QuantConfig], granularity=PER_TENSOR,

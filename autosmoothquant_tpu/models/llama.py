@@ -567,6 +567,26 @@ def quantize(params, qcfg: QuantConfig,
     (FP8StaticLinearQuantizer(quantize_output=True), linear.py:483-494)."""
     lay = params["layers"]
 
+    if qcfg.is_int4:
+        # weight-only W4A16 (beyond the reference): nibble-packed grouped
+        # int4 weights, activations untouched — norms keep their weights
+        # (no scale fold; there is no activation quant step to fold into)
+        def pack4(proj):
+            qw, sc = jax.vmap(lambda w: qmath.quantize_weight_int4_grouped(
+                w, qcfg.group_size))(proj["w"])
+            p = {"w": qw, "w_scales": sc}
+            if "bias" in proj:
+                p["bias"] = proj["bias"]
+            return p
+
+        new_layers = {
+            "ln1": dict(lay["ln1"]),
+            "attn": {k: pack4(v) for k, v in lay["attn"].items()},
+            "ln2": dict(lay["ln2"]),
+            "mlp": {k: pack4(v) for k, v in lay["mlp"].items()},
+        }
+        return {**params, "layers": new_layers}
+
     if qcfg.is_int8:
         assert scales is not None
 
@@ -683,6 +703,9 @@ def fuse_decode_projections(params):
             cols = [jnp.repeat(p["w_scale"][:, None], p["w"].shape[-1], axis=1)
                     for p in ps]
             out["w_scale"] = jnp.concatenate(cols, axis=1)
+        if "w_scales" in ps[0]:  # int4: [L, K/g, N] group scales concat on N
+            out["w_scales"] = jnp.concatenate([p["w_scales"] for p in ps],
+                                              axis=-1)
         return out
 
     new_layers = {

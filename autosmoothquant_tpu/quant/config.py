@@ -19,7 +19,7 @@ from typing import Any, Dict
 PER_TENSOR = "per-tensor"
 PER_TOKEN = "per-token"
 _GRANULARITIES = (PER_TENSOR, PER_TOKEN)
-_TYPES = ("int8", "fp8_e4m3", "fp8_e5m2")
+_TYPES = ("int8", "fp8_e4m3", "fp8_e5m2", "int4")
 _SCHEMES = ("static", "dynamic")
 
 
@@ -34,6 +34,9 @@ class QuantConfig:
     fc2: str = PER_TENSOR
     type: str = "int8"
     activation_scheme: str = "dynamic"
+    # int4 (weight-only W4A16, beyond the reference) extension: consecutive
+    # input rows sharing one symmetric scale per output column
+    group_size: int = 128
 
     def __post_init__(self):
         for field in ("qkv", "out", "fc1", "fc2"):
@@ -57,6 +60,10 @@ class QuantConfig:
             for field in ("qkv", "out", "fc1", "fc2"):
                 if getattr(self, field) != PER_TENSOR:
                     raise ValueError("fp8_e5m2 supports per-tensor only")
+        if not (isinstance(self.group_size, int) and self.group_size > 0
+                and self.group_size % 2 == 0):
+            raise ValueError(f"group_size={self.group_size!r}; expected a "
+                             "positive even int")
 
     @classmethod
     def from_dict(cls, d: Dict[str, Any], default_type: str = "int8",
@@ -75,7 +82,12 @@ class QuantConfig:
         return cls(**{k: v for k, v in d.items() if k in known})
 
     def to_dict(self) -> Dict[str, str]:
-        return dataclasses.asdict(self)
+        d = dataclasses.asdict(self)
+        if self.type != "int4":
+            # keep the serialized contract byte-compatible with the
+            # reference for every type it knows about
+            d.pop("group_size")
+        return d
 
     def granularity(self, proj: str) -> str:
         """proj in {qkv, out, fc1, fc2}."""
@@ -84,6 +96,10 @@ class QuantConfig:
     @property
     def is_int8(self) -> bool:
         return self.type == "int8"
+
+    @property
+    def is_int4(self) -> bool:
+        return self.type == "int4"
 
     @property
     def fp8_dtype(self):

@@ -185,3 +185,63 @@ def fake_quantize_fp8_per_token(x: jnp.ndarray, dtype=jnp.float8_e4m3fn):
     """ref: functional/quantization.py:201-206."""
     q, scale = quantize_fp8_per_token(x, dtype)
     return (q.astype(jnp.float32) * scale).astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# INT4 weight-only group quantization (beyond the reference: the reference
+# stops at int8/fp8 — this is the AWQ/GPTQ-style deployment format re-done
+# TPU-first: symmetric per-group scales so dequant is one VPU multiply per
+# tile, and 2-per-byte nibble packing so the HBM weight stream is HALF the
+# int8 bytes, which is the whole ballgame for bandwidth-bound decode)
+# ---------------------------------------------------------------------------
+
+INT4_MAX = 7.0
+INT4_GROUP_DEFAULT = 128
+
+
+def quantize_weight_int4_grouped(w: jnp.ndarray, group_size: int = INT4_GROUP_DEFAULT):
+    """Symmetric per-group absmax int4 weight quant + nibble packing.
+
+    ``w``: [K, N] float (K = input dim). Each group of ``group_size``
+    consecutive input rows of a column shares one scale (absmax / 7).
+    Values are packed two-per-byte along K: byte k holds unpacked row 2k in
+    the low nibble and row 2k+1 in the high nibble. Rows 2k / 2k+1 always sit
+    in the same group (group_size is even), so one scale row covers both
+    nibbles of a packed row — the matmul kernel never interleaves.
+
+    Returns (packed uint8 [K//2, N], scales f32 [K//group_size, N]).
+    """
+    K, N = w.shape
+    if group_size % 2 or K % group_size:
+        raise ValueError(f"K={K} must be a multiple of even group_size={group_size}")
+    wf = w.astype(jnp.float32).reshape(K // group_size, group_size, N)
+    scales = jnp.max(jnp.abs(wf), axis=1) / INT4_MAX          # [G, N]
+    scales = jnp.maximum(scales, 1e-8)
+    q = jnp.clip(jnp.round(wf / scales[:, None, :]), -8, 7)
+    q = q.reshape(K, N).astype(jnp.int32)
+    lo = q[0::2] & 0xF
+    hi = (q[1::2] & 0xF) << 4
+    return (lo | hi).astype(jnp.uint8), scales.astype(jnp.float32)
+
+
+def unpack_int4(packed: jnp.ndarray):
+    """uint8 [K//2, N] -> (lo, hi) int8 [K//2, N] sign-extended nibbles.
+    lo = unpacked rows 0::2, hi = rows 1::2."""
+    p = packed.astype(jnp.int32)
+    lo = p & 0xF
+    hi = (p >> 4) & 0xF
+    lo = lo - ((lo & 0x8) << 1)   # sign-extend 4 -> 32 bit
+    hi = hi - ((hi & 0x8) << 1)
+    return lo.astype(jnp.int8), hi.astype(jnp.int8)
+
+
+def dequantize_int4_grouped(packed: jnp.ndarray, scales: jnp.ndarray,
+                            dtype=jnp.bfloat16) -> jnp.ndarray:
+    """Inverse of quantize_weight_int4_grouped: full [K, N] weights."""
+    lo, hi = unpack_int4(packed)
+    K2, N = packed.shape
+    q = jnp.stack([lo, hi], axis=1).reshape(2 * K2, N)        # re-interleave
+    G = scales.shape[0]
+    group = (2 * K2) // G
+    qf = q.reshape(G, group, N).astype(jnp.float32) * scales[:, None, :]
+    return qf.reshape(2 * K2, N).astype(dtype)

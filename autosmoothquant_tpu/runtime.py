@@ -19,6 +19,9 @@ construct a fresh engine per arm.
 Flag reference (env var / values / effect):
   int8_backend   ASQ_INT8_BACKEND   auto|pallas|xla  int8 GEMM backend
                  (auto = Pallas only on shapes where tuning measured a win)
+  int4_backend   ASQ_INT4_BACKEND   auto|pallas|xla  int4 (W4A16) matmul
+                 (auto = Pallas on TPU whenever the shape tiles; the XLA
+                 path materializes dequantized weights and is fallback-only)
   fp8_native     ASQ_FP8_NATIVE     auto|off         probe native fp8 dot
   flash_decode   ASQ_FLASH_DECODE   auto|on|off      flash-decode kernel
   banded_prefill ASQ_BANDED_PREFILL auto|on|off      banded ragged prefill
@@ -41,6 +44,7 @@ import os
 @dataclasses.dataclass
 class Flags:
     int8_backend: str = "auto"
+    int4_backend: str = "auto"
     fp8_native: str = "auto"
     flash_decode: str = "auto"
     banded_prefill: str = "auto"
@@ -55,6 +59,7 @@ class Flags:
         e = os.environ.get
         return cls(
             int8_backend=e("ASQ_INT8_BACKEND", "auto"),
+            int4_backend=e("ASQ_INT4_BACKEND", "auto"),
             fp8_native=e("ASQ_FP8_NATIVE", "auto"),
             flash_decode=e("ASQ_FLASH_DECODE", "auto"),
             banded_prefill=e("ASQ_BANDED_PREFILL", "auto"),

@@ -127,6 +127,38 @@ def build_params(cfg, kind: str):
     def scl(*shape):
         return jnp.full(shape, 1e-3, jnp.float32)
 
+    if kind == "int4":
+        # nibble-packed W4A16 representation (kernels/int4.py contract)
+        group = int(os.environ.get("ASQ_BENCH_GROUP", "128"))
+
+        def qw4(*shape):
+            nonlocal key
+            key, sub = jax.random.split(key)
+            return jax.random.randint(sub, shape, 0, 256).astype(jnp.uint8)
+
+        def proj4(in_d, out_d):
+            return {"w": qw4(L_, in_d // 2, out_d),
+                    "w_scales": scl(L_, in_d // group, out_d)}
+
+        params = {
+            "embed": {"w": jax.random.normal(jax.random.PRNGKey(2), (V, D),
+                                             jnp.bfloat16) * 0.02},
+            "layers": {
+                "ln1": {"w": jnp.ones((L_, D), jnp.bfloat16)},
+                "attn": {"q": proj4(D, HD), "k": proj4(D, KVD),
+                         "v": proj4(D, KVD), "o": proj4(HD, D)},
+                "ln2": {"w": jnp.ones((L_, D), jnp.bfloat16)},
+                "mlp": {"gate": proj4(D, I), "up": proj4(D, I),
+                        "down": proj4(I, D)},
+            },
+            "final_norm": {"w": jnp.ones((D,), jnp.bfloat16)},
+            "lm_head": {"w": jax.random.normal(jax.random.PRNGKey(3), (D, V),
+                                               jnp.bfloat16) * 0.02},
+        }
+        from autosmoothquant_tpu.models.llama import fuse_decode_projections
+
+        return fuse_decode_projections(params) if fuse else params
+
     def proj(in_d, out_d, scaled=False):
         p = {"w": qw(L_, in_d, out_d), "dequant_scale": scl(L_)}
         if scaled:
@@ -324,6 +356,39 @@ def main():
             "value": round(tps_i8, 2), "unit": "tok/s",
             "vs_baseline": round(tps_i8 / tps_bf, 4),
             "bf16kv_tok_per_s": round(tps_bf, 2),
+        }))
+        return
+    if os.environ.get("ASQ_BENCH_MODE") == "int4":
+        # W4A16 (beyond the reference) vs W8A8 decode throughput — arms run
+        # sequentially, never holding two big param sets at once
+        import gc
+
+        import jax.numpy as jnp
+
+        from autosmoothquant_tpu.models import llama as L
+        from autosmoothquant_tpu.quant.config import QuantConfig
+
+        preset = os.environ.get("ASQ_BENCH_PRESET", "tinyllama")
+        batch = int(os.environ.get("ASQ_BENCH_BATCH", "1"))
+        s_max = int(os.environ.get("ASQ_BENCH_SMAX", "512"))
+        prompt_len = int(os.environ.get("ASQ_BENCH_PROMPT", "128"))
+        group = int(os.environ.get("ASQ_BENCH_GROUP", "128"))
+        cfg = get_cfg(preset)
+
+        params = build_params(cfg, "int4")
+        tps_i4 = decode_tps(L, cfg, QuantConfig(type="int4", group_size=group),
+                            params, batch=batch, prompt_len=prompt_len,
+                            s_max=s_max)
+        del params
+        gc.collect()
+        params = build_params(cfg, "int8")
+        tps_i8 = decode_tps(L, cfg, QuantConfig(type="int8"), params,
+                            batch=batch, prompt_len=prompt_len, s_max=s_max)
+        print(json.dumps({
+            "metric": f"decode_tok_per_s_w4a16_{preset}_b{batch}_s{s_max}",
+            "value": round(tps_i4, 2), "unit": "tok/s",
+            "vs_baseline": round(tps_i4 / tps_i8, 4),
+            "int8_tok_per_s": round(tps_i8, 2),
         }))
         return
     if os.environ.get("ASQ_BENCH_MODE") == "prefill":

@@ -38,13 +38,15 @@ def parse_args():
     p.add_argument("--smooth-strength", type=float, default=0.5)
     p.add_argument("--model-output", default="quantized_model")
     p.add_argument("--type", default="int8",
-                   choices=["int8", "fp8", "fp8_e4m3", "fp8_e5m2"])
+                   choices=["int8", "fp8", "fp8_e4m3", "fp8_e5m2", "int4"])
     p.add_argument("--activation-scheme", default="dynamic",
                    choices=["static", "dynamic"])
     p.add_argument("--tokenizer-path", default=None)
     p.add_argument("--ignore-patterns", nargs="*", default=["re:.*lm_head"],
                    help="fp8: projections to exempt (literal or re:regex; "
                         "ref calibration.py:259-278)")
+    p.add_argument("--group-size", type=int, default=128,
+                   help="int4: input rows per weight-scale group")
     p.add_argument("--quantize-output", action="store_true",
                    help="fp8 static: observer-tracked output re-quantization")
     return p.parse_args()
@@ -98,6 +100,8 @@ def main():
 
         qc_path = os.path.join(args.model_path, "quant_config.json")
         raw = json.load(open(qc_path)) if os.path.exists(qc_path) else {}
+        if args.type == "int4" and "group_size" not in raw:
+            raw["group_size"] = args.group_size
         qcfg = QuantConfig.from_dict(raw, default_type=args.type,
                                      default_scheme=args.activation_scheme)
 
@@ -134,7 +138,8 @@ def main():
             qparams = model_mod.quantize(smoothed, qcfg, None, cfg=cfg, **kw)
         suffix = {"int8": "smoothquant-int8",
                   "fp8_e4m3": f"smoothquant-fp8-e4m3-{qcfg.activation_scheme}",
-                  "fp8_e5m2": "smoothquant-fp8-e5m2"}[qcfg.type]
+                  "fp8_e5m2": "smoothquant-fp8-e5m2",
+                  "int4": f"smoothquant-int4-g{qcfg.group_size}"}[qcfg.type]
         out = Path(args.model_output) / f"{Path(args.model_path).name}-{suffix}"
         save_quantized(str(out), qparams, qcfg, config_dict=config,
                        artifacts={"layer_scales": scales})

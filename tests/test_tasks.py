@@ -19,6 +19,35 @@ class _WordTok:
         return R()
 
 
+@pytest.fixture
+def tok():
+    """Reversible word-level tokenizer (growable vocab + decode) for tests
+    that inspect decoded contexts."""
+
+    class T:
+        def __init__(self):
+            self.vocab = {}
+            self.rev = {}
+
+        def __call__(self, text):
+            ids = []
+            for w in text.split():
+                if w not in self.vocab:
+                    self.vocab[w] = len(self.vocab)
+                    self.rev[self.vocab[w]] = w
+                ids.append(self.vocab[w])
+
+            class R:
+                input_ids = ids
+
+            return R()
+
+        def decode(self, ids):
+            return " ".join(self.rev[i] for i in ids) + " "
+
+    return T()
+
+
 def _write(tmp_path, name, rows):
     p = tmp_path / name
     with open(p, "w") as f:
