@@ -1,25 +1,49 @@
-"""Pallas MXU matmul over nibble-packed int4 weights (W4A16 decode path).
+"""Pallas MXU matmul over nibble-packed int4 weights (the W4A8 decode path).
 
 Beyond the reference (AutoSmoothQuant stops at int8/fp8): a weight-only
 4-bit deployment format built TPU-first. Single-chip decode is weight-HBM
 bound (BENCHMARKS.md "13B single-chip": int8 runs at ~97% of the
-bytes/bandwidth estimate), so halving the weight stream is worth ~2x at
-batch 1 — IF the packed bytes are what actually crosses HBM. That rules
+bytes/bandwidth estimate), so halving the weight stream is worth up to 2x
+at batch 1 — IF the packed bytes are what actually crosses HBM. That rules
 out "dequantize then dot" at the XLA level (it materializes a bf16 weight
 tensor per call, 4x the packed bytes): the kernel must read the PACKED
-tile, unpack + scale on the VPU while it is in VMEM, and feed the MXU.
+tile, unpack in VMEM, and feed the MXU.
+
+The kernel is VPU-bound, not DMA-bound, so the design minimizes per-byte
+vector work (measured on v5e at M=8, K=N=4096; int8 GEMM = 24.4us,
+packed-stream floor = 13.5us):
+  - signed-nibble unpack + scale the [K/2, N] tile in bf16:   21.8us
+  - int-domain unpack (s8 MXU dots, scale the [M,N] partial): 18.5us
+  - OFFSET-BINARY nibbles: mask/shift + s8 convert only,
+    sign fix = one tiny (group_sums(x) @ scales) dot outside: 14.8us  <- this
 
 Layout contract (quant/math.py:quantize_weight_int4_grouped):
-  packed  uint8 [K//2, N]  byte k = row 2k (low nibble) | row 2k+1 (high)
-  scales  f32   [K//g, N]  symmetric per-(group, column), g even
-Rows 2k/2k+1 share a group, so one broadcast scale row covers both nibbles
-and the kernel NEVER interleaves the big operand. The activation is split
-even/odd OUTSIDE the kernel (x[:, 0::2] / x[:, 1::2] — a cheap strided
-slice of the small [M, K] operand) so
+  packed  uint8 [K//2, N]  byte r = row r (low nibble) | row r+K/2 (high),
+                           nibbles stored as q+8 (offset binary, in [0,15])
+  scales  f32   [K//g, N]  symmetric per-(group, column)
+SPLIT-K packing means a packed row-block maps to two CONTIGUOUS unpacked
+row ranges, so the activation and the scale table are addressed with plain
+BlockSpec offsets (the array is simply passed twice with index maps K/2
+apart) — no strided slice or interleave anywhere, and every per-group dot
+runs the full group depth (g = 128 = one MXU pass).
 
-    acc += x_even @ (lo * s)  +  x_odd @ (hi * s)
+Math (W4A8): activations are quantized per-token int8 (the same dynamic
+per-token scheme as the int8 path, ref layers/nn/linear.py:248-329). The
+WHOLE step is one pallas_call plus one amax reduce: the kernel quantizes
+the x block in VMEM (bit-exact vs quant/math.py), runs s8 MXU dots on the
+offset nibbles, and per group g accumulates
+  acc += (dot_s8(x_q, n_g) - 8 * gsum_g) * s_g
+(gsum_g = per-row sum of x_q over group g, a [bm, 1] reduce), then applies
+tok_scale at the flush. Only the per-token absmax (spans full K, can't
+live in a k-blocked kernel) and bias/activation stay in XLA. Measured at
+M=8 K=N=4096 on v5e: 15.7us vs int8 22.2us (1.41x) — the epilogue-outside
+variant was 22.2us, glue-bound; packed-stream floor is 13.5us.
 
-needs only contiguous tiles of the weight stream.
+Large-M (prefill-shaped) calls switch to full-K bf16 dots with the group
+scales pre-multiplied into the unpacked tile (W4A16): prefill is MXU-bound
+and the bf16 activations skip the act-quant noise. Both variants share the
+packed format. The XLA fallback reproduces the same per-group integer math
+exactly (integer dots are exact in f32 up to 2^24).
 """
 
 from __future__ import annotations
@@ -34,27 +58,25 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..runtime import flags
 
-
-def _unpack_scaled(p_u8, s_tile, group: int, dtype):
-    """uint8 packed tile [bk/2, bn] + scales [bk/g, bn] -> (lo, hi) weight
-    tiles [bk/2, bn] in ``dtype`` with group scales applied."""
-    p = p_u8.astype(jnp.int32)
-    lo = p & 0xF
-    hi = (p >> 4) & 0xF
-    lo = lo - ((lo & 0x8) << 1)
-    hi = hi - ((hi & 0x8) << 1)
-    srep = jnp.repeat(s_tile, group // 2, axis=0)  # [bk/2, bn]
-    return ((lo.astype(jnp.float32) * srep).astype(dtype),
-            (hi.astype(jnp.float32) * srep).astype(dtype))
+# M at or below this uses the W4A8 per-group-dot kernel (weight-stream
+# bound); above it the bf16 full-K variant (MXU bound). Static per shape.
+_A8_MAX_M = 64
 
 
-def _int4_matmul_kernel(xe_ref, xo_ref, p_ref, s_ref, *rest, group,
-                        activation, out_dtype, has_bias, scale_in_epilogue):
-    if has_bias:
-        b_ref, o_ref, acc_ref = rest
-    else:
-        o_ref, acc_ref = rest
-        b_ref = None
+def _int4_kernel_a8(l_ref, xl_ref, xh_ref, ts_ref, p_ref, s_ref, o_ref,
+                    acc_ref, *, group, gb, ghalf):
+    """Fused W4A8 step: per-token act quant, offset-nibble unpack, s8 MXU
+    dots, group scales and the -8 offset correction all in VMEM. The only
+    XLA work left outside is the per-token absmax reduce (the quant scale
+    spans full K, so it cannot live in a k-blocked kernel) and the final
+    bias/activation elementwise.
+
+    ``s_ref`` holds ALL group rows for this column block ([G, bn], constant
+    across the k grid so it is fetched once per (i, j)); the k-step's rows
+    are selected with a one-hot dot (static shapes, no dynamic sublane
+    slicing — Mosaic cannot prove alignment for arbitrary gb, and a
+    (gb, bn) BlockSpec would require gb % 8 == 0, which llama-7B's
+    down_proj K=11008 violates with gb = 1)."""
     k_idx = pl.program_id(2)
 
     @pl.when(k_idx == 0)
@@ -62,178 +84,274 @@ def _int4_matmul_kernel(xe_ref, xo_ref, p_ref, s_ref, *rest, group,
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
     dn = (((1,), (0,)), ((), ()))
-    if scale_in_epilogue:
-        # decode variant: the [bk/2, bn] weight tile gets ONLY unpack +
-        # convert (2 int ops + 1 cast per nibble); the per-group scale
-        # multiplies the tiny [bm, bn] partial instead. The weight stream
-        # stays near the packed-bytes speed-of-light at small M.
-        p = p_ref[...].astype(jnp.int32)
-        wlo = (((p & 0xF) ^ 8) - 8).astype(xe_ref.dtype)
-        whi = (((p >> 4) ^ 8) - 8).astype(xe_ref.dtype)
-        s = s_ref[...]
-        h = group // 2
-        for gi in range(s.shape[0]):
-            part = jax.lax.dot_general(
-                xe_ref[:, gi * h:(gi + 1) * h], wlo[gi * h:(gi + 1) * h],
-                dn, preferred_element_type=jnp.float32)
-            part += jax.lax.dot_general(
-                xo_ref[:, gi * h:(gi + 1) * h], whi[gi * h:(gi + 1) * h],
-                dn, preferred_element_type=jnp.float32)
-            acc_ref[...] += part * s[gi:gi + 1, :]
-    else:
-        # prefill variant: scale the weight tile once so each group needs no
-        # separate dot — full-k MXU passes win when M is large enough that
-        # the dots, not the weight stream, are the cost
-        wlo, whi = _unpack_scaled(p_ref[...], s_ref[...], group, xe_ref.dtype)
-        acc_ref[...] += jax.lax.dot_general(
-            xe_ref[...], wlo, dn, preferred_element_type=jnp.float32)
-        acc_ref[...] += jax.lax.dot_general(
-            xo_ref[...], whi, dn, preferred_element_type=jnp.float32)
+    ts = ts_ref[:, :1]                                  # [bm, 1] f32
+    # same op order as quant/math.py:quantize_act_per_token (f32 divide,
+    # round-half-even, clamp) so the kernel is bit-exact vs the XLA path
+    ql = jnp.clip(jnp.round(xl_ref[...].astype(jnp.float32) / ts),
+                  -128.0, 127.0).astype(jnp.int8)
+    qh = jnp.clip(jnp.round(xh_ref[...].astype(jnp.float32) / ts),
+                  -128.0, 127.0).astype(jnp.int8)
+    p = p_ref[0].astype(jnp.int32)
+    lo = (p & 0xF).astype(jnp.int8)
+    hi = (p >> 4).astype(jnp.int8)
+    sl_step, sh_step = _select_scales(s_ref, k_idx, gb, ghalf)
+    for gi in range(gb):
+        r = slice(gi * group, (gi + 1) * group)
+        sl = sl_step[gi:gi + 1, :]
+        sh = sh_step[gi:gi + 1, :]
+        xg = ql[:, r]
+        part = jax.lax.dot_general(xg, lo[r], dn,
+                                   preferred_element_type=jnp.int32)
+        gsum = jnp.sum(xg.astype(jnp.float32), axis=1, keepdims=True)
+        acc_ref[...] += (part.astype(jnp.float32) - 8.0 * gsum) * sl
+        xg = qh[:, r]
+        part = jax.lax.dot_general(xg, hi[r], dn,
+                                   preferred_element_type=jnp.int32)
+        gsum = jnp.sum(xg.astype(jnp.float32), axis=1, keepdims=True)
+        acc_ref[...] += (part.astype(jnp.float32) - 8.0 * gsum) * sh
 
     @pl.when(k_idx == pl.num_programs(2) - 1)
     def _done():
-        out = acc_ref[...]
-        if has_bias:
-            out = out + b_ref[...]
-        if activation == "silu":
-            out = out * jax.nn.sigmoid(out)
-        elif activation == "relu":
-            out = jnp.maximum(out, 0.0)
-        o_ref[...] = out.astype(out_dtype)
+        o_ref[...] = acc_ref[...] * ts    # tok_scale folded into the flush
+
+
+def _select_scales(s_ref, k_idx, gb, ghalf):
+    """[gb, bn] lo/hi scale rows for k-step ``k_idx``, gathered from the
+    resident [1, G, bn] table block with a one-hot f32 dot (static shapes;
+    ~gb*G*bn MACs, ~group x smaller than the step's weight dots)."""
+    G = s_ref.shape[1]
+    cols = jax.lax.broadcasted_iota(jnp.int32, (gb, G), 1)
+    rows = k_idx * gb + jax.lax.broadcasted_iota(jnp.int32, (gb, G), 0)
+    s_all = s_ref[0]
+    dn = (((1,), (0,)), ((), ()))
+    sl = jax.lax.dot_general((cols == rows).astype(jnp.float32), s_all, dn,
+                             preferred_element_type=jnp.float32)
+    sh = jax.lax.dot_general((cols == rows + ghalf).astype(jnp.float32),
+                             s_all, dn, preferred_element_type=jnp.float32)
+    return sl, sh
+
+
+def _int4_kernel_bf16(l_ref, xl_ref, xh_ref, p_ref, s_ref, o_ref, acc_ref,
+                      *, group, gb, ghalf):
+    k_idx = pl.program_id(2)
+
+    @pl.when(k_idx == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    dn = (((1,), (0,)), ((), ()))
+    p = p_ref[0].astype(jnp.int32)
+    sl_step, sh_step = _select_scales(s_ref, k_idx, gb, ghalf)
+    # bf16 full-K variant: dequantize the tile (offset removed, group
+    # scales multiplied in) and run two full-depth MXU passes
+    srl = jnp.repeat(sl_step, group, axis=0)
+    srh = jnp.repeat(sh_step, group, axis=0)
+    wlo = (((p & 0xF) - 8).astype(jnp.float32) * srl).astype(xl_ref.dtype)
+    whi = (((p >> 4) - 8).astype(jnp.float32) * srh).astype(xl_ref.dtype)
+    acc_ref[...] += jax.lax.dot_general(
+        xl_ref[...], wlo, dn, preferred_element_type=jnp.float32)
+    acc_ref[...] += jax.lax.dot_general(
+        xh_ref[...], whi, dn, preferred_element_type=jnp.float32)
+
+    @pl.when(k_idx == pl.num_programs(2) - 1)
+    def _done():
+        o_ref[...] = acc_ref[...]
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("group", "activation", "out_dtype",
-                     "block_m", "block_n", "block_k", "interpret",
-                     "scale_in_epilogue"),
+    static_argnames=("group", "block_m", "block_n", "block_hk", "interpret",
+                     "a8"),
 )
-def _int4_matmul_pallas(xe, xo, packed, scales, bias=None, *, group,
-                        activation=None, out_dtype=jnp.bfloat16,
-                        block_m, block_n, block_k, interpret=False,
-                        scale_in_epilogue=True):
-    m, k2 = xe.shape
-    _, n = packed.shape
-    grid = (m // block_m, n // block_n, (2 * k2) // block_k)
-    kernel = functools.partial(
-        _int4_matmul_kernel, group=group, activation=activation,
-        out_dtype=out_dtype, has_bias=bias is not None,
-        scale_in_epilogue=scale_in_epilogue)
-    hk = block_k // 2
-    in_specs = [
-        pl.BlockSpec((block_m, hk), lambda i, j, kk: (i, kk)),
-        pl.BlockSpec((block_m, hk), lambda i, j, kk: (i, kk)),
-        pl.BlockSpec((hk, block_n), lambda i, j, kk: (kk, j)),
-        pl.BlockSpec((block_k // group, block_n), lambda i, j, kk: (kk, j)),
+def _int4_matmul_pallas(x, packed, scales, tok_scale=None, layer=None, *,
+                        group, block_m, block_n, block_hk, interpret=False,
+                        a8=True):
+    """[M, N] f32 matmul result (bias/activation applied by the caller).
+    ``x``: [M, K] float; for a8, ``tok_scale`` is the [M, 1] per-token quant
+    scale — quantization AND the tok_scale flush both happen in-kernel.
+    block_hk = packed rows per k-step (multiple of group).
+
+    ``packed``/``scales`` are STACKED [L, K/2, N] / [L, G, N] with ``layer``
+    the traced index to use (scalar-prefetched into the BlockSpec index
+    maps). This is how the kernel runs under the model's layer scan without
+    copying: a plain dynamic_slice feeding a pallas_call must be
+    materialized by XLA (custom-call operands can't fuse), which would
+    re-write every layer's packed bytes each step — the index maps instead
+    DMA blocks straight out of the stacked array. Single-weight callers
+    reshape to L=1 (free) and pass layer=0."""
+    m, k = x.shape
+    nl, k2, n = packed.shape
+    kt = k2 // block_hk  # k-grid length; also the block offset of the high plane
+    grid = (m // block_m, n // block_n, kt)
+    gb = block_hk // group
+    ghalf = scales.shape[1] // 2   # hi-plane row offset in the scale table
+    lidx = jnp.asarray(layer, jnp.int32).reshape(1)
+    x_specs = [
+        pl.BlockSpec((block_m, block_hk), lambda i, j, kk, L: (i, kk)),
+        pl.BlockSpec((block_m, block_hk),
+                     lambda i, j, kk, L, kt=kt: (i, kk + kt)),
     ]
-    args = [xe, xo, packed, scales]
-    if bias is not None:
-        in_specs.append(pl.BlockSpec((1, block_n), lambda i, j, kk: (0, j)))
-        args.append(bias)
+    w_specs = [
+        pl.BlockSpec((1, block_hk, block_n),
+                     lambda i, j, kk, L: (L[0], kk, j)),
+        # full scale table rows for this column block (constant in kk)
+        pl.BlockSpec((1, scales.shape[1], block_n),
+                     lambda i, j, kk, L: (L[0], 0, j)),
+    ]
+    if a8:
+        kern = functools.partial(_int4_kernel_a8, group=group, gb=gb,
+                                 ghalf=ghalf)
+        ts = jnp.broadcast_to(tok_scale.astype(jnp.float32), (m, 128))
+        in_specs = x_specs + [
+            pl.BlockSpec((block_m, 128), lambda i, j, kk, L: (i, 0))] + w_specs
+        operands = (lidx, x, x, ts, packed, scales)
+    else:
+        kern = functools.partial(_int4_kernel_bf16, group=group, gb=gb,
+                                 ghalf=ghalf)
+        in_specs = x_specs + w_specs
+        operands = (lidx, x, x, packed, scales)
     return pl.pallas_call(
-        kernel,
-        out_shape=jax.ShapeDtypeStruct((m, n), out_dtype),
+        kern,
+        out_shape=jax.ShapeDtypeStruct((m, n), jnp.float32),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=0,
+            num_scalar_prefetch=1,
             grid=grid,
             in_specs=in_specs,
-            out_specs=pl.BlockSpec((block_m, block_n), lambda i, j, kk: (i, j)),
+            out_specs=pl.BlockSpec((block_m, block_n),
+                                   lambda i, j, kk, L: (i, j)),
             scratch_shapes=[pltpu.VMEM((block_m, block_n), jnp.float32)],
         ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         cost_estimate=pl.CostEstimate(
-            flops=2 * m * n * 2 * k2,
-            bytes_accessed=(2 * m * k2 * xe.dtype.itemsize + k2 * n
-                            + m * n * jnp.dtype(out_dtype).itemsize),
+            flops=2 * m * n * k,
+            bytes_accessed=m * k * x.dtype.itemsize + k2 * n + 4 * m * n,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(*args)
+    )(*operands)
 
 
 def _pick_blocks(m: int, n: int, k: int, group: int):
-    """Static tile pick. block_k must be a multiple of the scale group (so a
-    scale tile covers whole groups) and even; block_n divides N on lane
-    boundaries. Returns None when the shape can't tile (→ XLA fallback)."""
-    if k % (2 * group) or n % 128:
+    """Static tile pick. The packed-row block must cover whole groups;
+    block_n divides N on lane boundaries. Returns (bm, bn, block_hk) or
+    None when the shape can't tile (→ XLA fallback)."""
+    if (k // 2) % group or k % 2 or n % 128:
         return None
     bm = 8
     while bm < min(m, 256):
         bm *= 2
     if m % bm:
-        bm = 8 if m % 8 == 0 else None
-        if bm is None:
+        if m % 8:
             return None
+        bm = 8
     for bn in (512, 256, 128):
         if n % bn == 0:
             break
     else:
         return None
-    bk = group
-    while bk * 2 <= min(k, 2048) and k % (bk * 2) == 0:
-        bk *= 2
-    if k % bk:
+    hk = group
+    while hk * 2 <= min(k // 2, 2048) and (k // 2) % (hk * 2) == 0:
+        hk *= 2
+    if (k // 2) % hk:
         return None
-    return bm, bn, bk
+    return bm, bn, hk
+
+
+def _epilogue(out, bias, activation, out_dtype):
+    if bias is not None:
+        out = out + bias.reshape(1, -1).astype(jnp.float32)
+    if activation == "silu":
+        out = out * jax.nn.sigmoid(out)
+    elif activation == "relu":
+        out = jnp.maximum(out, 0.0)
+    return out.astype(out_dtype)
+
+
+def _quant_acts(x):
+    from ..quant.math import quantize_act_per_token
+
+    return quantize_act_per_token(x)
 
 
 def int4_matmul_xla(x, packed, scales, group: int, bias=None, *,
-                    activation=None, out_dtype=None):
-    """Reference/fallback path: unpack + scale in XLA then a bf16 dot.
-    Correct everywhere (CPU test mesh included); materializes the bf16
-    weights, so it pays ~4x the packed HBM bytes — the Pallas kernel is the
-    production path on TPU."""
+                    activation=None, out_dtype=None, a8: Optional[bool] = None):
+    """Fallback path (CPU / unaligned shapes): reproduces the kernel's math
+    with XLA ops. a8=True mirrors the W4A8 per-group integer accumulation
+    (exact: integer dots in f32 stay exact below 2^24); a8=False mirrors
+    the bf16 W4A16 variant. Materializes unpacked weights, so on TPU the
+    Pallas kernel is the production path."""
     from ..quant.math import unpack_int4
 
     if out_dtype is None:
         out_dtype = x.dtype
-    k = x.shape[-1]
-    lo, hi = unpack_int4(packed)
-    srep = jnp.repeat(scales, group // 2, axis=0)
-    # CPU's dot thunk lacks bf16 x bf16 -> f32; upcast off-TPU
+    m, k = x.shape
+    if a8 is None:
+        a8 = m <= _A8_MAX_M
+    lo, hi = unpack_int4(packed)                       # signed split-K planes
+    n = packed.shape[1]
+    G = scales.shape[0]
+    wq = jnp.concatenate([lo, hi], axis=0)             # [K, N] int8
+    if a8:
+        q, tok_scale = _quant_acts(x.reshape(m, k))
+        xg = q.reshape(m, G, k // G).astype(jnp.float32)
+        wg = wq.reshape(G, k // G, n).astype(jnp.float32)
+        part = jnp.einsum("mgk,gkn->mgn", xg, wg)      # exact int values
+        out = jnp.sum(part * scales[None, :, :], axis=1) * tok_scale
+        return _epilogue(out, bias, activation, out_dtype)
+    srep = jnp.repeat(scales, group, axis=0)
     cdt = jnp.bfloat16 if (x.dtype == jnp.bfloat16
                            and jax.default_backend() == "tpu") else jnp.float32
-    wlo = (lo.astype(jnp.float32) * srep).astype(cdt)
-    whi = (hi.astype(jnp.float32) * srep).astype(cdt)
-    dn = (((1,), (0,)), ((), ()))
-    acc = jax.lax.dot_general(x[:, 0::2].astype(cdt), wlo, dn,
+    wf = (wq.astype(jnp.float32) * srep).astype(cdt)
+    acc = jax.lax.dot_general(x.astype(cdt), wf, (((1,), (0,)), ((), ())),
                               preferred_element_type=jnp.float32)
-    acc += jax.lax.dot_general(x[:, 1::2].astype(cdt), whi, dn,
-                               preferred_element_type=jnp.float32)
-    if bias is not None:
-        acc = acc + bias.reshape(1, -1).astype(jnp.float32)
-    if activation == "silu":
-        acc = acc * jax.nn.sigmoid(acc)
-    elif activation == "relu":
-        acc = jnp.maximum(acc, 0.0)
-    return acc.astype(out_dtype)
+    return _epilogue(acc, bias, activation, out_dtype)
 
 
 def int4_matmul(x: jnp.ndarray, packed: jnp.ndarray, scales: jnp.ndarray,
                 bias: Optional[jnp.ndarray] = None, *,
                 activation: Optional[str] = None, out_dtype=None,
                 use_pallas: Optional[bool] = None,
-                interpret: bool = False) -> jnp.ndarray:
+                interpret: bool = False, layer=None) -> jnp.ndarray:
     """``x @ dequant(packed, scales) (+ bias)`` with x float [M, K], packed
-    uint8 [K/2, N], scales f32 [K/group, N] (group inferred from shapes)."""
+    uint8 [K'/2, N] split-K offset nibbles, scales f32 [K'/group, N] (group
+    inferred from shapes). K' >= K is the zero-padded storage depth chosen
+    by quant.math.int4_padded_k; x is zero-padded to match here (exact:
+    zero activations quantize to 0 and contribute nothing). Decode-shaped M
+    quantizes activations per-token int8 (W4A8); prefill-shaped M runs bf16
+    (W4A16).
+
+    Under a layer scan, pass the STACKED weights (packed [L, K'/2, N],
+    scales [L, G, N]) plus the traced ``layer`` index — the Pallas kernel
+    then indexes the stacked array directly (scalar-prefetched index maps),
+    avoiding the full-weight copy a dynamic_slice operand would cost."""
     assert packed.dtype == jnp.uint8
     m, k = x.shape
-    k2, n = packed.shape
-    assert k == 2 * k2, f"inner dims mismatch: {x.shape} @ packed {packed.shape}"
-    group = k // scales.shape[0]
+    if packed.ndim == 2:
+        packed = packed.reshape((1,) + packed.shape)      # free (metadata)
+        scales = scales.reshape((1,) + scales.shape)
+        layer = 0
+    assert layer is not None, "stacked int4 weights require a layer index"
+    nl, k2, n = packed.shape
+    assert k <= 2 * k2, f"inner dims mismatch: {x.shape} @ packed {packed.shape}"
+    if k < 2 * k2:
+        x = jnp.concatenate(
+            [x, jnp.zeros((m, 2 * k2 - k), x.dtype)], axis=1)
+        k = 2 * k2
+    group = k // scales.shape[1]
     if out_dtype is None:
         out_dtype = x.dtype
+    a8 = m <= _A8_MAX_M
 
     # decode shapes (M=1..7): pad rows to the 8-sublane tile so the kernel
-    # applies; the padded rows are zeros and sliced off after
+    # applies; padded rows are zeros and sliced off after
     pad_m = (-m) % 8
     if pad_m and jax.default_backend() == "tpu" and flags().int4_backend != "xla":
         out = int4_matmul(
             jnp.concatenate([x, jnp.zeros((pad_m, k), x.dtype)], axis=0),
             packed, scales, bias, activation=activation, out_dtype=out_dtype,
-            use_pallas=use_pallas, interpret=interpret)
+            use_pallas=use_pallas, interpret=interpret, layer=layer)
         return out[:m]
 
     blocks = _pick_blocks(m, n, k, group)
@@ -242,14 +360,24 @@ def int4_matmul(x: jnp.ndarray, packed: jnp.ndarray, scales: jnp.ndarray,
         want = backend != "xla"
         use_pallas = want and jax.default_backend() == "tpu" and blocks is not None
     if use_pallas and blocks is not None:
-        bm, bn, bk = blocks
-        cdt = x.dtype if x.dtype == jnp.bfloat16 else jnp.float32
-        xe = x[:, 0::2].astype(cdt)
-        xo = x[:, 1::2].astype(cdt)
-        b = bias.reshape(1, n).astype(jnp.float32) if bias is not None else None
-        return _int4_matmul_pallas(
-            xe, xo, packed, scales, b, group=group, activation=activation,
-            out_dtype=out_dtype, block_m=bm, block_n=bn, block_k=bk,
-            interpret=interpret, scale_in_epilogue=m <= 64)
-    return int4_matmul_xla(x, packed, scales, group, bias,
-                           activation=activation, out_dtype=out_dtype)
+        bm, bn, hk = blocks
+        if a8:
+            absmax = jnp.max(jnp.abs(x), axis=-1, keepdims=True)
+            tok_scale = jnp.maximum(absmax.astype(jnp.float32), 1e-8) / 127.0
+            out = _int4_matmul_pallas(
+                x, packed, scales, tok_scale, layer, group=group, block_m=bm,
+                block_n=bn, block_hk=hk, interpret=interpret, a8=True)
+        else:
+            cdt = x.dtype if x.dtype == jnp.bfloat16 else jnp.float32
+            out = _int4_matmul_pallas(
+                x.astype(cdt), packed, scales, None, layer, group=group,
+                block_m=bm, block_n=bn, block_hk=hk, interpret=interpret,
+                a8=False)
+        return _epilogue(out, bias, activation, out_dtype)
+    if packed.shape[0] == 1:
+        p2, s2 = packed[0], scales[0]
+    else:
+        p2 = jax.lax.dynamic_index_in_dim(packed, layer, 0, keepdims=False)
+        s2 = jax.lax.dynamic_index_in_dim(scales, layer, 0, keepdims=False)
+    return int4_matmul_xla(x, p2, s2, group, bias,
+                           activation=activation, out_dtype=out_dtype, a8=a8)

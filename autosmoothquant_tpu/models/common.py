@@ -127,7 +127,7 @@ def quant_linear(x: jnp.ndarray, p: dict, cfg: QuantConfig, granularity: str,
         from ..kernels.int4 import int4_matmul
 
         out = int4_matmul(x2, p["w"], p["w_scales"], bias=bias,
-                          out_dtype=out_dtype)
+                          out_dtype=out_dtype, layer=p.get("layer"))
         return out.reshape(*lead, -1)
 
     if cfg.type == "int8":
@@ -202,7 +202,7 @@ def fused_linear(x: jnp.ndarray, p: dict, qcfg: Optional[QuantConfig],
         from ..kernels.int4 import int4_matmul
 
         out = int4_matmul(x2, p["w"], p["w_scales"], bias=p.get("bias"),
-                          out_dtype=compute_dtype)
+                          out_dtype=compute_dtype, layer=p.get("layer"))
         return out.reshape(*lead, -1)
     if p["w"].dtype != jnp.int8:
         # fp8 fused path: dequant via col vector after the fp8 dot
@@ -229,6 +229,33 @@ def fused_linear(x: jnp.ndarray, p: dict, qcfg: Optional[QuantConfig],
         out = int8_matmul(q, p["w"], col_scale=p["dequant_scale"],
                           bias=p.get("bias"), out_dtype=compute_dtype)
     return out.reshape(*lead, -1)
+
+
+def int4_scan_view(tree, l):
+    """Per-layer view of a STACKED int4 layer pytree for a lax.scan body
+    running with xs=None. Packed weights (uint8) and their group scales
+    stay stacked with the traced layer index attached — kernels/int4.py
+    indexes them via scalar-prefetched BlockSpec index maps, which is the
+    only way to feed a pallas_call from a stacked array without XLA
+    materializing a full per-layer copy each step (custom-call operands
+    cannot fuse a dynamic_slice). Small leaves (norms, biases) are sliced
+    normally."""
+    def idx(a):
+        return jax.lax.dynamic_index_in_dim(a, l, 0, keepdims=False)
+
+    def walk(node):
+        if isinstance(node, dict):
+            w = node.get("w")
+            if w is not None and getattr(w, "dtype", None) == jnp.uint8:
+                out = {"w": w, "w_scales": node["w_scales"], "layer": l}
+                for k_, v in node.items():
+                    if k_ not in ("w", "w_scales"):
+                        out[k_] = idx(v)
+                return out
+            return {k_: walk(v) for k_, v in node.items()}
+        return idx(node)
+
+    return walk(tree)
 
 
 def linear_prequant(x_q: jnp.ndarray, p: dict, compute_dtype) -> jnp.ndarray:

@@ -40,6 +40,7 @@ from .common import (
     decode_window,
     fused_add_norm_quant,
     fused_block_enabled,
+    int4_scan_view,
     make_kv_cache,
     uncached_mask_and_positions,
     update_and_attend,
@@ -376,11 +377,30 @@ def forward(params, input_ids: jnp.ndarray, cfg: LlamaConfig,
         ys = (new_cache, stats) if capture_stats else (new_cache, None)
         return hh, ys
 
+    # int4 packed weights must NOT ride the scan xs: slicing them per layer
+    # to feed the Pallas kernel costs a full materialized copy of the packed
+    # bytes every step (measured: it erased the entire W4 bandwidth win at
+    # 7B). Instead scan over nothing and give the body a layer VIEW whose
+    # packed leaves stay stacked, indexed in-kernel (common.int4_scan_view).
+    int4_stacked = quant_config is not None and quant_config.is_int4
+
     if kv_cache is None:
-        # scan needs a pytree with a leading L axis; use a dummy per-layer None
-        h, (new_caches, stats) = jax.lax.scan(
-            lambda c, lp: step(c, (lp, None)), h, params["layers"]
-        )
+        if int4_stacked:
+            def step_nc(carry, _):
+                hh, l = carry
+                lp = int4_scan_view(params["layers"], l)
+                hh, ys = step(hh, (lp, None))
+                return (hh, l + 1), ys
+
+            (h, _), (new_caches, stats) = jax.lax.scan(
+                step_nc, (h, jnp.int32(0)), None,
+                length=cfg.num_hidden_layers)
+        else:
+            # scan needs a pytree with a leading L axis; use a dummy
+            # per-layer None
+            h, (new_caches, stats) = jax.lax.scan(
+                lambda c, lp: step(c, (lp, None)), h, params["layers"]
+            )
         new_kv = None
     else:
         # the cache rides in the scan CARRY (token-only scatter writes per
@@ -389,6 +409,8 @@ def forward(params, input_ids: jnp.ndarray, cfg: LlamaConfig,
         # copy traffic (see common.carry_update_and_attend)
         def step_carry(carry, lp):
             hh, cache, l = carry
+            if lp is None:          # int4: stacked weights, in-kernel index
+                lp = int4_scan_view(params["layers"], l)
             hh, cache, st = _layer_forward(
                 hh, lp, cfg, quant_config, cos, sin, mask, (cache, l),
                 cache_index, capture_stats, compute_dtype, window=window,
@@ -397,7 +419,9 @@ def forward(params, input_ids: jnp.ndarray, cfg: LlamaConfig,
             return (hh, cache, l + 1), (st if capture_stats else None)
 
         (h, new_kv, _), stats = jax.lax.scan(
-            step_carry, (h, kv_cache, jnp.int32(0)), params["layers"])
+            step_carry, (h, kv_cache, jnp.int32(0)),
+            None if int4_stacked else params["layers"],
+            length=cfg.num_hidden_layers if int4_stacked else None)
 
     h = rms_norm(h, params["final_norm"]["w"], cfg.rms_norm_eps).astype(compute_dtype)
     return h, new_kv, (stats if capture_stats else None)

@@ -198,40 +198,85 @@ def fake_quantize_fp8_per_token(x: jnp.ndarray, dtype=jnp.float8_e4m3fn):
 INT4_MAX = 7.0
 INT4_GROUP_DEFAULT = 128
 
+# Relative per-byte cost of the W4A8 kernel by k-block depth (block_hk),
+# measured on v5e at M=8 N=4096 (kernels/int4.py): small k-blocks cannot
+# pipeline the packed-weight DMA. Used to decide how far to zero-pad K so
+# K/2 gains large power-of-two factors (e.g. llama-7B down_proj K=11008
+# only factors as 128*43 packed rows -> hk=128 runs 3.4x slower per byte
+# than hk=2048; padding to K=12288 costs +11.6% bytes but wins 1.44x).
+_INT4_HK_COST = {128: 3.4, 256: 2.0, 512: 1.5, 1024: 1.1, 2048: 1.0}
 
-def quantize_weight_int4_grouped(w: jnp.ndarray, group_size: int = INT4_GROUP_DEFAULT):
+
+def int4_padded_k(K: int, group_size: int = INT4_GROUP_DEFAULT) -> int:
+    """Storage K' >= K minimizing (padded bytes) x (per-byte cost of the
+    best k-block the padded shape admits). K' is always a multiple of
+    2*group_size so the split-K planes stay group-aligned."""
+    best = None
+    hk = group_size
+    while True:
+        kp = -(-K // (2 * hk)) * (2 * hk)           # K' mult of 2*hk
+        cost = kp * _INT4_HK_COST.get(hk, 1.0 if hk >= 2048 else 4.0)
+        if best is None or cost < best[0] or (cost == best[0] and kp < best[1]):
+            best = (cost, kp)
+        if hk >= 2048:
+            break
+        hk *= 2
+    return best[1]
+
+
+def quantize_weight_int4_grouped(w: jnp.ndarray, group_size: int = INT4_GROUP_DEFAULT,
+                                 pad: bool = True):
     """Symmetric per-group absmax int4 weight quant + nibble packing.
 
     ``w``: [K, N] float (K = input dim). Each group of ``group_size``
     consecutive input rows of a column shares one scale (absmax / 7).
-    Values are packed two-per-byte along K: byte k holds unpacked row 2k in
-    the low nibble and row 2k+1 in the high nibble. Rows 2k / 2k+1 always sit
-    in the same group (group_size is even), so one scale row covers both
-    nibbles of a packed row — the matmul kernel never interleaves.
 
-    Returns (packed uint8 [K//2, N], scales f32 [K//group_size, N]).
+    Packing is SPLIT-K, two-per-byte: byte r holds unpacked row r in the
+    low nibble and row r + K/2 in the high nibble. Any contiguous packed
+    row-block therefore maps to two CONTIGUOUS unpacked row ranges — the
+    matmul kernel addresses the activation and the scale table with plain
+    block offsets, never a strided slice or interleave.
+
+    Nibbles are stored in OFFSET BINARY (stored = q + 8, in [0, 15]): the
+    kernel then unpacks with just mask/shift (no sign-extension ops on the
+    big operand) and folds the -8 offset into one tiny
+    ``8 * (group_sums(x) @ scales)`` correction dot — measured 14.8us vs
+    21.8us for signed nibbles at M=8 K=N=4096 on v5e.
+
+    With ``pad`` (the default), K is first zero-padded to
+    ``int4_padded_k(K)`` so the packed planes gain large power-of-two
+    factors (fast k-blocks in the kernel). Zero rows quantize to the
+    offset-nibble 8 with a clamped epsilon scale, and the matmul entry
+    point zero-pads the activation columns to match, so padding is exact.
+
+    Returns (packed uint8 [K'//2, N], scales f32 [K'//group_size, N]).
     """
     K, N = w.shape
-    if group_size % 2 or K % group_size:
-        raise ValueError(f"K={K} must be a multiple of even group_size={group_size}")
+    if group_size % 2 or K % group_size or (K // 2) % group_size:
+        raise ValueError(
+            f"K={K} and K/2 must be multiples of even group_size={group_size}")
+    if pad:
+        kp = int4_padded_k(K, group_size)
+        if kp > K:
+            w = jnp.concatenate(
+                [w, jnp.zeros((kp - K, N), w.dtype)], axis=0)
+            K = kp
     wf = w.astype(jnp.float32).reshape(K // group_size, group_size, N)
     scales = jnp.max(jnp.abs(wf), axis=1) / INT4_MAX          # [G, N]
     scales = jnp.maximum(scales, 1e-8)
     q = jnp.clip(jnp.round(wf / scales[:, None, :]), -8, 7)
-    q = q.reshape(K, N).astype(jnp.int32)
-    lo = q[0::2] & 0xF
-    hi = (q[1::2] & 0xF) << 4
-    return (lo | hi).astype(jnp.uint8), scales.astype(jnp.float32)
+    n = (q.reshape(K, N) + 8.0).astype(jnp.int32)             # offset binary
+    half = K // 2
+    return (n[:half] | (n[half:] << 4)).astype(jnp.uint8), \
+        scales.astype(jnp.float32)
 
 
 def unpack_int4(packed: jnp.ndarray):
-    """uint8 [K//2, N] -> (lo, hi) int8 [K//2, N] sign-extended nibbles.
-    lo = unpacked rows 0::2, hi = rows 1::2."""
+    """uint8 [K//2, N] -> (lo, hi) int8 [K//2, N] SIGNED values (offset
+    removed). lo = unpacked rows [0, K/2), hi = rows [K/2, K)."""
     p = packed.astype(jnp.int32)
-    lo = p & 0xF
-    hi = (p >> 4) & 0xF
-    lo = lo - ((lo & 0x8) << 1)   # sign-extend 4 -> 32 bit
-    hi = hi - ((hi & 0x8) << 1)
+    lo = (p & 0xF) - 8
+    hi = (p >> 4) - 8
     return lo.astype(jnp.int8), hi.astype(jnp.int8)
 
 
@@ -240,7 +285,7 @@ def dequantize_int4_grouped(packed: jnp.ndarray, scales: jnp.ndarray,
     """Inverse of quantize_weight_int4_grouped: full [K, N] weights."""
     lo, hi = unpack_int4(packed)
     K2, N = packed.shape
-    q = jnp.stack([lo, hi], axis=1).reshape(2 * K2, N)        # re-interleave
+    q = jnp.concatenate([lo, hi], axis=0)                     # split-K halves
     G = scales.shape[0]
     group = (2 * K2) // G
     qf = q.reshape(G, group, N).astype(jnp.float32) * scales[:, None, :]

@@ -25,9 +25,8 @@ def test_pack_roundtrip_exact():
     p, s = qm.quantize_weight_int4_grouped(w, 32)
     assert p.dtype == jnp.uint8 and p.shape == (128, 64)
     assert s.shape == (8, 64)
-    lo, hi = qm.unpack_int4(p)
-    q = np.zeros((256, 64), np.int8)
-    q[0::2], q[1::2] = np.asarray(lo), np.asarray(hi)
+    lo, hi = qm.unpack_int4(p)   # signed split-K planes (offset removed)
+    q = np.concatenate([np.asarray(lo), np.asarray(hi)], axis=0)
     want = np.clip(np.round(
         np.asarray(w).reshape(8, 32, 64) / np.asarray(s)[:, None, :]),
         -8, 7).reshape(256, 64)
@@ -44,29 +43,63 @@ def test_dequant_error_bound():
     assert (np.abs(wd - np.asarray(w)) <= srep / 2 + 1e-6).all()
 
 
-def test_matmul_xla_matches_dequant_oracle():
+def test_matmul_xla_w4a16_matches_dequant_oracle():
     x = _rand((16, 256), 2)
     w = _rand((256, 128), 3)
     b = _rand((128,), 4)
     p, s = qm.quantize_weight_int4_grouped(w, 64)
     wd = qm.dequantize_int4_grouped(p, s, jnp.float32)
     want = np.asarray(x @ wd + b)
-    got = np.asarray(int4_matmul_xla(x, p, s, 64, b, out_dtype=jnp.float32))
+    got = np.asarray(int4_matmul_xla(x, p, s, 64, b, out_dtype=jnp.float32,
+                                     a8=False))
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
 
 
-@pytest.mark.parametrize("scale_in_epilogue", [True, False])
-def test_pallas_kernel_parity(scale_in_epilogue):
+def _w4a8_oracle(x, p, s, group):
+    """Numpy W4A8 reference: per-token int8 acts, exact per-group integer
+    dots, scale-then-sum."""
+    xn = np.asarray(x)
+    amax = np.maximum(np.abs(xn).max(-1, keepdims=True), 1e-8)
+    ts = amax / 127.0
+    q = np.clip(np.round(xn / ts), -128, 127)
+    lo, hi = qm.unpack_int4(p)
+    k = xn.shape[1]
+    wq = np.concatenate([np.asarray(lo), np.asarray(hi)],
+                        axis=0).astype(np.float64)
+    G = np.asarray(s).shape[0]
+    part = np.einsum("mgk,gkn->mgn", q.reshape(q.shape[0], G, k // G),
+                     wq.reshape(G, k // G, -1))
+    return (part * np.asarray(s)[None]).sum(1) * ts
+
+
+def test_matmul_xla_w4a8_matches_oracle():
+    x = _rand((16, 256), 2)
+    w = _rand((256, 128), 3)
+    p, s = qm.quantize_weight_int4_grouped(w, 64)
+    want = _w4a8_oracle(x, p, s, 64)
+    got = np.asarray(int4_matmul_xla(x, p, s, 64, out_dtype=jnp.float32,
+                                     a8=True))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("a8", [True, False])
+def test_pallas_kernel_parity(a8):
     x = _rand((16, 256), 5)
     w = _rand((256, 128), 6)
-    b = _rand((128,), 7)
     p, s = qm.quantize_weight_int4_grouped(w, 64)
-    wd = qm.dequantize_int4_grouped(p, s, jnp.float32)
-    want = np.asarray(x @ wd + b)
-    got = np.asarray(_int4_matmul_pallas(
-        x[:, 0::2], x[:, 1::2], p, s, b.reshape(1, -1), group=64,
-        out_dtype=jnp.float32, block_m=8, block_n=128, block_k=128,
-        interpret=True, scale_in_epilogue=scale_in_epilogue))
+    if a8:
+        want = _w4a8_oracle(x, p, s, 64)
+        amax = np.maximum(np.abs(np.asarray(x)).max(-1, keepdims=True), 1e-8)
+        ts = jnp.asarray((amax / 127.0).astype(np.float32))
+        got = np.asarray(_int4_matmul_pallas(
+            x, p[None], s[None], ts, 0, group=64, block_m=8, block_n=128,
+            block_hk=64, interpret=True, a8=True))
+    else:
+        wd = qm.dequantize_int4_grouped(p, s, jnp.float32)
+        want = np.asarray(x @ wd)
+        got = np.asarray(_int4_matmul_pallas(
+            x, p[None], s[None], None, 0, group=64, block_m=8, block_n=128,
+            block_hk=64, interpret=True, a8=False))
     np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-3)
 
 
