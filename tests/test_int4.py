@@ -183,3 +183,29 @@ def test_int4_fused_projections_equal_unfused():
     a = np.asarray(L.forward_jit(qparams, ids, cfg, qcfg)[0])
     b = np.asarray(L.forward_jit(fused, ids, cfg, qcfg)[0])
     np.testing.assert_allclose(a, b, rtol=2e-3, atol=2e-3)
+
+
+@pytest.mark.parametrize("shape,axes", [((1, 2), ("data", "model")),
+                                        ((2, 1), ("data", "model")),
+                                        ((1, 8), ("data", "model"))])
+def test_int4_engine_tp_dp_token_equality(shape, axes):
+    """INT4 packed weights ride the TP/DP mesh unchanged: the packed [K/2, N]
+    byte array takes the same column/row specs as an int8 w, group scales
+    replicate, and sharded generation is token-identical to single-device."""
+    from jax.sharding import Mesh
+
+    from autosmoothquant_tpu.serve.engine import Engine, GenerationConfig
+
+    L, cfg, params = _tiny_llama()
+    qparams, qcfg = _quantize_int4(L, cfg, params)
+    rng = np.random.default_rng(7)
+    prompts = [list(map(int, rng.integers(0, 512, size=12))),
+               list(map(int, rng.integers(0, 512, size=7)))]
+    g = GenerationConfig(max_new_tokens=8)
+    ref = Engine(L, qparams, cfg, qcfg, max_batch=2,
+                 max_seq=64).generate(prompts, g)
+    n = shape[0] * shape[1]
+    mesh = Mesh(np.array(jax.devices()[:n]).reshape(shape), axes)
+    got = Engine(L, qparams, cfg, qcfg, max_batch=2, max_seq=64,
+                 mesh=mesh).generate(prompts, g)
+    assert got == ref
