@@ -38,6 +38,7 @@ from ..quant import math as qmath
 from ..quant.config import PER_TENSOR, PER_TOKEN, QuantConfig
 from .common import (
     KVCacheLayer,
+    PAGED_POOL_TYPES,
     cache_mask_and_routing,
     cache_slots,
     decode_window,
@@ -176,7 +177,7 @@ def _layer_forward(h, lp, cfg, qcfg, cos, sin, mask, alibi, cache,
                    cache_index, capture, compute_dtype,
                    plain_causal: bool = False, window=None,
                    chunk0: bool = False, banded: bool = False,
-                   banded_starts=None, kv_window=None):
+                   banded_starts=None, kv_window=None, alibi_slopes=None):
     b, t, d = h.shape
     hd = cfg.head_dim
     n_h = cfg.num_attention_heads
@@ -197,11 +198,14 @@ def _layer_forward(h, lp, cfg, qcfg, cos, sin, mask, alibi, cache,
         k = apply_rope(k, cos, sin)
 
     if isinstance(cache, tuple):  # carry mode: (full [L,...] cache, layer l)
+        # alibi_slopes is consumed only by the paged-pool branch (the dense
+        # [H, T, S_max] bias has no S_max axis there)
         new_cache, ctx = update_and_attend(
             q, k, v, None, cache_index, mask, 1.0 / math.sqrt(hd),
             compute_dtype, window=window, alibi_bias=alibi, carry=cache,
             chunk0_causal=chunk0, banded=banded,
-            banded_starts=banded_starts, kv_window=kv_window)
+            banded_starts=banded_starts, kv_window=kv_window,
+            alibi_slopes=alibi_slopes)
     else:
         new_cache, ctx = update_and_attend(
             q, k, v, cache, cache_index, mask, 1.0 / math.sqrt(hd),
@@ -265,14 +269,22 @@ def forward(params, input_ids: jnp.ndarray, cfg: BaichuanConfig,
             b, t, positions, attention_mask)
         key_pos = jnp.arange(t, dtype=jnp.int32)
 
+    paged = isinstance(kv_cache, PAGED_POOL_TYPES)
+    slopes = None
     if cfg.position_embedding == "ROPE":
         cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta)
         alibi = None
+    elif paged:
+        # paged pool: no S_max axis for a dense bias — hand the raw slopes
+        # to paged_attend, which applies m_h * key_pos in its block scan
+        cos = sin = None
+        alibi = None
+        slopes = alibi_slopes(cfg.num_attention_heads)
     else:
         cos = sin = None
         # bias[h, q, k] = m_h * k_slot (shift-invariant form of m_h*(k-q))
-        slopes = alibi_slopes(cfg.num_attention_heads)
-        alibi = (slopes[:, None, None]
+        slopes_ = alibi_slopes(cfg.num_attention_heads)
+        alibi = (slopes_[:, None, None]
                  * key_pos.astype(jnp.float32)[None, None, :])
         alibi = jnp.broadcast_to(
             alibi, (cfg.num_attention_heads, t, key_pos.shape[0]))
@@ -300,7 +312,8 @@ def forward(params, input_ids: jnp.ndarray, cfg: BaichuanConfig,
                 hh, lp, cfg, quant_config, cos, sin, mask, alibi, (cache, l),
                 cache_index, capture_stats, compute_dtype, window=window,
                 chunk0=chunk0, banded=chunkN,
-                banded_starts=pad_starts, kv_window=kv_window)
+                banded_starts=pad_starts, kv_window=kv_window,
+                alibi_slopes=slopes)
             return (hh, cache, l + 1), (st if capture_stats else None)
 
         (h, new_kv, _), stats = jax.lax.scan(

@@ -430,7 +430,8 @@ def _paged_write(pages, val, l, table, positions):
 
 
 def paged_attend(q, k_pages, v_pages, table, pos_q, scale, compute_dtype,
-                 m_used=None, ks_pages=None, vs_pages=None):
+                 m_used=None, ks_pages=None, vs_pages=None,
+                 alibi_slopes=None, sliding_window=0):
     """Online-softmax attention over block-paged KV — pure lax (scan over
     virtual blocks), so it runs INSIDE the decode layer-scan without the
     nested-pallas execution hazard this runtime has (ROADMAP "Environment
@@ -444,12 +445,20 @@ def paged_attend(q, k_pages, v_pages, table, pos_q, scale, compute_dtype,
     contiguous path), so self-attention needs no separate in-chunk pass.
     ks_pages/vs_pages: optional int8-cache dequant scale pages
     [N, bs, Hkv] — factored out of the matmuls exactly like the
-    contiguous raw-int8 attend (scores *= ks, probs *= vs)."""
+    contiguous raw-int8 attend (scores *= ks, probs *= vs).
+
+    alibi_slopes: optional f32 [Hq] — adds the Baichuan-13B shift-invariant
+    ALiBi bias m_h * key_pos to the scores (models/baichuan.py builds the
+    same bias[h, q, k] = m_h * k form for the contiguous path).
+    sliding_window: > 0 restricts keys to (pos_q - window, pos_q] — HF
+    eager Mistral semantics, matching cache_mask_and_routing's mask."""
     b, t, hq, d = q.shape
     n, bs, hkv, _ = k_pages.shape
     m = table.shape[1] if m_used is None else min(m_used, table.shape[1])
     g = hq // hkv
     qf = (q.astype(jnp.float32) * scale).reshape(b, t, hkv, g, d)
+    slp = (alibi_slopes.astype(jnp.float32).reshape(hkv, g)
+           if alibi_slopes is not None else None)
     neg = jnp.float32(-1e30)
 
     def blk(carry, j):
@@ -462,7 +471,13 @@ def paged_attend(q, k_pages, v_pages, table, pos_q, scale, compute_dtype,
             ks = ks_pages[pid]                   # [B, bs, Hkv]
             sc = sc * jnp.transpose(ks, (0, 2, 1))[:, None, :, None, :]
         posk = j * bs + jnp.arange(bs, dtype=jnp.int32)
+        if slp is not None:
+            sc = sc + (slp[None, None, :, :, None]
+                       * posk.astype(jnp.float32)[None, None, None, None, :])
         valid = posk[None, None, :] <= pos_q[:, :, None]        # [B,T,bs]
+        if sliding_window:
+            valid = valid & (posk[None, None, :]
+                             > pos_q[:, :, None] - sliding_window)
         sc = jnp.where(valid[:, :, None, None, :], sc, neg)
         bmx = jnp.max(sc, axis=-1)                              # [B,T,Hkv,G]
         nmx = jnp.maximum(mx, bmx)
@@ -486,10 +501,12 @@ def paged_attend(q, k_pages, v_pages, table, pos_q, scale, compute_dtype,
 
 
 def paged_update_and_attend(q, k, v, carry, cache_index, scale,
-                            compute_dtype, kv_window=None):
+                            compute_dtype, kv_window=None,
+                            alibi_slopes=None, sliding_window=0):
     """Carry-mode write+attend against a PagedKVPool (decode steps and
-    suffix-chunk prefill). No ALiBi/sliding-window support yet — the paged
-    engine serves the llama family (see serve/paged.py)."""
+    suffix-chunk prefill). ALiBi (Baichuan-13B) rides as per-head slopes;
+    sliding window (Mistral) masks inside the block scan — every model
+    family serves paged (VERDICT r3 item 3)."""
     cache_full, l = carry
     b, t = q.shape[:2]
     pos = cache_slots(cache_index, b, t)
@@ -520,7 +537,9 @@ def paged_update_and_attend(q, k, v, carry, cache_index, scale,
     bs = cache_full.k.shape[2]
     m_used = (-(-kv_window // bs)) if kv_window is not None else None
     ctx = paged_attend(q, kl, vl, new_cache.table, pos, scale, compute_dtype,
-                       m_used=m_used, ks_pages=ks_l, vs_pages=vs_l)
+                       m_used=m_used, ks_pages=ks_l, vs_pages=vs_l,
+                       alibi_slopes=alibi_slopes,
+                       sliding_window=sliding_window)
     return new_cache, ctx
 
 
@@ -622,10 +641,12 @@ def cache_mask_and_routing(kv_cache, cache_index, b: int, t: int,
     the kernel's per-row start)."""
     assert cache_index is not None
     if isinstance(kv_cache, PAGED_POOL_TYPES):
-        # paged pool: masking happens inside paged_attend (key position <=
-        # query position via the block table); no [B, S_max] mask exists
-        assert kv_valid is None and pad_starts is None and not sliding_window, \
-            "paged KV serves unpadded prompts without sliding windows"
+        # paged pool: masking (incl. sliding window) happens inside
+        # paged_attend via block-table key positions; no [B, S_max] mask
+        # exists. The family passes cfg.sliding_window / ALiBi slopes
+        # through to update_and_attend directly.
+        assert kv_valid is None and pad_starts is None, \
+            "paged KV serves unpadded prompts"
         return cache_slots(cache_index, b, t), None, None, False, False
     s_max = kv_cache.k.shape[2]
     slots = cache_slots(cache_index, b, t)
@@ -862,7 +883,8 @@ def _run_banded_kernel(mesh, q, k_row, v_row, pos, starts, *, scale,
 def update_and_attend(q, k, v, cache, cache_index, mask, scale, compute_dtype,
                       *, window=None, alibi_bias=None, plain_causal=False,
                       carry=None, chunk0_causal=False, banded=False,
-                      banded_starts=None, kv_window=None):
+                      banded_starts=None, kv_window=None,
+                      alibi_slopes=None, sliding_window=0):
     """Cache write + attention for one layer, routing the single-token decode
     step through the flash-decode Pallas kernel when possible (in-VMEM int8
     dequant — the production form of the reference's vestigial int8 BMM
@@ -881,9 +903,13 @@ def update_and_attend(q, k, v, cache, cache_index, mask, scale, compute_dtype,
     b, t = q.shape[:2]
     full_cache = carry[0] if carry is not None else cache
     if isinstance(full_cache, PAGED_POOL_TYPES):
+        # ALiBi arrives as per-head slopes (alibi_slopes), never as the
+        # dense [H, T, S_max] bias tensor — there is no S_max axis paged
         assert carry is not None and alibi_bias is None and window is None
         return paged_update_and_attend(q, k, v, carry, cache_index, scale,
-                                       compute_dtype, kv_window=kv_window)
+                                       compute_dtype, kv_window=kv_window,
+                                       alibi_slopes=alibi_slopes,
+                                       sliding_window=sliding_window)
     if chunk0_causal and t > 1 and alibi_bias is None and full_cache is not None:
         if carry is not None:
             cache_full, l = carry

@@ -238,10 +238,13 @@ def _layer_forward(h, lp, cfg: LlamaConfig, qcfg: Optional[QuantConfig],
     k = apply_rope(k, cos, sin)
 
     if isinstance(cache, tuple):  # carry mode: (full [L,...] cache, layer l)
+        # sliding_window is consumed only by the paged-pool branch; the
+        # contiguous paths already encode it in mask/window
         new_cache, ctx = update_and_attend(
             q, k, v, None, cache_index, mask, 1.0 / math.sqrt(hd),
             compute_dtype, window=window, carry=cache, chunk0_causal=chunk0, banded=banded,
-            banded_starts=banded_starts, kv_window=kv_window)
+            banded_starts=banded_starts, kv_window=kv_window,
+            sliding_window=cfg.sliding_window)
     else:
         new_cache, ctx = update_and_attend(
             q, k, v, cache, cache_index, mask, 1.0 / math.sqrt(hd),

@@ -262,6 +262,100 @@ def decode_tps(L, cfg, qcfg, params, *, batch, prompt_len, s_max,
     return batch / per_step  # tokens/s across the batch
 
 
+def paged_decode_tps(L, cfg, qcfg, params, *, batch, prompt_len, s_max,
+                     block=64, n_lo=None, n_hi=None, reps=None,
+                     kv_dtype=None):
+    """decode_tps through the BLOCK-PAGED KV layout: attention gathers
+    mapped pages (paged_attend) instead of dynamic-slicing a scan-carried
+    [L,B,S,H,D] tensor — the per-layer unfused slice copy that caps the
+    contiguous b8/s2048 ratio (BENCHMARKS.md round-3 ablation) does not
+    exist in this layout. Each row owns contiguous pages (the engine's
+    allocator is irrelevant to per-step cost)."""
+    import jax
+    import jax.numpy as jnp
+
+    from autosmoothquant_tpu.models.common import PagedKVPool, \
+        QuantPagedKVPool
+
+    n_lo = n_lo or int(os.environ.get("ASQ_BENCH_NLO", "8"))
+    n_hi = n_hi or int(os.environ.get("ASQ_BENCH_NHI", "136"))
+    reps = reps or int(os.environ.get("ASQ_BENCH_REPS", "5"))
+    if kv_dtype is None:
+        kv_dtype = jnp.int8 if os.environ.get("ASQ_BENCH_KV") == "int8" \
+            else jnp.bfloat16
+
+    bps = -(-s_max // block)                      # blocks per slot
+    n_pages = batch * bps + 1                     # page 0 = scratch
+    n_kv = getattr(cfg, "num_key_value_heads", None) or \
+        cfg.num_attention_heads
+    shape = (cfg.num_hidden_layers, n_pages, block, n_kv, cfg.head_dim)
+    table = (1 + np.arange(batch * bps, dtype=np.int32)
+             ).reshape(batch, bps)
+    if kv_dtype == jnp.int8:
+        pool = QuantPagedKVPool(
+            k=jnp.zeros(shape, jnp.int8), v=jnp.zeros(shape, jnp.int8),
+            k_scale=jnp.ones(shape[:-1], jnp.float32),
+            v_scale=jnp.ones(shape[:-1], jnp.float32),
+            table=jnp.asarray(table))
+    else:
+        pool = PagedKVPool(k=jnp.zeros(shape, kv_dtype),
+                           v=jnp.zeros(shape, kv_dtype),
+                           table=jnp.asarray(table))
+    ids = jnp.asarray(np.random.default_rng(0).integers(
+        0, cfg.vocab_size, size=(batch, prompt_len)), jnp.int32)
+
+    @jax.jit
+    def prefill(params, ids, pool):
+        h, pool, _ = L.forward(params, ids, cfg, qcfg, kv_cache=pool,
+                               cache_index=0, compute_dtype=jnp.bfloat16)
+        tok = jnp.argmax(L.logits(params, h[:, -1:, :])[:, 0],
+                         -1).astype(jnp.int32)
+        return tok, pool
+
+    # static live-block bound — the paged analog of kv_window
+    need = prompt_len + n_hi + 1
+    kv_window = min(-(-need // 256) * 256, s_max)
+    if kv_window >= s_max:
+        kv_window = None
+
+    @jax.jit
+    def decode_n(params, tok, pool, nsteps):
+        def body(_, carry):
+            tok, pool, slot = carry
+            h, pool, _ = L.forward(params, tok[:, None], cfg, qcfg,
+                                   kv_cache=pool, cache_index=slot,
+                                   kv_window=kv_window,
+                                   compute_dtype=jnp.bfloat16)
+            nxt = jnp.argmax(L.logits(params, h)[:, 0], -1).astype(jnp.int32)
+            return (nxt, pool, slot + 1)
+
+        tok2, _, _ = jax.lax.fori_loop(
+            0, nsteps, body, (tok, pool, jnp.int32(prompt_len)))
+        return tok2
+
+    def run(f):
+        return np.asarray(jax.device_get(f(params, tok, pool)))
+
+    tok, pool = prefill(params, ids, pool)
+    tok = jnp.asarray(np.asarray(jax.device_get(tok)))
+    f_lo = lambda p, t, c: decode_n(p, t, c, n_lo)
+    f_hi = lambda p, t, c: decode_n(p, t, c, n_hi)
+    run(f_lo)
+    run(f_hi)
+    slopes = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        run(f_lo)
+        t_lo = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        run(f_hi)
+        t_hi = time.perf_counter() - t0
+        slopes.append((t_hi - t_lo) / (n_hi - n_lo))
+    per_step = float(np.median(slopes))
+    assert per_step > 0, f"timing noise exceeded signal: {slopes}"
+    return batch / per_step
+
+
 def churn_tps(L, cfg, qcfg, params, *, slots=8, n_requests=32,
               mean_prompt=128, max_new=64, s_max=1024, seed=0,
               arrival_lam=4.0):
@@ -381,9 +475,16 @@ def main():
                             s_max=s_max)
         del params
         gc.collect()
-        params = build_params(cfg, "int8")
-        tps_i8 = decode_tps(L, cfg, QuantConfig(type="int8"), params,
-                            batch=batch, prompt_len=prompt_len, s_max=s_max)
+        if os.environ.get("ASQ_BENCH_REF_I8"):
+            # big presets (13B): the int8 arm cannot coexist with the int4
+            # HBM residue in one process — measure it in its own process
+            # (plain bench.py run at the same shape) and pass it in
+            tps_i8 = float(os.environ["ASQ_BENCH_REF_I8"])
+        else:
+            params = build_params(cfg, "int8")
+            tps_i8 = decode_tps(L, cfg, QuantConfig(type="int8"), params,
+                                batch=batch, prompt_len=prompt_len,
+                                s_max=s_max)
         print(json.dumps({
             "metric": f"decode_tok_per_s_w4a16_{preset}_b{batch}_s{s_max}",
             "value": round(tps_i4, 2), "unit": "tok/s",
@@ -644,6 +745,51 @@ def main():
             "value": round(results["paged"], 1), "unit": "tok/s",
             "vs_baseline": round(results["paged"] / results["contig"], 3),
             "contiguous_tok_per_s": round(results["contig"], 1),
+        }))
+        return
+    if os.environ.get("ASQ_BENCH_MODE") == "pageddecode":
+        # per-step decode A/B of the PAGED KV layout vs the contiguous
+        # scan-carried cache at the north-star serving shape (VERDICT r3
+        # item 1: the contiguous layout pays an unfused per-layer
+        # dynamic_slice copy; the paged layout gathers mapped pages).
+        # Also reports the int8-vs-bf16 ratio THROUGH the paged layout.
+        import gc
+
+        import jax.numpy as jnp
+
+        from autosmoothquant_tpu.models import llama as L
+        from autosmoothquant_tpu.quant.config import QuantConfig
+
+        preset = os.environ.get("ASQ_BENCH_PRESET", "tinyllama")
+        batch = int(os.environ.get("ASQ_BENCH_BATCH", "8"))
+        s_max = int(os.environ.get("ASQ_BENCH_SMAX", "2048"))
+        prompt_len = int(os.environ.get("ASQ_BENCH_PROMPT", "1024"))
+        block = int(os.environ.get("ASQ_BENCH_BLOCK", "64"))
+        cfg = get_cfg(preset)
+        qcfg = QuantConfig(type="int8")
+        params = build_params(cfg, "int8")
+        paged_i8 = paged_decode_tps(L, cfg, qcfg, params, batch=batch,
+                                    prompt_len=prompt_len, s_max=s_max,
+                                    block=block)
+        contig_i8 = decode_tps(L, cfg, qcfg, params, batch=batch,
+                               prompt_len=prompt_len, s_max=s_max)
+        del params
+        gc.collect()
+        params = build_params(cfg, "bf16")
+        paged_bf = paged_decode_tps(L, cfg, None, params, batch=batch,
+                                    prompt_len=prompt_len, s_max=s_max,
+                                    block=block)
+        contig_bf = decode_tps(L, cfg, None, params, batch=batch,
+                               prompt_len=prompt_len, s_max=s_max)
+        print(json.dumps({
+            "metric": (f"paged_decode_tok_per_s_{preset}_b{batch}"
+                       f"_s{s_max}_blk{block}"),
+            "value": round(paged_i8, 2), "unit": "tok/s",
+            "vs_baseline": round(paged_i8 / paged_bf, 4),
+            "paged_bf16_tok_per_s": round(paged_bf, 2),
+            "contig_int8_tok_per_s": round(contig_i8, 2),
+            "contig_bf16_tok_per_s": round(contig_bf, 2),
+            "paged_vs_contig_int8": round(paged_i8 / contig_i8, 4),
         }))
         return
     if os.environ.get("ASQ_BENCH_MODE") == "fusedmlp":

@@ -202,10 +202,13 @@ def test_int4_engine_tp_dp_token_equality(shape, axes):
     prompts = [list(map(int, rng.integers(0, 512, size=12))),
                list(map(int, rng.integers(0, 512, size=7)))]
     g = GenerationConfig(max_new_tokens=8)
-    ref = Engine(L, qparams, cfg, qcfg, max_batch=2,
-                 max_seq=64).generate(prompts, g)
+    # fuse_projections=False + f32 on BOTH arms so the assertion isolates
+    # sharding (fusion auto-skips under a model axis, and fused-vs-unfused
+    # logits differ ~1e-3 — greedy equality would rest on no argmax ties)
+    kw = dict(max_batch=2, max_seq=64, fuse_projections=False,
+              kv_dtype=jnp.float32, compute_dtype=jnp.float32)
+    ref = Engine(L, qparams, cfg, qcfg, **kw).generate(prompts, g)
     n = shape[0] * shape[1]
     mesh = Mesh(np.array(jax.devices()[:n]).reshape(shape), axes)
-    got = Engine(L, qparams, cfg, qcfg, max_batch=2, max_seq=64,
-                 mesh=mesh).generate(prompts, g)
+    got = Engine(L, qparams, cfg, qcfg, mesh=mesh, **kw).generate(prompts, g)
     assert got == ref
