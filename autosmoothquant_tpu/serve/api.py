@@ -62,6 +62,9 @@ class ServingAPI:
         self._uid = 0
         self._stop = threading.Event()
         self._thread: Optional[threading.Thread] = None
+        # rolling throughput window: (monotonic time, decode counter) pairs
+        # sampled by the scheduler loop, ~last 5 s retained
+        self._rate_window: List[tuple] = []
 
     # -- client side ---------------------------------------------------------
 
@@ -140,12 +143,32 @@ class ServingAPI:
             raise RuntimeError(f"engine error: {errbox[0]}")
 
     def stats(self) -> dict:
+        """Live serving observability (GET /stats): queue depth, slot and
+        page utilization, token counters, rolling decode tok/s (r3 verdict
+        item 6 — a serving stack one can see inside without a debugger)."""
         eng = self.engine
         with self._lock:
             waiting = len(self._inbox)
-        return {"ok": True,
-                "active": sum(r is not None for r in eng.slot_req),
-                "waiting": waiting + len(eng.waiting)}
+            win = list(self._rate_window)
+        toks_per_s = 0.0
+        if len(win) >= 2:
+            (t0, c0), (t1, c1) = win[0], win[-1]
+            if t1 > t0:
+                toks_per_s = (c1 - c0) / (t1 - t0)
+        out = {"ok": True,
+               "active": sum(r is not None for r in eng.slot_req),
+               "admitting": len(eng._admitting),
+               "waiting": waiting + len(eng.waiting),
+               "max_batch": eng.max_batch,
+               "prefixes": len(eng._prefixes),
+               "max_prefixes": eng.max_prefixes,
+               "prefill_tokens": eng.prefill_tokens_processed,
+               "decode_tokens": eng.decode_tokens_generated,
+               "decode_tok_per_s": round(toks_per_s, 1)}
+        if hasattr(eng, "free_pages"):  # paged engine
+            out["free_pages"] = eng.free_pages
+            out["num_pages"] = eng.num_pages
+        return out
 
     # -- scheduler thread (sole owner of the engine/device) -------------------
 
@@ -190,6 +213,13 @@ class ServingAPI:
                     time.sleep(self.idle_sleep)
                     continue
                 eng.step()
+                now = time.monotonic()
+                with self._lock:
+                    self._rate_window.append(
+                        (now, eng.decode_tokens_generated))
+                    while (len(self._rate_window) > 2
+                           and now - self._rate_window[0][0] > 5.0):
+                        self._rate_window.pop(0)
             except Exception as e:  # fail inflight FAST, keep serving
                 traceback.print_exc(file=sys.stderr)
                 with self._lock:
@@ -319,7 +349,7 @@ def _make_handler(api: ServingAPI):
             self.wfile.write(body)
 
         def do_GET(self):
-            if self.path == "/health":
+            if self.path in ("/health", "/stats"):
                 self._send(200, api.stats())
             else:
                 self._send(404, {"error": "not found"})

@@ -163,8 +163,14 @@ class ContinuousEngine:
         # exhaust device memory through POST /prefix.
         self.max_prefixes = max_prefixes
         self._prefixes: Dict[Any, tuple] = {}
+        # LRU bookkeeping: monotonic use counter per prefix; at capacity the
+        # least-recently-USED entry is evicted instead of 429ing (r3 verdict
+        # item 6) — the byte bound max_prefixes guarantees still holds
+        self._prefix_lru: Dict[Any, int] = {}
+        self._prefix_clock = 0
         self._copy_prefix_cache = {}
         self.prefill_tokens_processed = 0  # observability (tests assert it)
+        self.decode_tokens_generated = 0   # every token appended to outputs
 
     def _make_pool(self):
         """The slot KV store; PagedEngine overrides with a block-paged pool."""
@@ -364,7 +370,8 @@ class ContinuousEngine:
             raise ValueError(
                 f"prefix must fit max_seq ({len(toks)} vs {self.max_seq})")
         if (prefix_id not in self._prefixes
-                and len(self._prefixes) >= self.max_prefixes):
+                and len(self._prefixes) >= self.max_prefixes
+                and not self._evict_lru_prefix()):
             raise PrefixCacheFull(
                 f"prefix cache full ({self.max_prefixes} entries); "
                 "drop one before registering another")
@@ -376,19 +383,37 @@ class ContinuousEngine:
                                                len(toks))
         self.prefill_tokens_processed += len(toks)
         self._prefixes[prefix_id] = (temp, len(toks), last, toks)
+        self._touch_prefix(prefix_id)
 
     def drop_prefix(self, prefix_id) -> None:
         self._prefixes.pop(prefix_id, None)
+        self._prefix_lru.pop(prefix_id, None)
+
+    def _touch_prefix(self, prefix_id) -> None:
+        self._prefix_clock += 1
+        self._prefix_lru[prefix_id] = self._prefix_clock
+
+    def _evict_lru_prefix(self, keep=None) -> bool:
+        """Drop the least-recently-used registered prefix (skipping ``keep``)
+        to make room; returns False when nothing is evictable. Contiguous
+        entries are detached caches, so eviction always frees a slot."""
+        candidates = [p for p in self._prefix_lru if p != keep]
+        if not candidates:
+            return False
+        victim = min(candidates, key=self._prefix_lru.get)
+        self.drop_prefix(victim)
+        return True
 
     def _prefix_for(self, req: Request):
         """The registered prefix entry if the (possibly trimmed) prompt still
-        starts with its tokens, else None."""
+        starts with its tokens, else None. A hit refreshes LRU recency."""
         if req.prefix is None or req.prefix not in self._prefixes:
             return None
         entry = self._prefixes[req.prefix]
         _, plen, _, ptoks = entry
         if len(req.prompt) < plen or req.prompt[:plen] != ptoks:
             return None
+        self._touch_prefix(req.prefix)
         return entry
 
     def cancel(self, uid) -> bool:
@@ -473,6 +498,7 @@ class ContinuousEngine:
         if req.repetition_penalty != 1.0:
             self._seen_np[row, first] = True
         req.output.append(first)
+        self.decode_tokens_generated += 1
         if req.want_logprobs:
             req.logprobs.append(first_lp)
         self.slot_req[row] = req
@@ -669,6 +695,7 @@ class ContinuousEngine:
             n_app = 0
             for t in targets[row, : n_acc + 1]:
                 req.output.append(int(t))
+                self.decode_tokens_generated += 1
                 n_app += 1
                 if ((req.eos_token_id is not None
                      and int(t) == req.eos_token_id)
@@ -754,6 +781,7 @@ class ContinuousEngine:
                 continue
             for step_i, t in enumerate(toks[row]):
                 req.output.append(int(t))
+                self.decode_tokens_generated += 1
                 if req.want_logprobs and lps is not None:
                     req.logprobs.append(float(lps[row, step_i]))
                 if ((req.eos_token_id is not None and int(t) == req.eos_token_id)

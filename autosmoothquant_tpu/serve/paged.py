@@ -288,6 +288,10 @@ class PagedEngine(ContinuousEngine):
                 n_bucket = -(-bucket // self.block_size)
                 alloc = self._alloc(max(n_total, n_bucket))
                 if alloc is None:
+                    # before backpressure: evict idle LRU prefixes — their
+                    # pages free unless an active request still shares them
+                    if self._evict_lru_prefix(keep=req.prefix):
+                        continue  # retry this request with the freed pages
                     break  # backpressure: wait for pages to free
                 self.waiting.pop(0)
                 row = free.pop(0)
@@ -311,6 +315,8 @@ class PagedEngine(ContinuousEngine):
             n_private = max(n_total - len(shared), 1 if tail_page else 0)
             alloc = self._alloc(n_private)
             if alloc is None:
+                if self._evict_lru_prefix(keep=req.prefix):
+                    continue  # the request's own prefix is never evicted
                 break
             self.waiting.pop(0)
             row = free.pop(0)
@@ -334,7 +340,8 @@ class PagedEngine(ContinuousEngine):
             raise ValueError(
                 f"prefix must fit max_seq ({len(toks)} vs {self.max_seq})")
         if (prefix_id not in self._prefixes
-                and len(self._prefixes) >= self.max_prefixes):
+                and len(self._prefixes) >= self.max_prefixes
+                and not self._evict_lru_prefix(keep=prefix_id)):
             raise PrefixCacheFull(
                 f"prefix cache full ({self.max_prefixes} entries); "
                 "drop one before registering another")
@@ -343,8 +350,12 @@ class PagedEngine(ContinuousEngine):
         n_full = plen // bs
         tail = plen % bs
         pages = self._alloc(n_full + (1 if tail else 0))
-        if pages is None:
-            raise PrefixCacheFull("no free pages for prefix registration")
+        while pages is None:
+            # page pressure: evict idle LRU prefixes (pages free once no
+            # active request still shares them) before giving up
+            if not self._evict_lru_prefix(keep=prefix_id):
+                raise PrefixCacheFull("no free pages for prefix registration")
+            pages = self._alloc(n_full + (1 if tail else 0))
         bucket = min(_bucket(plen), self.max_seq)
         ids = np.zeros((1, bucket), np.int32)
         ids[0, :plen] = toks
@@ -359,9 +370,11 @@ class PagedEngine(ContinuousEngine):
             "tail": pages[n_full] if tail else None,
             "plen": plen, "last": last, "tokens": toks,
         }
+        self._touch_prefix(prefix_id)
 
     def drop_prefix(self, prefix_id) -> None:
         entry = self._prefixes.pop(prefix_id, None)
+        self._prefix_lru.pop(prefix_id, None)
         if entry is not None:
             pages = list(entry["pages"])
             if entry["tail"] is not None:
@@ -375,6 +388,7 @@ class PagedEngine(ContinuousEngine):
         if (len(req.prompt) < entry["plen"]
                 or req.prompt[:entry["plen"]] != entry["tokens"]):
             return None
+        self._touch_prefix(req.prefix)
         return entry
 
     # -- page release on completion/eviction ---------------------------------

@@ -293,10 +293,11 @@ def test_prefix_endpoint_errors(server):
     assert code == 404 or code == 200  # POST /health is not a route
 
 
-def test_prefix_cap_returns_429():
-    """The prefix cache is capped (advisor: unbounded registrations let any
-    client pin unbounded HBM): at max_prefixes the endpoint answers 429, and
-    dropping an entry frees a slot."""
+def test_prefix_cap_evicts_lru():
+    """The prefix cache is capped (advisor r2: unbounded registrations let
+    any client pin unbounded HBM) but at max_prefixes the LEAST-RECENTLY-USED
+    entry is evicted instead of 429ing (r3 verdict item 6) — the HBM bound
+    holds while long-running serving never wedges on a full cache."""
     L, cfg, params = _tiny()
     eng = ContinuousEngine(L, params, cfg, max_batch=4, max_seq=64,
                            kv_dtype=jnp.float32, compute_dtype=jnp.float32,
@@ -310,16 +311,49 @@ def test_prefix_cap_returns_429():
             code, _ = _post_path(port, "/prefix",
                                  {"id": pid, "tokens": [1, 2, 3]})
             assert code == 200
-        # re-registering an existing id is an update, not a new slot
+        # re-registering an existing id is an update AND an LRU touch
         code, _ = _post_path(port, "/prefix", {"id": "a", "tokens": [4, 5]})
         assert code == 200
-        code, resp = _post_path(port, "/prefix",
-                                {"id": "c", "tokens": [1, 2, 3]})
-        assert code == 429 and "full" in resp["error"]
+        # at capacity: "c" evicts the LRU entry ("b"), never 429s
+        code, _ = _post_path(port, "/prefix",
+                             {"id": "c", "tokens": [1, 2, 3]})
+        assert code == 200
+        assert set(eng._prefixes) == {"a", "c"}
+        assert len(eng._prefixes) <= eng.max_prefixes  # byte bound holds
+        # explicit drop still works
         code, _ = _post_path(port, "/prefix", {"id": "a", "drop": True})
         assert code == 200
-        code, _ = _post_path(port, "/prefix", {"id": "c", "tokens": [1, 2]})
+        assert set(eng._prefixes) == {"c"}
+    finally:
+        httpd.shutdown()
+        api.stop()
+
+
+def test_stats_endpoint():
+    """GET /stats exposes live serving counters (r3 verdict item 6)."""
+    L, cfg, params = _tiny()
+    eng = ContinuousEngine(L, params, cfg, max_batch=2, max_seq=64,
+                           kv_dtype=jnp.float32, compute_dtype=jnp.float32)
+    api, httpd = serve(eng, port=0)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    port = httpd.server_address[1]
+    try:
+        code, resp = _post_path(port, "/generate",
+                                {"prompt": [3, 1, 4, 1, 5],
+                                 "max_new_tokens": 6})
         assert code == 200
+        import json as _json
+        import urllib.request
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/stats", timeout=30) as r:
+            stats = _json.loads(r.read())
+        assert stats["ok"]
+        assert stats["decode_tokens"] >= 6
+        assert stats["prefill_tokens"] >= 5
+        assert stats["max_batch"] == 2
+        assert stats["active"] == 0 and stats["waiting"] == 0
+        assert "decode_tok_per_s" in stats and "prefixes" in stats
     finally:
         httpd.shutdown()
         api.stop()

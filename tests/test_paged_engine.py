@@ -266,3 +266,58 @@ def test_paged_speculative_greedy_exact(setup):
             pe.submit(u, list(p), max_new_tokens=n)
         outs[g] = pe.run()
     assert outs[0] == outs[2]
+
+
+def test_prefix_lru_eviction_at_cap(setup):
+    """At max_prefixes a new registration evicts the least-recently-USED
+    prefix (r3 verdict item 6) instead of raising; an LRU touch comes from
+    admission hits, not just registration order."""
+    cfg, params = setup
+    pe = _paged(cfg, params, max_prefixes=2)
+    pe.register_prefix("a", [1, 2, 3, 4])
+    pe.register_prefix("b", [5, 6, 7, 8])
+    # use "a" so "b" becomes LRU
+    pe.submit("r0", [1, 2, 3, 4, 9], max_new_tokens=3, prefix="a")
+    pe.run()
+    pe.register_prefix("c", [9, 8, 7])
+    assert set(pe._prefixes) == {"a", "c"}
+    assert len(pe._prefixes) <= pe.max_prefixes
+
+
+def test_prefix_eviction_frees_pages_for_registration(setup):
+    """Page pressure during registration evicts idle LRU prefixes until the
+    allocation fits; PrefixCacheFull only when eviction cannot help."""
+    from autosmoothquant_tpu.serve.batching import PrefixCacheFull
+
+    cfg, params = setup
+    pe = _paged(cfg, params, num_pages=9)  # 8 usable, block_size 16
+    pe.register_prefix("a", list(range(1, 49)))   # 3 pages
+    pe.register_prefix("b", list(range(1, 49)))   # 3 pages -> 2 free
+    free_before = pe.free_pages
+    assert free_before == 2
+    pe.register_prefix("c", list(range(1, 65)))   # needs 4: evicts "a"
+    assert "a" not in pe._prefixes and "c" in pe._prefixes
+    # now b(3) + c(4) = 7 used, 1 free; a 2-page registration must evict
+    pe.register_prefix("d", list(range(1, 18)))   # needs 2: evicts LRU "b"
+    assert "b" not in pe._prefixes
+    # pages pinned OUTSIDE the prefix system (an active request's working
+    # set) are not evictable: when eviction can't free enough, fail honestly
+    pe2 = _paged(cfg, params, num_pages=9)
+    assert pe2._alloc(4) is not None               # simulate active rows
+    pe2.register_prefix("a", list(range(1, 49)))   # 3 pages -> 1 free
+    with pytest.raises(PrefixCacheFull, match="free pages"):
+        pe2.register_prefix("huge", list(range(1, 81)))  # needs 5 > 4 free
+
+
+def test_admission_evicts_idle_prefix_under_page_pressure(setup):
+    """A queued request whose pages don't fit evicts idle LRU prefixes
+    rather than waiting forever behind dead cache entries."""
+    cfg, params = setup
+    pe = _paged(cfg, params, num_pages=7)  # 6 usable
+    pe.register_prefix("idle", list(range(1, 49)))  # pins 3 pages
+    # request needs 4 pages (48 prompt + 12 new = 60 tokens, block 16):
+    # only 3 free -> must evict "idle" to admit
+    pe.submit("r", list(range(1, 49)), max_new_tokens=12)
+    out = pe.run()
+    assert len(out["r"]) == 12
+    assert "idle" not in pe._prefixes

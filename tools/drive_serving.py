@@ -139,7 +139,16 @@ def main():
                              "prefix": "sys"})
         r_full = post(port, {"prompt": full, "max_new_tokens": 16})
         assert r_pref["tokens"] == r_full["tokens"], (r_pref, r_full)
-        print("functional drive OK (greedy, sampled+logprobs, SSE, prefix)")
+        # 5. live observability: GET /stats shows the work just done
+        st = json.loads(urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/stats", timeout=10).read())
+        assert st["ok"] and st["decode_tokens"] >= 32 + 16 + 24 + 16 + 16
+        assert st["prefill_tokens"] > 0 and st["prefixes"] == 1
+        assert "decode_tok_per_s" in st and "max_batch" in st
+        if paged:
+            assert st["free_pages"] <= st["num_pages"]
+        print("functional drive OK (greedy, sampled+logprobs, SSE, prefix, "
+              f"stats={st})")
 
         # 4. concurrent throughput: 16 clients x 64 tokens, repetitive
         # prompts (the regime prompt-lookup speculation targets)
