@@ -431,10 +431,130 @@ def quantized_opt_params_from_state_dict(sd: Dict[str, Any], num_layers: int,
     return p
 
 
+def quantized_baichuan_params_from_state_dict(sd: Dict[str, Any],
+                                              num_layers: int,
+                                              dtype=jnp.float32
+                                              ) -> Dict[str, Any]:
+    """Reference int8 Baichuan artifact -> quantized pytree. The artifact
+    stores W_pack as ONE int8 [3D, D] weight with three per-section scalars
+    q/k/v_dequant_scale (ref: layers/nn/linear.py:132-149,
+    models/baichuan.py:85-105); this framework's wpack wants the transposed
+    [D, 3D] weight with a [3D] column-scale vector, so each section scalar
+    repeats D times. RMSNorm weights arrive pre-folded
+    (Int8BaichuanRMSNorm.from_float, ref: models/baichuan.py:49-59) and the
+    raw NormHead lm_head is row-normalized at load like the fp mapper."""
+    def cast(x):
+        return x.astype(dtype)
+
+    base = "model.layers.{i}"
+    wp = _qstack(sd, base + ".self_attn.W_pack.weight", num_layers, True)
+    assert wp.dtype == jnp.int8
+    D = wp.shape[1]
+    sec = jnp.stack(
+        [_qstack(sd, base + f".self_attn.W_pack.{s}_dequant_scale",
+                 num_layers, False).astype(jnp.float32)
+         for s in ("q", "k", "v")], axis=1)          # [L, 3]
+    lm = _to_np(sd["lm_head.weight"])                 # raw NormHead rows
+    lm = lm / (np.linalg.norm(lm, axis=1, keepdims=True) + 1e-12)
+    return {
+        "embed": {"w": cast(jnp.asarray(_to_np(
+            sd["model.embed_tokens.weight"])))},
+        "layers": {
+            "ln1": {"w": cast(_stack(sd, base + ".input_layernorm.weight",
+                                     num_layers, False))},
+            "attn": {
+                "wpack": {"w": wp,
+                          "dequant_scale": jnp.repeat(sec, D, axis=1)},
+                "o": _qproj(sd, base + ".self_attn.o_proj", num_layers),
+            },
+            "ln2": {"w": cast(_stack(
+                sd, base + ".post_attention_layernorm.weight",
+                num_layers, False))},
+            "mlp": {
+                "gate": _qproj(sd, base + ".mlp.gate_proj", num_layers),
+                "up": _qproj(sd, base + ".mlp.up_proj", num_layers),
+                "down": _qproj(sd, base + ".mlp.down_proj", num_layers),
+            },
+        },
+        "final_norm": {"w": cast(jnp.asarray(_to_np(sd["model.norm.weight"])))},
+        "lm_head": {"w": cast(jnp.asarray(lm.T))},
+    }
+
+
+def quantized_mixtral_params_from_state_dict(sd: Dict[str, Any],
+                                             num_layers: int,
+                                             dtype=jnp.float32,
+                                             num_experts: Optional[int] = None
+                                             ) -> Dict[str, Any]:
+    """Reference int8 Mixtral artifact -> quantized pytree: per-expert int8
+    weights stack to [L, E, in, out] with [L, E] dequant (and w2 quant)
+    scales; the router stays fp (ref: models/mixtral.py:139-140 'we do not
+    apply quant to gate'); norms pre-folded (mixtral.py:211-218)."""
+    def cast(x):
+        return x.astype(dtype)
+
+    base = "model.layers.{i}"
+    if num_experts is None:  # infer from the artifact's key space
+        num_experts = 1 + max(
+            int(k.split(".experts.")[1].split(".")[0])
+            for k in sd if ".experts." in k)
+
+    def qexperts(proj: str, scaled: bool):
+        eb = base + ".block_sparse_moe.experts.{e}." + proj
+        ws, dq, qs = [], [], []
+        for i in range(num_layers):
+            ws.append(np.stack([
+                _to_np_raw(sd[eb.format(i=i, e=e) + ".weight"]).T
+                for e in range(num_experts)]))
+            dq.append([float(_to_np_raw(sd[eb.format(i=i, e=e)
+                                           + ".dequant_scale"]))
+                       for e in range(num_experts)])
+            if scaled:
+                qs.append([float(_to_np_raw(sd[eb.format(i=i, e=e)
+                                               + ".quant_scale"]))
+                           for e in range(num_experts)])
+        p = {"w": jnp.asarray(np.stack(ws)),
+             "dequant_scale": jnp.asarray(dq, jnp.float32)}
+        assert p["w"].dtype == jnp.int8
+        if scaled:
+            p["quant_scale"] = jnp.asarray(qs, jnp.float32)
+        return p
+
+    return {
+        "embed": {"w": cast(jnp.asarray(_to_np(
+            sd["model.embed_tokens.weight"])))},
+        "layers": {
+            "ln1": {"w": cast(_stack(sd, base + ".input_layernorm.weight",
+                                     num_layers, False))},
+            "attn": {
+                "q": _qproj(sd, base + ".self_attn.q_proj", num_layers),
+                "k": _qproj(sd, base + ".self_attn.k_proj", num_layers),
+                "v": _qproj(sd, base + ".self_attn.v_proj", num_layers),
+                "o": _qproj(sd, base + ".self_attn.o_proj", num_layers),
+            },
+            "ln2": {"w": cast(_stack(
+                sd, base + ".post_attention_layernorm.weight",
+                num_layers, False))},
+            "moe": {
+                "router": {"w": cast(_stack(
+                    sd, base + ".block_sparse_moe.gate.weight",
+                    num_layers, True))},
+                "w1": qexperts("w1", False),
+                "w3": qexperts("w3", False),
+                "w2": qexperts("w2", True),
+            },
+        },
+        "final_norm": {"w": cast(jnp.asarray(_to_np(sd["model.norm.weight"])))},
+        "lm_head": {"w": cast(jnp.asarray(_to_np(sd["lm_head.weight"]).T))},
+    }
+
+
 _QUANTIZED_LOADERS = {
     "llama": quantized_llama_params_from_state_dict,
     "transformers": quantized_opt_params_from_state_dict,  # reference's OPT tag
     "opt": quantized_opt_params_from_state_dict,
+    "baichuan": quantized_baichuan_params_from_state_dict,
+    "mixtral": quantized_mixtral_params_from_state_dict,
 }
 
 

@@ -71,8 +71,18 @@ def calibrate_smooth_quantize(model_mod, params, cfg, qcfg: QuantConfig,
     runs calibration through the dynamically-quantized model to track input
     (+ output, when quantize_output) scales, mirroring
     quantize_activations_fp8 (calibration.py:292-338)."""
+    # family-specific calibration forward kwargs — e.g. Mixtral's
+    # all-experts trick (top_k widened so every expert sees tokens,
+    # ref: calibration.py:23-42 _model_preprocess). The reference applies it
+    # ONLY to the smoothing pass (get_act_scales); the static-scale pass
+    # (get_static_decoder_layer_scales, calibration.py:186-244) runs the
+    # ORIGINAL top-k routing with per-expert stats over routed tokens.
+    # Matching both is load-bearing for artifact parity —
+    # tests/test_reference_artifact.py catches drift either way.
+    calib_kwargs = getattr(model_mod, "CALIBRATION_FORWARD_KWARGS", None)
     stats_fp = calibrate(model_mod, params, cfg, batches_fn(),
-                         compute_dtype=compute_dtype)
+                         compute_dtype=compute_dtype,
+                         extra_forward_kwargs=calib_kwargs)
     smoothed = model_mod.smooth(params, stats_fp, alpha, cfg=cfg)
 
     is_fp8 = qcfg.type in ("fp8_e4m3", "fp8_e5m2")

@@ -236,7 +236,15 @@ def _int4_matmul_pallas(x, packed, scales, tok_scale=None, layer=None, *,
 def _pick_blocks(m: int, n: int, k: int, group: int):
     """Static tile pick. The packed-row block must cover whole groups;
     block_n divides N on lane boundaries. Returns (bm, bn, block_hk) or
-    None when the shape can't tile (→ XLA fallback)."""
+    None when the shape can't tile (→ XLA fallback).
+
+    Tile policy (v5e sweep at 13B decode shapes, BENCHMARKS.md "INT4
+    tiles"): deeper k-blocks pipeline the packed DMA stream much better
+    than the round-3 power-of-2 walk — e.g. K=13824 was stuck at hk=256
+    (27 k-steps) because 6912 has no larger pow2 divisor; the largest
+    group-multiple DIVISOR (1152/2304) more than halves the step count.
+    bn=1024 similarly helps the wide-N projections when VMEM allows
+    (packed block hk x bn <= ~2.5 MB)."""
     if (k // 2) % group or k % 2 or n % 128:
         return None
     bm = 8
@@ -246,17 +254,28 @@ def _pick_blocks(m: int, n: int, k: int, group: int):
         if m % 8:
             return None
         bm = 8
-    for bn in (512, 256, 128):
-        if n % bn == 0:
-            break
-    else:
-        return None
-    hk = group
-    while hk * 2 <= min(k // 2, 2048) and (k // 2) % (hk * 2) == 0:
-        hk *= 2
-    if (k // 2) % hk:
-        return None
-    return bm, bn, hk
+    # joint (bn, hk) pick: hk must be a group-multiple divisor of k/2 (the
+    # grid needs an integral k-step count) under a ~3 MB packed VMEM block
+    # (hk * bn bytes). Deep k-blocks dominate the win, so hk is the primary
+    # score and bn breaks ties — e.g. K=11008 (k/2 = 43 groups, 43 prime)
+    # is far better as one full-depth 2.8 MB block at bn=512 than as 43
+    # shallow steps at bn=1024.
+    nd = (k // 2) // group
+    best = None
+    for bn in (1024, 512, 256, 128):
+        if n % bn or (bn == 1024 and n < 4096):
+            continue
+        cap = min((3_145_728 // bn) // group * group, k // 2)
+        hk = None
+        for d in range(1, nd + 1):
+            cand = group * d
+            if nd % d == 0 and cand <= cap:
+                hk = cand
+        if hk is None:
+            continue
+        if best is None or (hk, bn) > (best[2], best[1]):
+            best = (bm, bn, hk)
+    return best
 
 
 def _epilogue(out, bias, activation, out_dtype):

@@ -165,6 +165,9 @@ class ServingAPI:
                "prefill_tokens": eng.prefill_tokens_processed,
                "decode_tokens": eng.decode_tokens_generated,
                "decode_tok_per_s": round(toks_per_s, 1)}
+        if getattr(eng, "speculative_gamma", 0):
+            out["spec_gamma"] = eng.speculative_gamma
+            out["spec_acceptance_ema"] = round(eng._spec_acc_ema, 3)
         if hasattr(eng, "free_pages"):  # paged engine
             out["free_pages"] = eng.free_pages
             out["num_pages"] = eng.num_pages

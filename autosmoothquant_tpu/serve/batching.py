@@ -84,7 +84,8 @@ class ContinuousEngine:
                  steps_per_sync: int = 8, mesh=None, param_shardings=None,
                  prefill_chunk: Optional[int] = None, seed: int = 0,
                  fuse_projections=None, speculative_gamma: int = 0,
-                 speculative_ngram: int = 3, max_prefixes: int = 16):
+                 speculative_ngram: int = 3, max_prefixes: int = 16,
+                 speculative_adaptive: bool = True):
         from .engine import maybe_fuse_projections
 
         params = maybe_fuse_projections(model_mod, params, mesh,
@@ -102,6 +103,14 @@ class ContinuousEngine:
         # steps_per_sync single-token steps; host-side drafting
         self.speculative_gamma = speculative_gamma
         self.speculative_ngram = speculative_ngram
+        # adaptive gamma (r3 verdict item 8): track draft acceptance and
+        # shrink/disable speculation when drafts miss, so gamma can stay ON
+        # in production — a latency win at low load, ~free at saturation
+        # (prompt-lookup acceptance collapses on non-repetitive traffic,
+        # where fixed gamma is a pure throughput tax)
+        self.speculative_adaptive = speculative_adaptive
+        self._spec_acc_ema = 1.0   # optimistic start: probe at full gamma
+        self._spec_ticks = 0
         self.mesh = mesh
         # chunked prefill: admit at most prefill_chunk prompt tokens per
         # scheduler tick so a long prompt cannot stall decoding of the other
@@ -665,13 +674,28 @@ class ContinuousEngine:
                     return (cont + [history[-1]] * gamma)[:gamma]
         return [history[-1]] * gamma
 
-    def _spec_step(self, active):
+    def _effective_gamma(self) -> int:
+        """Acceptance-adaptive draft length: full gamma while drafts land,
+        half when mediocre, OFF when they miss — with a periodic re-probe so
+        a workload shift (e.g. a repetitive prompt arriving) re-enables it.
+        Each distinct value retraces the verify jit once (ladder of 3)."""
+        g = self.speculative_gamma
+        if not self.speculative_adaptive:
+            return g
+        self._spec_ticks += 1
+        if self._spec_acc_ema >= 0.5:
+            return g
+        if self._spec_acc_ema >= 0.2:
+            return max(1, g // 2)
+        # acceptance collapsed: plain decode, re-probe every 32nd tick
+        return g if self._spec_ticks % 32 == 0 else 0
+
+    def _spec_step(self, active, g):
         """One speculative tick: draft (host) -> verify (one forward over
         gamma+1 positions) -> accept longest matching prefix per row.
         Greedy-exact: emitted tokens equal the plain scheduler's. Rejected
         draft K/V is overwritten by the next window before it is causally
         reachable (lens' <= lens + gamma + 1)."""
-        g = self.speculative_gamma
         inputs = np.zeros((self.max_batch, g + 1), np.int32)
         for row, req in enumerate(self.slot_req):
             if req is None:
@@ -686,12 +710,15 @@ class ContinuousEngine:
             jnp.asarray(lens_dec))
         self.pool = pool
         targets = np.asarray(jax.device_get(targets))
+        tick_acc = tick_rows = 0
         for row, req in enumerate(self.slot_req):
             if req is None:
                 continue
             n_acc = 0
             while n_acc < g and inputs[row, n_acc + 1] == targets[row, n_acc]:
                 n_acc += 1
+            tick_acc += n_acc
+            tick_rows += 1
             n_app = 0
             for t in targets[row, : n_acc + 1]:
                 req.output.append(int(t))
@@ -708,6 +735,9 @@ class ContinuousEngine:
             self.lens[row] += n_app
             self.pending_tok[row] = req.output[-1]
             self._check_done(row)
+        if tick_rows:
+            rate = tick_acc / (tick_rows * g)
+            self._spec_acc_ema = 0.8 * self._spec_acc_ema + 0.2 * rate
 
     def _step(self):
         self._admit()
@@ -717,16 +747,17 @@ class ContinuousEngine:
         if not active.any():
             return
         if self.speculative_gamma > 0:
-            g = self.speculative_gamma
             plain_greedy = all(
                 r is None or (r.temperature == 0.0
                               and r.repetition_penalty == 1.0
                               and not r.want_logprobs)
                 for r in self.slot_req)
-            room = all(self.lens[row] + g + 1 < self.max_seq
-                       for row in range(self.max_batch) if active[row])
+            g = self._effective_gamma() if plain_greedy else 0
+            room = g > 0 and all(
+                self.lens[row] + g + 1 < self.max_seq
+                for row in range(self.max_batch) if active[row])
             if plain_greedy and room:
-                self._spec_step(active)
+                self._spec_step(active, g)
                 return
         # clamp on-device steps to the smallest remaining CACHE capacity
         # across active slots: a slot whose lens overshoots max_seq mid-sync

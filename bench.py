@@ -747,6 +747,56 @@ def main():
             "contiguous_tok_per_s": round(results["contig"], 1),
         }))
         return
+    if os.environ.get("ASQ_BENCH_MODE") == "specadapt":
+        # adaptive-gamma safety under SATURATED load (r3 verdict item 8):
+        # all slots busy with NON-repetitive prompts (prompt-lookup
+        # acceptance collapses), speculation left ON with adaptive resizing.
+        # Done-bar: within ~5% of plain throughput on the same workload.
+        import jax.numpy as jnp
+
+        from autosmoothquant_tpu.models import llama as L
+        from autosmoothquant_tpu.quant.config import QuantConfig
+        from autosmoothquant_tpu.serve.batching import ContinuousEngine
+
+        preset = os.environ.get("ASQ_BENCH_PRESET", "tinyllama")
+        slots = int(os.environ.get("ASQ_BENCH_BATCH", "8"))
+        n_req = int(os.environ.get("ASQ_BENCH_NREQ", "24"))
+        max_new = int(os.environ.get("ASQ_BENCH_NEW", "64"))
+        gamma = int(os.environ.get("ASQ_BENCH_GAMMA", "8"))
+        cfg = get_cfg(preset)
+        qcfg = QuantConfig(type="int8")
+        params = build_params(cfg, "int8")
+        rng = np.random.default_rng(0)
+        prompts = [rng.integers(1, cfg.vocab_size, size=128).tolist()
+                   for _ in range(n_req)]
+        res = {}
+        for mode in ("plain", "adaptive", "fixed"):
+            kw = {} if mode == "plain" else dict(
+                speculative_gamma=gamma,
+                speculative_adaptive=(mode == "adaptive"))
+            eng = ContinuousEngine(L, params, cfg, qcfg, max_batch=slots,
+                                   max_seq=512, kv_dtype=jnp.bfloat16,
+                                   compute_dtype=jnp.bfloat16, **kw)
+            eng.submit("warm", prompts[0][:32], max_new_tokens=2)
+            eng.run()
+            reqs = [eng.submit(i, p, max_new_tokens=max_new)
+                    for i, p in enumerate(prompts)]
+            t0 = time.perf_counter()
+            eng.run()
+            dt = time.perf_counter() - t0
+            res[mode] = sum(len(r.output) for r in reqs) / dt
+            if mode == "adaptive":
+                res["acc_ema"] = round(eng._spec_acc_ema, 3)
+            del eng
+        print(json.dumps({
+            "metric": f"specadapt_saturated_tok_per_s_{preset}_g{gamma}",
+            "value": round(res["adaptive"], 1), "unit": "tok/s",
+            "vs_baseline": round(res["adaptive"] / res["plain"], 4),
+            "plain_tok_per_s": round(res["plain"], 1),
+            "fixed_gamma_tok_per_s": round(res["fixed"], 1),
+            "acceptance_ema": res["acc_ema"],
+        }))
+        return
     if os.environ.get("ASQ_BENCH_MODE") == "pageddecode":
         # per-step decode A/B of the PAGED KV layout vs the contiguous
         # scan-carried cache at the north-star serving shape (VERDICT r3

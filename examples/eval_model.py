@@ -32,6 +32,16 @@ def parse_args():
                         "harness (air-gapped lm-eval analog; schema selects "
                         "multiple-choice / generate / rolling-ppl)")
     p.add_argument("--num-fewshot", type=int, default=0)
+    p.add_argument("--fewshot-sample", default="front",
+                   choices=("front", "random"),
+                   help="front: first-k docs are everyone's exemplars; "
+                        "random: per-doc seeded exemplar draws (lm-eval's "
+                        "fewshot_context sampling)")
+    p.add_argument("--metrics-module", default="",
+                   help="python file to import before task building (e.g. "
+                        "examples/custom_metrics.py); its register_metric "
+                        "calls run, and a transform_tasks(tasks) hook, if "
+                        "defined, rewrites the loaded task list")
     p.add_argument("--batch-size", type=int, default=1)
     p.add_argument("--batch-windows", type=int, default=1,
                    help="ppl windows evaluated per device dispatch")
@@ -123,10 +133,21 @@ def main():
 
         lm = JaxLM(model_mod, params, cfg, qcfg,
                    batch_size=args.batch_size, max_length=args.max_length)
-        native_tasks = [load_task(p, tokenizer, num_fewshot=args.num_fewshot)
+        native_tasks = [load_task(p, tokenizer,
+                                  num_fewshot=args.num_fewshot,
+                                  fewshot_sample=args.fewshot_sample)
                         for p in (x.strip()
                                   for x in args.task_files.split(","))
                         if p]
+        if args.metrics_module:
+            import importlib.util
+
+            spec = importlib.util.spec_from_file_location(
+                "asq_custom_metrics", args.metrics_module)
+            mod = importlib.util.module_from_spec(spec)
+            spec.loader.exec_module(mod)
+            if hasattr(mod, "transform_tasks"):
+                native_tasks = mod.transform_tasks(native_tasks)
         res = evaluate(lm, native_tasks)
         results.update(res)
         print(make_table(res))

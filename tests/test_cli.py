@@ -294,3 +294,50 @@ def test_opt_quantize_and_generate_cli(opt_quantized_dir, capsys):
     finally:
         sys.argv = old
     assert capsys.readouterr().out.strip()
+
+
+def test_eval_cli_stock_task_pack(quantized_dir, tmp_path, capsys):
+    """The shipped examples/tasks/ pack + custom-metrics module run through
+    the eval CLI out of the box (r3 verdict item 9): MC with random
+    few-shot, generate with the registered f1 metric, rolling ppl."""
+    from tokenizers import Tokenizer, models, pre_tokenizers
+    from transformers import PreTrainedTokenizerFast
+
+    repo = Path(__file__).resolve().parent.parent
+    pack = [repo / "examples" / "tasks" / f"stock_{k}.jsonl"
+            for k in ("mc", "gen", "rolling")]
+    # word-level tokenizer over the pack's own vocabulary (ids < VOCAB)
+    words = set()
+    for f in pack:
+        for line in f.read_text().splitlines():
+            for v in json.loads(line).values():
+                for s in ([v] if isinstance(v, str) else
+                          v if isinstance(v, list) else []):
+                    words.update(str(s).split())
+    vocab = {w: i + 1 for i, w in enumerate(sorted(words))}
+    vocab["<unk>"] = 0
+    assert max(vocab.values()) < VOCAB
+    tok = Tokenizer(models.WordLevel(vocab, unk_token="<unk>"))
+    tok.pre_tokenizer = pre_tokenizers.Whitespace()
+    tdir = tmp_path / "pack_tok"
+    PreTrainedTokenizerFast(tokenizer_object=tok,
+                            unk_token="<unk>").save_pretrained(tdir)
+
+    cli = _load_cli("eval_model")
+    argv = ["eval_model.py",
+            "--model-path", str(quantized_dir),
+            "--tokenizer-path", str(tdir),
+            "--task-files", ",".join(str(f) for f in pack),
+            "--metrics-module", str(repo / "examples" / "custom_metrics.py"),
+            "--num-fewshot", "2", "--fewshot-sample", "random",
+            "--max-length", "64", "--batch-size", "2"]
+    old = sys.argv
+    sys.argv = argv
+    try:
+        cli.main()
+    finally:
+        sys.argv = old
+    out = capsys.readouterr().out
+    for name in ("stock_mc", "stock_gen", "stock_rolling"):
+        assert name in out, out
+    assert "f1" in out and "acc" in out and "perplexity" in out

@@ -203,3 +203,64 @@ class TestContinuousSpeculative:
                              speculative_gamma=3)
         b.submit(0, p, max_new_tokens=10)
         assert b.run() == want
+
+
+class TestAdaptiveGamma:
+    """r3 verdict item 8: acceptance-tracked gamma — full on repetitive
+    traffic, auto-off on random traffic, greedy-exact either way."""
+
+    def _engine(self, L, cfg, params, **kw):
+        from autosmoothquant_tpu.serve.batching import ContinuousEngine
+
+        return ContinuousEngine(L, params, cfg, max_batch=4, max_seq=128,
+                                kv_dtype=jnp.float32,
+                                compute_dtype=jnp.float32, **kw)
+
+    def test_adaptive_matches_plain_on_random_traffic(self):
+        L, cfg, params = _tiny()
+        rng = np.random.default_rng(5)
+        prompts = [rng.integers(1, 128, size=n).tolist()
+                   for n in (9, 14, 21, 7)]
+        plain = self._engine(L, cfg, params)
+        for i, p in enumerate(prompts):
+            plain.submit(i, p, max_new_tokens=16)
+        want = plain.run()
+        spec = self._engine(L, cfg, params, speculative_gamma=4,
+                            speculative_ngram=2, speculative_adaptive=True)
+        for i, p in enumerate(prompts):
+            spec.submit(i, p, max_new_tokens=16)
+        got = spec.run()
+        assert got == want  # exactness survives gamma resizing mid-run
+
+    def test_acceptance_collapse_disables_gamma(self):
+        L, cfg, params = _tiny()
+        rng = np.random.default_rng(6)
+        eng = self._engine(L, cfg, params, speculative_gamma=4,
+                           speculative_ngram=2, speculative_adaptive=True)
+        for i in range(3):
+            eng.submit(i, rng.integers(1, 128, size=12).tolist(),
+                       max_new_tokens=24)
+        eng.run()
+        # random tokens: prompt-lookup drafts almost never land
+        assert eng._spec_acc_ema < 0.2, eng._spec_acc_ema
+        # policy now yields 0 except on the periodic re-probe tick
+        gammas = [eng._effective_gamma() for _ in range(31)]
+        assert gammas.count(0) >= 29 and max(gammas) <= 4
+
+    def test_high_acceptance_keeps_full_gamma(self):
+        L, cfg, params = _tiny()
+        eng = self._engine(L, cfg, params, speculative_gamma=4,
+                           speculative_ngram=2, speculative_adaptive=True)
+        # strongly periodic prompts: drafts match greedy continuations
+        for i in range(2):
+            eng.submit(i, [7, 8, 9] * 6, max_new_tokens=24)
+        eng.run()
+        assert eng._spec_acc_ema > 0.5, eng._spec_acc_ema
+        assert eng._effective_gamma() == 4
+
+    def test_fixed_mode_opts_out(self):
+        L, cfg, params = _tiny()
+        eng = self._engine(L, cfg, params, speculative_gamma=4,
+                           speculative_adaptive=False)
+        eng._spec_acc_ema = 0.0  # even with collapsed acceptance...
+        assert eng._effective_gamma() == 4  # ...fixed mode never resizes

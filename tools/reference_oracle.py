@@ -61,6 +61,31 @@ def _install_shims():
             if hfcls is not None and not hasattr(hfcls, attr):
                 setattr(hfcls, attr, _placeholder)
 
+    # the reference's Int8MixtralAttention constructs
+    # MixtralRotaryEmbedding(head_dim, max_position_embeddings=, base=) —
+    # the legacy positional signature removed in newer transformers (now
+    # config-only). Adapt: legacy args synthesize an equivalent config;
+    # config-style calls pass through, so the FLOAT model is unaffected.
+    if not getattr(mx.MixtralRotaryEmbedding, "_asq_legacy_shim", False):
+        orig_rope = mx.MixtralRotaryEmbedding
+        from transformers.models.mixtral.configuration_mixtral import (
+            MixtralConfig as _MxCfg)
+
+        class _CompatRotary(orig_rope):
+            _asq_legacy_shim = True
+
+            def __init__(self, dim=None, max_position_embeddings=2048,
+                         base=10000.0, device=None, config=None):
+                if config is None:
+                    # head_dim == hidden_size when num_heads == 1
+                    config = _MxCfg(
+                        hidden_size=dim, num_attention_heads=1,
+                        max_position_embeddings=max_position_embeddings,
+                        rope_theta=base)
+                super().__init__(config=config, device=device)
+
+        mx.MixtralRotaryEmbedding = _CompatRotary
+
 
 def load_reference():
     """Import the reference package (shimmed); returns its module handles."""
@@ -132,4 +157,69 @@ def make_llama_artifact(outdir: str, hf_model, calib_batches,
     with open(os.path.join(outdir, "quant_config.json"), "w",
               encoding="utf-8") as f:
         json.dump(qc, f)  # ref: smoothquant_model.py:96-99
+    return {"layer_scales": layer_scales, "act_scales": act_scales}
+
+
+def make_baichuan_artifact(outdir: str, hf_model, calib_batches,
+                           quant_config=None, alpha: float = 0.5) -> dict:
+    """Drive the reference quantize flow on the VENDORED Baichuan torch
+    model (ref: thirdparty/baichuan/modeling_baichuan.py via
+    models/baichuan.py:535-575 Int8BaichuanForCausalLM.from_float) —
+    W_pack per-section scales, pre-folded RMSNorms, raw NormHead."""
+    ref = load_reference()
+    import autosmoothquant.models.baichuan as ref_baichuan
+
+    os.makedirs(outdir, exist_ok=True)
+    hf_model.config.architectures = ["BaichuanForCausalLM"]
+    qc = dict(quant_config or {"qkv": "per-tensor", "out": "per-tensor",
+                               "fc1": "per-tensor", "fc2": "per-tensor",
+                               "type": "int8"})
+    ds_path = os.path.join(outdir, "calib.jsonl")
+    n = write_calib_jsonl(ds_path, calib_batches)
+    tok = IdTokenizer()
+    act_scales = ref.calibration.get_act_scales(
+        hf_model, tok, ds_path, num_samples=n, seq_len=4096)
+    ref.smooth.smooth_lm(hf_model, act_scales, alpha)
+    layer_scales, _ = ref.calibration.get_static_decoder_layer_scales(
+        hf_model, tok, ds_path, num_samples=n, seq_len=4096,
+        model_type="baichuan")
+    qmodel = ref_baichuan.Int8BaichuanForCausalLM.from_float(
+        hf_model, layer_scales, qc)
+    qmodel.save_pretrained(outdir, safe_serialization=True)
+    with open(os.path.join(outdir, "quant_config.json"), "w",
+              encoding="utf-8") as f:
+        json.dump(qc, f)
+    return {"layer_scales": layer_scales, "act_scales": act_scales}
+
+
+def make_mixtral_artifact(outdir: str, hf_model, calib_batches,
+                          quant_config=None, alpha: float = 0.5) -> dict:
+    """Drive the reference quantize flow on an HF Mixtral model
+    (ref: models/mixtral.py:253-296 Int8MixtralForCausalLM.from_float):
+    all-experts calibration (top_k widened, calibration.py:27-36),
+    per-expert w2 scales, fp router."""
+    ref = load_reference()
+    import autosmoothquant.models.mixtral as ref_mixtral
+
+    os.makedirs(outdir, exist_ok=True)
+    if not getattr(hf_model.config, "architectures", None):
+        hf_model.config.architectures = ["MixtralForCausalLM"]
+    qc = dict(quant_config or {"qkv": "per-tensor", "out": "per-tensor",
+                               "fc1": "per-tensor", "fc2": "per-tensor",
+                               "type": "int8"})
+    ds_path = os.path.join(outdir, "calib.jsonl")
+    n = write_calib_jsonl(ds_path, calib_batches)
+    tok = IdTokenizer()
+    act_scales = ref.calibration.get_act_scales(
+        hf_model, tok, ds_path, num_samples=n, seq_len=4096)
+    ref.smooth.smooth_lm(hf_model, act_scales, alpha)
+    layer_scales, _ = ref.calibration.get_static_decoder_layer_scales(
+        hf_model, tok, ds_path, num_samples=n, seq_len=4096,
+        model_type="mixtral")
+    qmodel = ref_mixtral.Int8MixtralForCausalLM.from_float(
+        hf_model, layer_scales, qc)
+    qmodel.save_pretrained(outdir, safe_serialization=True)
+    with open(os.path.join(outdir, "quant_config.json"), "w",
+              encoding="utf-8") as f:
+        json.dump(qc, f)
     return {"layer_scales": layer_scales, "act_scales": act_scales}
