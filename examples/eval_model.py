@@ -82,9 +82,9 @@ def main():
         model_mod, family = get_model_family(config)
         cfg = model_mod.config_from_hf(config)
 
-    from transformers import AutoTokenizer
+    from autosmoothquant_tpu.utils.tokenizer import load_tokenizer
 
-    tokenizer = AutoTokenizer.from_pretrained(args.tokenizer_path)
+    tokenizer = load_tokenizer(args.tokenizer_path)
     results = {}
 
     if args.eval_ppl:

@@ -65,9 +65,9 @@ def build(args):
 
     tokenizer = None
     if args.tokenizer_path:
-        from transformers import AutoTokenizer
+        from autosmoothquant_tpu.utils.tokenizer import load_tokenizer
 
-        tokenizer = AutoTokenizer.from_pretrained(args.tokenizer_path)
+        tokenizer = load_tokenizer(args.tokenizer_path)
 
     import jax
     import jax.numpy as jnp

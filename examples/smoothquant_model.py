@@ -73,10 +73,9 @@ def main():
         print("Please download the dataset and put the validation set at the path")
         raise FileNotFoundError(args.dataset_path)
 
-    from transformers import AutoTokenizer
+    from autosmoothquant_tpu.utils.tokenizer import load_tokenizer
 
-    tokenizer = AutoTokenizer.from_pretrained(
-        args.tokenizer_path or args.model_path, model_max_length=args.seq_len)
+    tokenizer = load_tokenizer(args.tokenizer_path or args.model_path)
     stream = load_json_text(args.dataset_path, tokenizer)
     windows = random_windows(stream, args.num_samples, args.seq_len, seed=42)
 

@@ -62,9 +62,9 @@ def main():
         ids = [int(t) for t in args.prompt_ids.split(",")]
     else:
         assert args.tokenizer_path, "--tokenizer-path or --prompt-ids needed"
-        from transformers import AutoTokenizer
+        from autosmoothquant_tpu.utils.tokenizer import load_tokenizer
 
-        tok = AutoTokenizer.from_pretrained(args.tokenizer_path)
+        tok = load_tokenizer(args.tokenizer_path)
         ids = tok(args.prompt).input_ids
 
     import jax
