@@ -255,21 +255,37 @@ def _pick_blocks(m: int, n: int, k: int, group: int):
             return None
         bm = 8
     # joint (bn, hk) pick: hk must be a group-multiple divisor of k/2 (the
-    # grid needs an integral k-step count) under a ~3 MB packed VMEM block
-    # (hk * bn bytes). Deep k-blocks dominate the win, so hk is the primary
-    # score and bn breaks ties — e.g. K=11008 (k/2 = 43 groups, 43 prime)
-    # is far better as one full-depth 2.8 MB block at bn=512 than as 43
-    # shallow steps at bn=1024.
+    # grid needs an integral k-step count). Deep k-blocks dominate the win
+    # (v5e sweep), so hk is the primary score and bn breaks ties — e.g.
+    # K=11008 (k/2 = 43 groups, 43 prime) is far better as one full-depth
+    # 2.8 MB block at bn=512 than as 43 shallow steps at bn=1024. The
+    # whole working set must respect Mosaic's 16 MB scoped-VMEM stack:
+    # double-buffered x planes (x2), packed block, full scale-table block,
+    # out block, plus the acc scratch — budgeted at 10 MB (13B prefill at
+    # bm=128/hk=2560/bn=1024 compiled to a 28 MB stack without this).
     nd = (k // 2) // group
+    g_rows = nd * 2  # scale table rows resident per (i, j): lo+hi planes
+
+    def vmem_est(bm_, bn_, hk_):
+        xblk = bm_ * hk_ * 4 * 2          # two split-K planes, f32 worst
+        pblk = hk_ * bn_                  # packed uint8
+        sblk = g_rows * bn_ * 4           # full scale table block
+        oblk = bm_ * bn_ * 4
+        return 2 * (xblk + pblk + sblk + oblk) + oblk
+
+    budget = 10 * 1024 * 1024
     best = None
     for bn in (1024, 512, 256, 128):
         if n % bn or (bn == 1024 and n < 4096):
             continue
-        cap = min((3_145_728 // bn) // group * group, k // 2)
         hk = None
         for d in range(1, nd + 1):
             cand = group * d
-            if nd % d == 0 and cand <= cap:
+            # x-plane blocks are [bm, hk]: Mosaic requires the minor dim be
+            # a 128-lane multiple (or the full array dim, impossible here
+            # since hk <= k/2)
+            if (nd % d == 0 and cand % 128 == 0
+                    and vmem_est(bm, bn, cand) <= budget):
                 hk = cand
         if hk is None:
             continue

@@ -18,10 +18,11 @@ thirdparty/baichuan/modeling_baichuan.py). Key reference semantics kept:
 
 
 Tokenization: the reference vendors a SentencePiece wrapper
-(ref: thirdparty/baichuan/tokenization_baichuan.py); this framework
-delegates to HF AutoTokenizer (the same spm model loads through it)
-— sentencepiece is not available in this environment and the
-tokenizer is host-side I/O, not TPU surface.
+(ref: thirdparty/baichuan/tokenization_baichuan.py) over the compiled
+sentencepiece library; this framework ships its own runtime —
+utils/sp_tokenizer.py (ModelProto parser + BPE/unigram encoders) — used
+via utils/tokenizer.py:load_tokenizer when AutoTokenizer cannot load a
+raw tokenizer.model. Host-side I/O, not TPU surface.
 """
 
 from __future__ import annotations
@@ -39,6 +40,7 @@ from ..quant.config import PER_TENSOR, PER_TOKEN, QuantConfig
 from .common import (
     KVCacheLayer,
     PAGED_POOL_TYPES,
+    int4_scan_view,
     cache_mask_and_routing,
     cache_slots,
     decode_window,
@@ -158,6 +160,13 @@ def _wpack_apply(x, p, qcfg: Optional[QuantConfig], compute_dtype):
     lead = x.shape[:-1]
     x2 = x.reshape(-1, x.shape[-1])
     if qcfg is None or p["w"].dtype not in (jnp.int8,):
+        if qcfg is not None and p["w"].dtype == jnp.uint8:
+            # int4 fused W_pack: one packed GEMM, per-(group, column) scales
+            from ..kernels.int4 import int4_matmul
+
+            out = int4_matmul(x2, p["w"], p["w_scales"],
+                              out_dtype=compute_dtype, layer=p.get("layer"))
+            return out.reshape(*lead, -1)
         if qcfg is not None and p["w"].dtype in (jnp.float8_e4m3fn, jnp.float8_e5m2):
             return linear(x, p, qcfg, qcfg.qkv, LinearKind.POST_NORM, compute_dtype)
         out = jnp.dot(x2, p["w"], preferred_element_type=jnp.float32)
@@ -299,15 +308,32 @@ def forward(params, input_ids: jnp.ndarray, cfg: BaichuanConfig,
             plain_causal=plain_causal, window=window)
         return hh, (new_cache, stats if capture_stats else None)
 
+    # int4 packed weights must NOT ride the scan xs (per-layer slice
+    # materializes the packed bytes each step — see models/llama.py)
+    int4_stacked = quant_config is not None and quant_config.is_int4
+
     if kv_cache is None:
-        h, (new_caches, stats) = jax.lax.scan(
-            lambda c, lp: step(c, (lp, None)), h, params["layers"])
+        if int4_stacked:
+            def step_nc(carry, _):
+                hh, l = carry
+                lp = int4_scan_view(params["layers"], l)
+                hh, ys = step(hh, (lp, None))
+                return (hh, l + 1), ys
+
+            (h, _), (new_caches, stats) = jax.lax.scan(
+                step_nc, (h, jnp.int32(0)), None,
+                length=cfg.num_hidden_layers)
+        else:
+            h, (new_caches, stats) = jax.lax.scan(
+                lambda c, lp: step(c, (lp, None)), h, params["layers"])
         new_kv = None
     else:
         # cache rides in the scan CARRY with token-only scatter writes
         # (see common.carry_update_and_attend; ALiBi handled in the split)
         def step_carry(carry, lp):
             hh, cache, l = carry
+            if lp is None:          # int4: stacked weights, in-kernel index
+                lp = int4_scan_view(params["layers"], l)
             hh, cache, st = _layer_forward(
                 hh, lp, cfg, quant_config, cos, sin, mask, alibi, (cache, l),
                 cache_index, capture_stats, compute_dtype, window=window,
@@ -317,7 +343,9 @@ def forward(params, input_ids: jnp.ndarray, cfg: BaichuanConfig,
             return (hh, cache, l + 1), (st if capture_stats else None)
 
         (h, new_kv, _), stats = jax.lax.scan(
-            step_carry, (h, kv_cache, jnp.int32(0)), params["layers"])
+            step_carry, (h, kv_cache, jnp.int32(0)),
+            None if int4_stacked else params["layers"],
+            length=cfg.num_hidden_layers if int4_stacked else None)
 
     h = rms_norm(h, params["final_norm"]["w"], cfg.rms_norm_eps).astype(compute_dtype)
     return h, new_kv, (stats if capture_stats else None)
@@ -442,6 +470,24 @@ def quantize(params, qcfg: QuantConfig, scales=None,
     family-wide, keeping per-section W_pack weight scales as a [3D] fp8
     column-scale vector."""
     lay = params["layers"]
+    if qcfg.is_int4:
+        # weight-only W4A16/W4A8: the [K/g, 3D] group-scale table is
+        # already per-(group, COLUMN), strictly finer than the reference's
+        # three per-section scalars — W_pack quantizes as one packed GEMM
+        # with no section special-casing; norms keep their weights
+        def pack4(proj):
+            qw, sc = jax.vmap(lambda w: qmath.quantize_weight_int4_grouped(
+                w, qcfg.group_size))(proj["w"])
+            return {"w": qw, "w_scales": sc}
+
+        new_layers = {
+            "ln1": dict(lay["ln1"]),
+            "attn": {"wpack": pack4(lay["attn"]["wpack"]),
+                     "o": pack4(lay["attn"]["o"])},
+            "ln2": dict(lay["ln2"]),
+            "mlp": {k: pack4(v) for k, v in lay["mlp"].items()},
+        }
+        return {**params, "layers": new_layers}
     if not qcfg.is_int8:
         return _quantize_fp8(params, qcfg, scales, ignore=ignore,
                              quantize_output=quantize_output,

@@ -32,6 +32,7 @@ from ..quant import math as qmath
 from ..quant.config import PER_TENSOR, PER_TOKEN, QuantConfig
 from .common import (
     KVCacheLayer,
+    int4_scan_view,
     cache_mask_and_routing,
     cache_slots,
     decode_window,
@@ -128,8 +129,30 @@ def init_params(cfg: MixtralConfig, key, dtype=jnp.float32) -> Dict[str, Any]:
     }
 
 
+def _expert_int4_matmul(x2, p, e, compute_dtype):
+    """Expert e's packed-int4 projection. Under the layer scan the leaves
+    stay STACKED [L, E, K/2, N] (common.int4_scan_view attaches the traced
+    layer); flattening [L, E] -> [L*E] lets kernels/int4.py's stacked
+    index-map contract address expert (l, e) as pseudo-layer l*E + e — the
+    packed bytes never materialize per layer OR per expert. Per-layer
+    [E, ...] leaves (no scan view) address e directly."""
+    from ..kernels.int4 import int4_matmul
+
+    w, sc = p["w"], p["w_scales"]
+    if "layer" in p:
+        L_, E_ = w.shape[0], w.shape[1]
+        w = w.reshape(L_ * E_, *w.shape[2:])
+        sc = sc.reshape(L_ * E_, *sc.shape[2:])
+        lidx = p["layer"] * E_ + e
+    else:
+        lidx = e
+    return int4_matmul(x2, w, sc, out_dtype=compute_dtype, layer=lidx)
+
+
 def _expert_linear(x2, p, e_idx, qcfg, gran, kind, compute_dtype):
     """Apply expert e's projection; p leaves have a leading [E] dim."""
+    if p["w"].dtype == jnp.uint8:
+        return _expert_int4_matmul(x2, p, e_idx, compute_dtype)
     pe = jax.tree.map(lambda a: a[e_idx], p)
     return linear(x2, pe, qcfg, gran, kind, compute_dtype)
 
@@ -179,6 +202,12 @@ def _batched_expert_linear(xe, p, qcfg, gran, kind, compute_dtype):
     Dout] -> [E, C, Dout], with the same quantization recipes as ``linear``
     batched over the expert dim (per-expert dequant/quant scales [E])."""
     w = p["w"]
+    if w.dtype == jnp.uint8:
+        # int4: one packed-GEMM kernel call per expert (E static, small);
+        # xe[e] rows are that expert's capacity bucket
+        outs = [_expert_int4_matmul(xe[e], p, e, compute_dtype)
+                for e in range(xe.shape[0])]
+        return jnp.stack(outs)
     bdims = (((2,), (1,)), ((0,), (0,)))
     if qcfg is None or w.dtype not in (jnp.int8, jnp.float8_e4m3fn,
                                        jnp.float8_e5m2):
@@ -438,15 +467,32 @@ def forward(params, input_ids: jnp.ndarray, cfg: MixtralConfig,
             plain_causal=plain_causal, window=window)
         return hh, (new_cache, stats if capture_stats else None)
 
+    # int4 packed weights must NOT ride the scan xs (per-layer slice
+    # materializes the packed bytes each step — see models/llama.py)
+    int4_stacked = quant_config is not None and quant_config.is_int4
+
     if kv_cache is None:
-        h, (new_caches, stats) = jax.lax.scan(
-            lambda c, lp: step(c, (lp, None)), h, params["layers"])
+        if int4_stacked:
+            def step_nc(carry, _):
+                hh, l = carry
+                lp = int4_scan_view(params["layers"], l)
+                hh, ys = step(hh, (lp, None))
+                return (hh, l + 1), ys
+
+            (h, _), (new_caches, stats) = jax.lax.scan(
+                step_nc, (h, jnp.int32(0)), None,
+                length=cfg.num_hidden_layers)
+        else:
+            h, (new_caches, stats) = jax.lax.scan(
+                lambda c, lp: step(c, (lp, None)), h, params["layers"])
         new_kv = None
     else:
         # cache rides in the scan CARRY with token-only scatter writes
         # (see common.carry_update_and_attend)
         def step_carry(carry, lp):
             hh, cache, l = carry
+            if lp is None:          # int4: stacked weights, in-kernel index
+                lp = int4_scan_view(params["layers"], l)
             hh, cache, st = _layer_forward(
                 hh, lp, cfg, quant_config, cos, sin, mask, (cache, l),
                 cache_index, capture_stats, calibrate_all_experts,
@@ -455,7 +501,9 @@ def forward(params, input_ids: jnp.ndarray, cfg: MixtralConfig,
             return (hh, cache, l + 1), (st if capture_stats else None)
 
         (h, new_kv, _), stats = jax.lax.scan(
-            step_carry, (h, kv_cache, jnp.int32(0)), params["layers"])
+            step_carry, (h, kv_cache, jnp.int32(0)),
+            None if int4_stacked else params["layers"],
+            length=cfg.num_hidden_layers if int4_stacked else None)
 
     h = rms_norm(h, params["final_norm"]["w"], cfg.rms_norm_eps).astype(compute_dtype)
     return h, new_kv, (stats if capture_stats else None)
@@ -613,6 +661,33 @@ def quantize(params, qcfg: QuantConfig, scales=None,
     per-expert fp8 weight scales [L, E], shared moe input scale for w1/w3,
     per-expert static input scales for w2."""
     lay = params["layers"]
+    if qcfg.is_int4:
+        # weight-only W4A16/W4A8 MoE: per-expert nibble-packed weights
+        # [L, E, K/2, N] with per-expert group scales [L, E, K/g, N];
+        # attention packs like llama; router stays fp (ref: mixtral.py:139)
+        def pack4(proj):
+            qw, sc = jax.vmap(lambda w: qmath.quantize_weight_int4_grouped(
+                w, qcfg.group_size))(proj["w"])
+            return {"w": qw, "w_scales": sc}
+
+        def pack4_experts(proj):
+            qw, sc = jax.vmap(jax.vmap(
+                lambda w: qmath.quantize_weight_int4_grouped(
+                    w, qcfg.group_size)))(proj["w"])
+            return {"w": qw, "w_scales": sc}
+
+        new_layers = {
+            "ln1": dict(lay["ln1"]),
+            "attn": {k: pack4(v) for k, v in lay["attn"].items()},
+            "ln2": dict(lay["ln2"]),
+            "moe": {
+                "router": dict(lay["moe"]["router"]),
+                "w1": pack4_experts(lay["moe"]["w1"]),
+                "w3": pack4_experts(lay["moe"]["w3"]),
+                "w2": pack4_experts(lay["moe"]["w2"]),
+            },
+        }
+        return {**params, "layers": new_layers}
     if not qcfg.is_int8:
         return _quantize_fp8(params, qcfg, scales, ignore=ignore,
                              quantize_output=quantize_output,

@@ -32,6 +32,7 @@ import jax.numpy as jnp
 from ..quant import math as qmath
 from ..quant.config import PER_TENSOR, QuantConfig
 from .common import (
+    int4_scan_view,
     KVCacheLayer,
     cache_mask_and_routing,
     cache_slots,
@@ -275,15 +276,33 @@ def forward(params, input_ids: jnp.ndarray, cfg: OPTConfig,
             window=window)
         return hh, (new_cache, stats if capture_stats else None)
 
+    # int4 packed weights must NOT ride the scan xs (the per-layer slice
+    # materializes the packed bytes each step — see models/llama.py): scan
+    # over nothing and index in-kernel via common.int4_scan_view
+    int4_stacked = quant_config is not None and quant_config.is_int4
+
     if kv_cache is None:
-        h, (new_caches, stats) = jax.lax.scan(
-            lambda c, lp: step(c, (lp, None)), h, params["layers"])
+        if int4_stacked:
+            def step_nc(carry, _):
+                hh, l = carry
+                lp = int4_scan_view(params["layers"], l)
+                hh, ys = step(hh, (lp, None))
+                return (hh, l + 1), ys
+
+            (h, _), (new_caches, stats) = jax.lax.scan(
+                step_nc, (h, jnp.int32(0)), None,
+                length=cfg.num_hidden_layers)
+        else:
+            h, (new_caches, stats) = jax.lax.scan(
+                lambda c, lp: step(c, (lp, None)), h, params["layers"])
         new_kv = None
     else:
         # cache rides in the scan CARRY with token-only scatter writes
         # (see common.carry_update_and_attend)
         def step_carry(carry, lp):
             hh, cache, l = carry
+            if lp is None:          # int4: stacked weights, in-kernel index
+                lp = int4_scan_view(params["layers"], l)
             hh, cache, st = _layer_forward(
                 hh, lp, cfg, quant_config, mask, (cache, l), cache_index,
                 capture_stats, compute_dtype, window=window, chunk0=chunk0, banded=chunkN,
@@ -291,7 +310,9 @@ def forward(params, input_ids: jnp.ndarray, cfg: OPTConfig,
             return (hh, cache, l + 1), (st if capture_stats else None)
 
         (h, new_kv, _), stats = jax.lax.scan(
-            step_carry, (h, kv_cache, jnp.int32(0)), params["layers"])
+            step_carry, (h, kv_cache, jnp.int32(0)),
+            None if int4_stacked else params["layers"],
+            length=cfg.num_hidden_layers if int4_stacked else None)
 
     if cfg.do_layer_norm_before and "final_norm" in params:
         h = layer_norm(h, params["final_norm"]["w"], params["final_norm"]["b"],
@@ -436,6 +457,23 @@ def quantize(params, qcfg: QuantConfig, scales=None,
     family-wide — same contract as llama.quantize's fp8 path (dynamic /
     static-with-observer / e5m2, ignore keys, optional output quant)."""
     lay = params["layers"]
+    if qcfg.is_int4:
+        # weight-only W4A16/W4A8 (beyond the int8-only reference OPT):
+        # nibble-packed grouped weights with BIASES carried in f32; no
+        # activation quant step, so LayerNorms keep weight AND bias
+        def pack4(proj):
+            qw, sc = jax.vmap(lambda w: qmath.quantize_weight_int4_grouped(
+                w, qcfg.group_size))(proj["w"])
+            return {"w": qw, "w_scales": sc,
+                    "bias": proj["b"].astype(jnp.float32)}
+
+        new_layers = {
+            "ln1": dict(lay["ln1"]),
+            "attn": {k: pack4(v) for k, v in lay["attn"].items()},
+            "ln2": dict(lay["ln2"]),
+            "mlp": {k: pack4(v) for k, v in lay["mlp"].items()},
+        }
+        return {**params, "layers": new_layers}
     if not qcfg.is_int8:
         return _quantize_fp8(params, qcfg, scales, ignore=ignore,
                              quantize_output=quantize_output,

@@ -155,7 +155,9 @@ def mixtral_param_specs(cfg, mesh: Mesh) -> Dict[str, Any]:
 
     def expert_proj(spec_in, spec_out):
         return {"w": P(None, exp, spec_in, spec_out),
-                "dequant_scale": P(None, exp), "quant_scale": P(None, exp)}
+                "dequant_scale": P(None, exp), "quant_scale": P(None, exp),
+                # int4 group scales [L, E, K/g, N] follow their expert
+                "w_scales": P(None, exp, None, None)}
 
     col = _maybe(m, cfg.num_attention_heads * cfg.head_dim, "model")
     kv_col = _maybe(m, cfg.num_key_value_heads * cfg.head_dim, "model")
