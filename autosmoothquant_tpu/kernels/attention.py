@@ -143,7 +143,7 @@ def _flash_banded_kernel(q_ref, k_ref, v_ref, pos_ref, start_ref, o_ref,
                          sm_scale, block_q, block_k, num_kv_tiles):
     """Banded-causal tile: query i (at absolute cache slot pos+i) attends
     cache cols <= pos + i. pos rides in SMEM (per batch row) — the same
-    runtime-proven pattern as flash_decode's window scalars (scalar
+    runtime-proven pattern as the fused-block kernels' scalars (scalar
     prefetch hung on the axon runtime).
 
     Grid order is (b, q_tile, kv_tile, head) with kv OUTSIDE the head loop:

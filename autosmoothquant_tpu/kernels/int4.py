@@ -39,11 +39,13 @@ live in a k-blocked kernel) and bias/activation stay in XLA. Measured at
 M=8 K=N=4096 on v5e: 15.7us vs int8 22.2us (1.41x) — the epilogue-outside
 variant was 22.2us, glue-bound; packed-stream floor is 13.5us.
 
-Large-M (prefill-shaped) calls switch to full-K bf16 dots with the group
-scales pre-multiplied into the unpacked tile (W4A16): prefill is MXU-bound
-and the bf16 activations skip the act-quant noise. Both variants share the
-packed format. The XLA fallback reproduces the same per-group integer math
-exactly (integer dots are exact in f32 up to 2^24).
+Large-M (prefill-shaped, M > 64) calls run the XLA fallback: prefill is
+MXU-bound, dequantize+dot amortizes the unpack over many rows, and the
+former in-kernel bf16 (W4A16) variant materialized [hk, bn] dequantized
+tiles on Mosaic's 16 MB scoped-VMEM stack — 22-28 MB at 7B/13B prefill
+shapes — for no measured win (pruned round 4). The XLA fallback
+reproduces the same per-group integer math exactly (integer dots are
+exact in f32 up to 2^24).
 """
 
 from __future__ import annotations
@@ -58,8 +60,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..runtime import flags
 
-# M at or below this uses the W4A8 per-group-dot kernel (weight-stream
-# bound); above it the bf16 full-K variant (MXU bound). Static per shape.
+# M at or below this uses the W4A8 per-group-dot Pallas kernel
+# (weight-stream bound); above it the XLA fallback (MXU bound).
 _A8_MAX_M = 64
 
 
@@ -131,33 +133,6 @@ def _select_scales(s_ref, k_idx, gb, ghalf):
     return sl, sh
 
 
-def _int4_kernel_bf16(l_ref, xl_ref, xh_ref, p_ref, s_ref, o_ref, acc_ref,
-                      *, group, gb, ghalf):
-    k_idx = pl.program_id(2)
-
-    @pl.when(k_idx == 0)
-    def _init():
-        acc_ref[...] = jnp.zeros_like(acc_ref)
-
-    dn = (((1,), (0,)), ((), ()))
-    p = p_ref[0].astype(jnp.int32)
-    sl_step, sh_step = _select_scales(s_ref, k_idx, gb, ghalf)
-    # bf16 full-K variant: dequantize the tile (offset removed, group
-    # scales multiplied in) and run two full-depth MXU passes
-    srl = jnp.repeat(sl_step, group, axis=0)
-    srh = jnp.repeat(sh_step, group, axis=0)
-    wlo = (((p & 0xF) - 8).astype(jnp.float32) * srl).astype(xl_ref.dtype)
-    whi = (((p >> 4) - 8).astype(jnp.float32) * srh).astype(xl_ref.dtype)
-    acc_ref[...] += jax.lax.dot_general(
-        xl_ref[...], wlo, dn, preferred_element_type=jnp.float32)
-    acc_ref[...] += jax.lax.dot_general(
-        xh_ref[...], whi, dn, preferred_element_type=jnp.float32)
-
-    @pl.when(k_idx == pl.num_programs(2) - 1)
-    def _done():
-        o_ref[...] = acc_ref[...]
-
-
 @functools.partial(
     jax.jit,
     static_argnames=("group", "block_m", "block_n", "block_hk", "interpret",
@@ -198,18 +173,13 @@ def _int4_matmul_pallas(x, packed, scales, tok_scale=None, layer=None, *,
         pl.BlockSpec((1, scales.shape[1], block_n),
                      lambda i, j, kk, L: (L[0], 0, j)),
     ]
-    if a8:
-        kern = functools.partial(_int4_kernel_a8, group=group, gb=gb,
-                                 ghalf=ghalf)
-        ts = jnp.broadcast_to(tok_scale.astype(jnp.float32), (m, 128))
-        in_specs = x_specs + [
-            pl.BlockSpec((block_m, 128), lambda i, j, kk, L: (i, 0))] + w_specs
-        operands = (lidx, x, x, ts, packed, scales)
-    else:
-        kern = functools.partial(_int4_kernel_bf16, group=group, gb=gb,
-                                 ghalf=ghalf)
-        in_specs = x_specs + w_specs
-        operands = (lidx, x, x, packed, scales)
+    assert a8, "the Pallas path is decode-only (W4A8); prefill runs XLA"
+    kern = functools.partial(_int4_kernel_a8, group=group, gb=gb,
+                             ghalf=ghalf)
+    ts = jnp.broadcast_to(tok_scale.astype(jnp.float32), (m, 128))
+    in_specs = x_specs + [
+        pl.BlockSpec((block_m, 128), lambda i, j, kk, L: (i, 0))] + w_specs
+    operands = (lidx, x, x, ts, packed, scales)
     return pl.pallas_call(
         kern,
         out_shape=jax.ShapeDtypeStruct((m, n), jnp.float32),
@@ -389,25 +359,25 @@ def int4_matmul(x: jnp.ndarray, packed: jnp.ndarray, scales: jnp.ndarray,
             use_pallas=use_pallas, interpret=interpret, layer=layer)
         return out[:m]
 
-    blocks = _pick_blocks(m, n, k, group)
+    # The Pallas kernel serves DECODE-shaped calls only (M <= 64, the
+    # weight-stream-bound regime where streaming packed bytes wins — 1.69x
+    # at 13B/b1). Prefill-shaped M is MXU-bound: the XLA fallback's
+    # dequantize+dot amortizes the unpack over many rows, and the former
+    # in-kernel bf16 variant materialized [hk, bn] dequant tiles on the
+    # Mosaic stack, blowing the 16 MB scoped-VMEM limit at 7B/13B shapes
+    # (measured 22-28 MB stacks) for no measured win.
+    blocks = _pick_blocks(m, n, k, group) if a8 else None
     if use_pallas is None:
         backend = flags().int4_backend
         want = backend != "xla"
         use_pallas = want and jax.default_backend() == "tpu" and blocks is not None
     if use_pallas and blocks is not None:
         bm, bn, hk = blocks
-        if a8:
-            absmax = jnp.max(jnp.abs(x), axis=-1, keepdims=True)
-            tok_scale = jnp.maximum(absmax.astype(jnp.float32), 1e-8) / 127.0
-            out = _int4_matmul_pallas(
-                x, packed, scales, tok_scale, layer, group=group, block_m=bm,
-                block_n=bn, block_hk=hk, interpret=interpret, a8=True)
-        else:
-            cdt = x.dtype if x.dtype == jnp.bfloat16 else jnp.float32
-            out = _int4_matmul_pallas(
-                x.astype(cdt), packed, scales, None, layer, group=group,
-                block_m=bm, block_n=bn, block_hk=hk, interpret=interpret,
-                a8=False)
+        absmax = jnp.max(jnp.abs(x), axis=-1, keepdims=True)
+        tok_scale = jnp.maximum(absmax.astype(jnp.float32), 1e-8) / 127.0
+        out = _int4_matmul_pallas(
+            x, packed, scales, tok_scale, layer, group=group, block_m=bm,
+            block_n=bn, block_hk=hk, interpret=interpret, a8=True)
         return _epilogue(out, bias, activation, out_dtype)
     if packed.shape[0] == 1:
         p2, s2 = packed[0], scales[0]

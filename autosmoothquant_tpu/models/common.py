@@ -611,7 +611,7 @@ def cache_update_and_read(cache, k, v, cache_index, compute_dtype):
 
 def cache_write(cache, k, v, cache_index):
     """Write-only cache update ([B, T, H, Dh] at cache_index) — no
-    dequantized copy is materialized. The int8 fast path: flash_decode reads
+    dequantized copy is materialized. The int8 fast path: attend() reads
     the int8 values directly, so HBM traffic stays 1 B/elt."""
     if isinstance(cache, QuantKVCacheLayer):
         kq, ks = _quantize_kv(k)
@@ -715,24 +715,6 @@ def decode_window(cache_index, kv_valid, batch: int,
     return starts, lengths
 
 
-def _flash_decode_mode() -> str:
-    """auto | on | off | force. (force = any backend, interpret off-TPU —
-    used by the CI equality tests.)
-
-    auto resolves to OFF: after the KV-carry refactor the XLA decode
-    attention reads the raw int8 cache with dequant scales factored into
-    scores/probabilities (attend()) and fuses the whole chain — measured
-    FASTER in the engines' nested loops than any of the Pallas decode
-    kernels, whose ~12us/call dispatch and lost fusion cost ~15% end-to-end
-    (b8 s2048 int8: XLA 2109 tok/s vs kernel 1831; see BENCHMARKS.md).
-    The whole-row kernel soak-tests clean nested (512-step) and stays the
-    right tool where XLA must materialize a copy (bare attention calls,
-    other runtimes); opt in with "on"."""
-    from ..runtime import flags
-
-    return flags().flash_decode
-
-
 def ambient_mesh():
     """The mesh made ambient by the serving engines via
     ``jax.sharding.set_mesh`` (None outside any multi-device mesh). Lets the
@@ -751,74 +733,6 @@ def _mesh_axis(mesh, name: str) -> int:
     if mesh is None or name not in mesh.axis_names:
         return 1
     return dict(mesh.shape)[name]
-
-
-def _run_decode_kernel(kern, mesh, q1, k, v, lengths, *, scale, starts,
-                       k_scale, v_scale, interpret):
-    """Invoke a flash-decode kernel, shard_mapped over (data->batch,
-    model->kv heads) when an ambient mesh is present. The kernel is
-    embarrassingly parallel over both axes, so the per-shard call needs no
-    collectives; in_specs match the framework's KV-cache layout
-    (shard/sharding.py kv_cache_specs) so no resharding traffic is added."""
-    if mesh is None:
-        return kern(q1, k, v, lengths, sm_scale=scale, starts=starts,
-                    k_scale=k_scale, v_scale=v_scale, interpret=interpret)
-    from jax.sharding import PartitionSpec as P
-
-    b, s, hkv, _ = k.shape
-    if k_scale is None:
-        k_scale = jnp.ones((b, 1, hkv), jnp.float32)
-        v_scale = jnp.ones((b, 1, hkv), jnp.float32)
-    dn = "data" if _mesh_axis(mesh, "data") > 1 else None
-    mn = "model" if _mesh_axis(mesh, "model") > 1 else None
-
-    def local(q_, k_, v_, ks_, vs_, st_, ln_):
-        return kern(q_, k_, v_, ln_, sm_scale=scale, starts=st_,
-                    k_scale=ks_, v_scale=vs_, interpret=interpret)
-
-    return jax.shard_map(
-        local, mesh=mesh,
-        in_specs=(P(dn, mn, None), P(dn, None, mn, None),
-                  P(dn, None, mn, None), P(dn, None, mn), P(dn, None, mn),
-                  P(dn), P(dn)),
-        out_specs=P(dn, mn, None), check_vma=False,
-    )(q1, k, v, k_scale, v_scale, starts, lengths)
-
-
-def _run_decode_layered(mesh, q1, k_full, v_full, layer, lengths, *, scale,
-                        starts, k_scale, v_scale, interpret):
-    """flash_decode_layered (full [L, B, S, Hkv, D] stack stays in HBM; the
-    kernel DMAs row (layer, b) itself), shard_mapped like
-    _run_decode_kernel when an ambient mesh is present. k/v_scale are the
-    PER-LAYER [B, S, Hkv] slices (tiny; XLA-sliced by the caller)."""
-    from ..kernels.decode_attention import flash_decode_layered
-
-    if mesh is None:
-        return flash_decode_layered(q1, k_full, v_full, layer, lengths,
-                                    sm_scale=scale, starts=starts,
-                                    k_scale=k_scale, v_scale=v_scale,
-                                    interpret=interpret)
-    from jax.sharding import PartitionSpec as P
-
-    b, s, hkv = k_full.shape[1], k_full.shape[2], k_full.shape[3]
-    if k_scale is None:
-        k_scale = jnp.ones((b, 1, hkv), jnp.float32)
-        v_scale = jnp.ones((b, 1, hkv), jnp.float32)
-    dn = "data" if _mesh_axis(mesh, "data") > 1 else None
-    mn = "model" if _mesh_axis(mesh, "model") > 1 else None
-
-    def local(q_, k_, v_, ks_, vs_, l_, st_, ln_):
-        return flash_decode_layered(q_, k_, v_, l_, ln_, sm_scale=scale,
-                                    starts=st_, k_scale=ks_, v_scale=vs_,
-                                    interpret=interpret)
-
-    return jax.shard_map(
-        local, mesh=mesh,
-        in_specs=(P(dn, mn, None), P(None, dn, None, mn, None),
-                  P(None, dn, None, mn, None), P(dn, None, mn),
-                  P(dn, None, mn), P(), P(dn), P(dn)),
-        out_specs=P(dn, mn, None), check_vma=False,
-    )(q1, k_full, v_full, k_scale, v_scale, layer, starts, lengths)
 
 
 def _kernel_gate(q, full_cache, carry):
@@ -975,68 +889,14 @@ def update_and_attend(q, k, v, cache, cache_index, mask, scale, compute_dtype,
                                      starts, scale=scale,
                                      interpret=not on_tpu)
             return new_cache, out.astype(q.dtype)
-    mode = _flash_decode_mode()
-    if (full_cache is not None and t == 1 and window is not None
-            and alibi_bias is None and mode in ("on", "force")):
-        from ..kernels.decode_attention import (
-            decode_attend_supported, flash_decode, flash_decode_simple,
-            simple_supported)
-
-        quant_cache = isinstance(full_cache, QuantKVCacheLayer)
-        itemsize = 1 if quant_cache else full_cache.k.dtype.itemsize
-        (mesh, mesh_ok, q_local, cache_local, on_tpu,
-         partitionable) = _kernel_gate(q, full_cache, carry)
-        use_simple = simple_supported(q_local, cache_local, itemsize)
-        shapes_ok = mesh_ok and (
-            use_simple or decode_attend_supported(q_local, cache_local))
-        if shapes_ok and ((on_tpu and partitionable) or mode == "force"):
-            starts, lengths = window
-            kern = flash_decode_simple if use_simple else flash_decode
-            if carry is not None:
-                cache_full, l = carry
-                new_cache = _carry_write(cache_full, l, k, v, cache_index, b, t)
-                # layered kernel: the big K/V stack never leaves HBM (no
-                # XLA-materialized per-layer copy); needs the row slab's
-                # minor dim lane-aligned for the in-kernel DMA slice.
-                # OPT-IN (ASQ_LAYERED_DECODE=on): on this axon runtime a
-                # manual-DMA kernel inside lax.scan reads HBM at ~30 GB/s
-                # (277 us/layer b8 s2048 int8) while the same kernel
-                # standalone hits ~550 GB/s (20 us) — the XLA-sliced
-                # flash_decode_simple path (39 us incl. the slice copy)
-                # wins in-scan; see BENCHMARKS.md
-                from ..runtime import flags
-
-                if (flags().layered_decode == "on"
-                        and use_simple
-                        and (cache_local[2] * cache_local[3]) % 128 == 0):
-                    out = _run_decode_layered(
-                        mesh, q[:, 0], new_cache.k, new_cache.v, l, lengths,
-                        scale=scale, starts=starts,
-                        k_scale=(_layer_slice(new_cache.k_scale, l)
-                                 if quant_cache else None),
-                        v_scale=(_layer_slice(new_cache.v_scale, l)
-                                 if quant_cache else None),
-                        interpret=not on_tpu)
-                    return new_cache, out[:, None].astype(compute_dtype)
-                out = _run_decode_kernel(
-                    kern, mesh, q[:, 0], _layer_slice(new_cache.k, l),
-                    _layer_slice(new_cache.v, l), lengths, scale=scale,
-                    starts=starts,
-                    k_scale=(_layer_slice(new_cache.k_scale, l)
-                             if quant_cache else None),
-                    v_scale=(_layer_slice(new_cache.v_scale, l)
-                             if quant_cache else None),
-                    interpret=not on_tpu)
-                return new_cache, out[:, None].astype(compute_dtype)
-            new_cache = cache_write(cache, k, v, cache_index)
-            out = _run_decode_kernel(
-                kern, mesh, q[:, 0], new_cache.k, new_cache.v, lengths,
-                scale=scale, starts=starts,
-                k_scale=new_cache.k_scale if quant_cache else None,
-                v_scale=new_cache.v_scale if quant_cache else None,
-                interpret=not on_tpu)
-            return new_cache, out[:, None].astype(compute_dtype)
-
+    # The flash-decode Pallas kernels (v2 grid / whole-row simple /
+    # layered manual-DMA) were PRUNED in round 4: no measured
+    # configuration on this runtime ever selected them. The XLA attend
+    # below reads the raw (int8) cache with scales factored into
+    # scores/probs and fuses the whole chain — measured faster in the
+    # engines' nested loops than every kernel variant (b8/s2048 int8:
+    # XLA 2109 tok/s vs kernel-on 1831; layered: 0.392 ms/step XLA vs
+    # 1.72 ms unrolled-layered, 25 ms in-scan — BENCHMARKS.md round 4).
     if carry is not None:
         cache_full, l = carry
         new_cache, ctx = carry_update_and_attend(

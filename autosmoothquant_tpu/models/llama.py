@@ -163,36 +163,6 @@ def init_params(cfg: LlamaConfig, key, dtype=jnp.float32) -> Dict[str, Any]:
 # ---------------------------------------------------------------------------
 
 
-def _use_fused_mlp(mp, down_p, m: int, k: int, inter: int) -> bool:
-    """Gate for the fused silu-mul-requant MLP kernel: int8 fused gate|up
-    weight, per-tensor (quant_scale-carrying) down projection, aligned
-    shapes, single device (TP shards the fused weight's column halves
-    non-contiguously — kernel mesh support is ROADMAP). ASQ_FUSED_MLP:
-    auto | on | off | force (force = interpret off-TPU, CI equality).
-
-    Default auto = OFF: measured in-model prefill A/B (TinyLlama shape,
-    b4/t1024, interleaved one-process runs) is parity at the tuned tiles
-    (1.016/1.009/1.000×) and 0.92× at the untuned ones — XLA already fuses
-    the silu·mul·requant chain into the GEMM consumers without the [M, 2I]
-    HBM round-trip the kernel was built to avoid (standalone the kernel
-    wins 2.3×, but that composite never materializes in-model). Same
-    earn-your-keep policy as ASQ_FLASH_DECODE; see BENCHMARKS.md."""
-    from ..kernels.mlp import fused_mlp_supported
-    from ..runtime import flags
-    from .common import ambient_mesh
-
-    mode = flags().fused_mlp
-    if mode in ("off", "auto") or mp["w"].dtype != jnp.int8 \
-            or "quant_scale" not in down_p:
-        return False
-    if not fused_mlp_supported(m, k, inter):
-        return False
-    if mode == "force":
-        return True
-    return (jax.default_backend() == "tpu" and jax.device_count() == 1
-            and ambient_mesh() is None)
-
-
 def _layer_forward(h, lp, cfg: LlamaConfig, qcfg: Optional[QuantConfig],
                    cos, sin, mask, cache: Optional[KVCacheLayer],
                    cache_index, capture: bool, compute_dtype,
@@ -259,10 +229,10 @@ def _layer_forward(h, lp, cfg: LlamaConfig, qcfg: Optional[QuantConfig],
         stats["o_out_absmax"] = jnp.max(jnp.abs(attn_out))
 
     # --- mlp ---------------------------------------------------------------
-    fused_mlp = fused_block_enabled(qcfg, capture)
-    if not fused_mlp:
+    fused_block = fused_block_enabled(qcfg, capture)
+    if not fused_block:
         h = h + attn_out
-    if fused_mlp:
+    if fused_block:
         # fused residual-add + RMSNorm + int8-quantize (one HBM pass; the
         # TPU realization of the reference's dq_add_layernorm_q,
         # csrc/kernels/fused.cu:5-25) feeding a prequantized int8 GEMM —
@@ -272,21 +242,10 @@ def _layer_forward(h, lp, cfg: LlamaConfig, qcfg: Optional[QuantConfig],
             lp["ln2"]["w"], eps=cfg.rms_norm_eps,
             interpret=jax.default_backend() != "tpu")
         h = h2.reshape(b, t, d)
+        # (the fused silu-mul-requant MLP kernel was PRUNED round 4:
+        # measured parity at tuned tiles — XLA fuses the chain into the
+        # GEMM consumers without the [M, 2I] HBM round-trip; BENCHMARKS.md)
         mp = lp["mlp"].get("gateup")
-        down_p = lp["mlp"]["down"]
-        if mp is not None and cfg.hidden_act == "silu" and _use_fused_mlp(
-                mp, down_p, b * t, d, cfg.intermediate_size):
-            # whole MLP-up in one kernel: int8 GEMM pair + silu*mul +
-            # requant, the [M, 2I] fp intermediate never touches HBM
-            # (kernels/mlp.py)
-            from ..kernels.mlp import fused_mlp_int8
-
-            act_q = fused_mlp_int8(
-                x2_q, mp["w"], mp["dequant_scale"], down_p["quant_scale"],
-                interpret=jax.default_backend() != "tpu")
-            down = linear_prequant(act_q, down_p, compute_dtype
-                                   ).reshape(b, t, d)
-            return h + down, new_cache, stats
         if mp is not None:
             proj = linear_prequant(x2_q, mp, compute_dtype).reshape(b, t, -1)
             gate = proj[..., : cfg.intermediate_size]

@@ -182,8 +182,8 @@ def _layer_forward(h, lp, cfg: OPTConfig, qcfg: Optional[QuantConfig],
                       LinearKind.SCALED, compute_dtype)
     if capture:
         stats["o_out_absmax"] = jnp.max(jnp.abs(attn_out))
-    fused_mlp = cfg.do_layer_norm_before and fused_block_enabled(qcfg, capture)
-    if fused_mlp:
+    fused_block = cfg.do_layer_norm_before and fused_block_enabled(qcfg, capture)
+    if fused_block:
         # fused residual-add + LayerNorm + int8-quantize feeding a
         # prequantized fc1 (one HBM pass; TPU form of the reference's
         # dq_add_layernorm_q, csrc/kernels/fused.cu:5-25)

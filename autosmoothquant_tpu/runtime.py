@@ -23,11 +23,8 @@ Flag reference (env var / values / effect):
                  (auto = Pallas on TPU whenever the shape tiles; the XLA
                  path materializes dequantized weights and is fallback-only)
   fp8_native     ASQ_FP8_NATIVE     auto|off         probe native fp8 dot
-  flash_decode   ASQ_FLASH_DECODE   auto|on|off      flash-decode kernel
   banded_prefill ASQ_BANDED_PREFILL auto|on|off      banded ragged prefill
-  layered_decode ASQ_LAYERED_DECODE off|on           per-layer decode loop
   no_flash       ASQ_NO_FLASH       ""|1             disable flash prefill
-  fused_mlp      ASQ_FUSED_MLP      auto|on|off      fused int8 MLP kernel
   fused_block    ASQ_FUSED_BLOCK    auto|off|force   fused add+norm+quant
   moe            ASQ_MOE            auto|dense|sparse  Mixtral expert path
 (ASQ_GEMM_TABLE selects the tuning table at import; ASQ_BENCH_* configure
@@ -46,11 +43,8 @@ class Flags:
     int8_backend: str = "auto"
     int4_backend: str = "auto"
     fp8_native: str = "auto"
-    flash_decode: str = "auto"
     banded_prefill: str = "auto"
-    layered_decode: str = "off"
     no_flash: bool = False
-    fused_mlp: str = "auto"
     fused_block: str = "auto"
     moe: str = "auto"
 
@@ -61,11 +55,8 @@ class Flags:
             int8_backend=e("ASQ_INT8_BACKEND", "auto"),
             int4_backend=e("ASQ_INT4_BACKEND", "auto"),
             fp8_native=e("ASQ_FP8_NATIVE", "auto"),
-            flash_decode=e("ASQ_FLASH_DECODE", "auto"),
             banded_prefill=e("ASQ_BANDED_PREFILL", "auto"),
-            layered_decode=e("ASQ_LAYERED_DECODE", "off"),
             no_flash=e("ASQ_NO_FLASH", "") == "1",
-            fused_mlp=e("ASQ_FUSED_MLP", "auto"),
             fused_block=e("ASQ_FUSED_BLOCK", "auto"),
             moe=e("ASQ_MOE", "auto"),
         )

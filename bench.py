@@ -842,31 +842,6 @@ def main():
             "paged_vs_contig_int8": round(paged_i8 / contig_i8, 4),
         }))
         return
-    if os.environ.get("ASQ_BENCH_MODE") == "fusedmlp":
-        # fused int8 MLP kernel A/B — both arms in ONE process via
-        # runtime.override (retrace per arm); vs_baseline = fused/unfused.
-        from autosmoothquant_tpu import runtime
-        from autosmoothquant_tpu.models import llama as L
-        from autosmoothquant_tpu.quant.config import QuantConfig
-
-        preset = os.environ.get("ASQ_BENCH_PRESET", "tinyllama")
-        batch = int(os.environ.get("ASQ_BENCH_BATCH", "8"))
-        s_max = int(os.environ.get("ASQ_BENCH_SMAX", "512"))
-        cfg = get_cfg(preset)
-        qcfg = QuantConfig(type="int8")
-        params = build_params(cfg, "int8")
-        tps = {}
-        for mode in ("off", "on"):
-            with runtime.override(fused_mlp=mode):
-                tps[mode] = decode_tps(L, cfg, qcfg, params, batch=batch,
-                                       prompt_len=128, s_max=s_max)
-        print(json.dumps({
-            "metric": f"decode_tok_per_s_fused_mlp_{preset}_b{batch}",
-            "value": round(tps["on"], 2), "unit": "tok/s",
-            "vs_baseline": round(tps["on"] / tps["off"], 4),
-            "unfused_tok_per_s": round(tps["off"], 2),
-        }))
-        return
     if os.environ.get("ASQ_BENCH_MODE") == "churn":
         from autosmoothquant_tpu.models import llama as L
         from autosmoothquant_tpu.quant.config import QuantConfig

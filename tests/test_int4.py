@@ -82,24 +82,19 @@ def test_matmul_xla_w4a8_matches_oracle():
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
 
 
-@pytest.mark.parametrize("a8", [True, False])
-def test_pallas_kernel_parity(a8):
+def test_pallas_kernel_parity():
+    # the Pallas path is decode-only W4A8 (the bf16 large-M variant was
+    # pruned round 4 — Mosaic stack OOM at 7B/13B prefill, no measured win;
+    # prefill-shaped M runs int4_matmul_xla, covered by the tests above)
     x = _rand((16, 256), 5)
     w = _rand((256, 128), 6)
     p, s = qm.quantize_weight_int4_grouped(w, 64)
-    if a8:
-        want = _w4a8_oracle(x, p, s, 64)
-        amax = np.maximum(np.abs(np.asarray(x)).max(-1, keepdims=True), 1e-8)
-        ts = jnp.asarray((amax / 127.0).astype(np.float32))
-        got = np.asarray(_int4_matmul_pallas(
-            x, p[None], s[None], ts, 0, group=64, block_m=8, block_n=128,
-            block_hk=64, interpret=True, a8=True))
-    else:
-        wd = qm.dequantize_int4_grouped(p, s, jnp.float32)
-        want = np.asarray(x @ wd)
-        got = np.asarray(_int4_matmul_pallas(
-            x, p[None], s[None], None, 0, group=64, block_m=8, block_n=128,
-            block_hk=64, interpret=True, a8=False))
+    want = _w4a8_oracle(x, p, s, 64)
+    amax = np.maximum(np.abs(np.asarray(x)).max(-1, keepdims=True), 1e-8)
+    ts = jnp.asarray((amax / 127.0).astype(np.float32))
+    got = np.asarray(_int4_matmul_pallas(
+        x, p[None], s[None], ts, 0, group=64, block_m=8, block_n=128,
+        block_hk=64, interpret=True, a8=True))
     np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-3)
 
 

@@ -172,25 +172,6 @@ def quantized_kern():
     return cfg, qcfg, L.quantize(params, qcfg, scales)
 
 
-@pytest.mark.parametrize("kv_dtype", [jnp.float32, jnp.int8])
-def test_engine_sharded_flash_decode(quantized_kern, kv_dtype, monkeypatch):
-    """Force-mode flash decode under a (data=2, model=2) mesh: the kernel is
-    shard_mapped per-shard (models/common._run_decode_kernel) and must emit
-    the same tokens as the single-device force path."""
-    if len(jax.devices()) < 8:
-        pytest.skip("needs 8 devices")
-    cfg, qcfg, qparams = quantized_kern
-    monkeypatch.setenv("ASQ_FLASH_DECODE", "force")
-    single = Engine(L, qparams, cfg, qcfg, max_batch=4, max_seq=64,
-                    kv_dtype=kv_dtype, compute_dtype=jnp.float32)
-    expect = single.generate(PROMPTS, GenerationConfig(max_new_tokens=8))
-    mesh = make_mesh(data=2, model=2, devices=jax.devices()[:4])
-    eng = Engine(L, qparams, cfg, qcfg, max_batch=4, max_seq=64,
-                 kv_dtype=kv_dtype, compute_dtype=jnp.float32, mesh=mesh)
-    got = eng.generate(PROMPTS, GenerationConfig(max_new_tokens=8))
-    assert got == expect
-
-
 def test_engine_sharded_fused_block(quantized_kern, monkeypatch):
     """Force-mode fused add+norm+quant under a TP mesh (shard_mapped over
     the row dim) must match the single-device fused path."""
