@@ -40,10 +40,14 @@ def parse_args():
                    help="engine-level prompt-lookup speculative decoding "
                         "draft length (greedy requests only; 0 = off)")
     p.add_argument("--speculative-ngram", type=int, default=3)
+    p.add_argument("--no-adaptive-gamma", action="store_true",
+                   help="disable acceptance-tracked gamma resizing (fixed "
+                        "draft length even when drafts miss)")
     p.add_argument("--paged", action="store_true",
                    help="block-paged KV engine: pooled cache capacity + "
-                        "copy-free prefix sharing (llama-family, "
-                        "single-device; bf16 or int8 KV pages)")
+                        "copy-free prefix page sharing + LRU prefix "
+                        "eviction (every model family incl. ALiBi/sliding "
+                        "window; bf16 or int8 KV pages; TP/EP meshes)")
     p.add_argument("--block-size", type=int, default=64,
                    help="paged engine page size (tokens)")
     p.add_argument("--num-pages", type=int, default=0,
@@ -86,7 +90,8 @@ def build(args):
         prefill_chunk=args.prefill_chunk or None,
         mesh=mesh, seed=args.seed,
         speculative_gamma=args.speculative_gamma,
-        speculative_ngram=args.speculative_ngram)
+        speculative_ngram=args.speculative_ngram,
+        speculative_adaptive=not args.no_adaptive_gamma)
     if getattr(args, "paged", False):
         from autosmoothquant_tpu.serve.paged import PagedEngine
 
