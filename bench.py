@@ -475,21 +475,23 @@ def main():
                             s_max=s_max)
         del params
         gc.collect()
+        base = os.environ.get("ASQ_BENCH_INT4_BASE", "int8")
         if os.environ.get("ASQ_BENCH_REF_I8"):
             # big presets (13B): the int8 arm cannot coexist with the int4
             # HBM residue in one process — measure it in its own process
             # (plain bench.py run at the same shape) and pass it in
             tps_i8 = float(os.environ["ASQ_BENCH_REF_I8"])
         else:
-            params = build_params(cfg, "int8")
-            tps_i8 = decode_tps(L, cfg, QuantConfig(type="int8"), params,
-                                batch=batch, prompt_len=prompt_len,
-                                s_max=s_max)
+            params = build_params(cfg, base)
+            tps_i8 = decode_tps(
+                L, cfg, None if base == "bf16" else QuantConfig(type="int8"),
+                params, batch=batch, prompt_len=prompt_len, s_max=s_max)
         print(json.dumps({
-            "metric": f"decode_tok_per_s_w4a16_{preset}_b{batch}_s{s_max}",
+            "metric": (f"decode_tok_per_s_w4a8_{preset}_b{batch}_s{s_max}"
+                       + (f"_vs_{base}" if base != "int8" else "")),
             "value": round(tps_i4, 2), "unit": "tok/s",
             "vs_baseline": round(tps_i4 / tps_i8, 4),
-            "int8_tok_per_s": round(tps_i8, 2),
+            f"{base}_tok_per_s": round(tps_i8, 2),
         }))
         return
     if os.environ.get("ASQ_BENCH_MODE") == "prefill":
