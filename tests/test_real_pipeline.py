@@ -101,3 +101,56 @@ def test_hf_parity_mid_size(hf_model):
     h, _, _ = L.forward_jit(params, jnp.asarray(ids, jnp.int32), cfg)
     ours = np.asarray(L.logits(params, h))
     np.testing.assert_allclose(ours, theirs, rtol=5e-3, atol=5e-3)
+
+
+def test_full_pipeline_int4_on_hf_initialized_model(hf_model, tmp_path):
+    """The int8 pipeline test's W4A16/W4A8 twin: HF-initialized 8-layer GQA
+    Llama through calibrate->smooth->quantize(int4)->save->load->ppl->
+    generate, with the reference ppl-procedure delta as the quality gate
+    (int4 group=64 carries more noise than int8 — the bound reflects it)."""
+    from autosmoothquant_tpu.convert.hf import llama_params_from_state_dict
+    from autosmoothquant_tpu.convert.pipeline import (
+        calibrate_smooth_quantize, load_quantized, save_quantized)
+    from autosmoothquant_tpu.eval.ppl import perplexity_from_tokens
+    from autosmoothquant_tpu.serve.engine import Engine, GenerationConfig
+    from autosmoothquant_tpu.utils.datautils import (
+        random_windows, synthetic_stream)
+
+    cfg = L.LlamaConfig(**MID)
+    params = llama_params_from_state_dict(
+        dict(hf_model.state_dict()), cfg.num_hidden_layers)
+
+    stream = synthetic_stream(MID["vocab_size"], 8192, seed=11)
+    calib = random_windows(stream, 8, 128, seed=1)
+    qcfg = QuantConfig(type="int4", group_size=64)
+    qparams, art = calibrate_smooth_quantize(
+        L, params, cfg, qcfg, lambda: [calib[:4], calib[4:]])
+    assert qparams["layers"]["attn"]["q"]["w"].dtype == jnp.uint8
+
+    ckpt = str(tmp_path / "mid_int4")
+    save_quantized(ckpt, qparams, qcfg, artifacts=art)
+    p2, qcfg2, _ = load_quantized(ckpt)
+    assert qcfg2.group_size == 64
+
+    ids = jnp.asarray(np.random.default_rng(3).integers(
+        0, MID["vocab_size"], size=(2, 64)), jnp.int32)
+    lg_fp = np.asarray(L.logits(params, L.forward_jit(params, ids, cfg)[0]))
+    lg_q = np.asarray(L.logits(p2, L.forward_jit(p2, ids, cfg, qcfg2)[0]))
+    p = np.exp(lg_fp - lg_fp.max(-1, keepdims=True))
+    p /= p.sum(-1, keepdims=True)
+    q = np.exp(lg_q - lg_q.max(-1, keepdims=True))
+    q /= q.sum(-1, keepdims=True)
+    kl = float((p * (np.log(p + 1e-12) - np.log(q + 1e-12))).sum(-1).mean())
+    assert kl < 2e-2, kl
+
+    ppl_fp = perplexity_from_tokens(L, params, cfg, stream[:1024],
+                                    max_length=128)
+    ppl_q = perplexity_from_tokens(L, p2, cfg, stream[:1024], max_length=128,
+                                   qcfg=qcfg2)
+    rel = abs(ppl_q - ppl_fp) / ppl_fp
+    assert rel < 0.10, (ppl_fp, ppl_q)
+
+    eng = Engine(L, p2, cfg, qcfg2, max_batch=2, max_seq=128,
+                 kv_dtype=jnp.float32, compute_dtype=jnp.float32)
+    toks = eng.generate([[5, 9, 2, 11]], GenerationConfig(max_new_tokens=8))
+    assert len(toks[0]) == 8
