@@ -618,6 +618,10 @@ def main():
         cfg = get_cfg(preset)
         qcfg = QuantConfig(type="int8")
         peaked = os.environ.get("ASQ_BENCH_SPEC_WEIGHTS") == "peaked"
+        wkind = os.environ.get("ASQ_BENCH_QUANT", "int8")  # int8 | int4
+        if wkind == "int4":
+            qcfg = QuantConfig(type="int4", group_size=int(
+                os.environ.get("ASQ_BENCH_GROUP", "128")))
         import jax.numpy as jnp
 
         if peaked:
@@ -627,7 +631,7 @@ def main():
             # the residual stream; the lm_head maps cycle token i -> i+1,
             # so greedy generation is perfectly periodic and prompt-lookup
             # drafts are accepted at ~100% — the gamma+1 regime.
-            params = build_params(cfg, "int8")
+            params = build_params(cfg, wkind)
             import jax
 
             C = 16
@@ -639,8 +643,13 @@ def main():
             params["lm_head"]["w"] = head
 
             def zero_proj(p):
-                return {k: (jnp.zeros_like(v) if k == "w" else v)
-                        for k, v in p.items()}
+                # packed int4 "zero" is offset-binary 8|8<<4 = 0x88 (nibble
+                # value q+8 == 8 -> q == 0); int8 zero is plain 0
+                def z(v):
+                    if v.dtype == jnp.uint8:
+                        return jnp.full_like(v, 0x88)
+                    return jnp.zeros_like(v)
+                return {k: (z(v) if k == "w" else v) for k, v in p.items()}
 
             lay = params["layers"]
             params["layers"] = {
@@ -650,7 +659,7 @@ def main():
             }
             prompt = [list(range(1, C + 1)) * 8]
         else:
-            params = build_params(cfg, "int8")
+            params = build_params(cfg, wkind)
             prompt = [list(np.random.default_rng(0).integers(
                 1, cfg.vocab_size, size=16)) * 8]
         eng = Engine(L, params, cfg, qcfg, max_batch=1,
@@ -681,7 +690,8 @@ def main():
                       len(o1))
         print(json.dumps({
             "metric": (f"speculative_speedup_{preset}_g{gamma}"
-                       + ("_peaked" if peaked else "")),
+                       + ("_peaked" if peaked else "")
+                       + (f"_{wkind}" if wkind != "int8" else "")),
             "value": round(max_new / t_spec, 2), "unit": "tok/s",
             "vs_baseline": round(t_plain / t_spec, 4),
             "greedy_tok_per_s": round(max_new / t_plain, 2),
