@@ -341,3 +341,43 @@ def test_eval_cli_stock_task_pack(quantized_dir, tmp_path, capsys):
     for name in ("stock_mc", "stock_gen", "stock_rolling"):
         assert name in out, out
     assert "f1" in out and "acc" in out and "perplexity" in out
+
+
+def test_int4_quantize_and_generate_cli(hf_dir, tmp_path, capsys):
+    """--type int4 --group-size through the quantize CLI, then generation
+    from the saved W4 checkpoint via test_model.py (the full user path for
+    the beyond-reference 4-bit format)."""
+    out = tmp_path / "model-int4"
+    cli = _load_cli("smoothquant_model")
+    argv = ["smoothquant_model.py",
+            "--model-path", str(hf_dir),
+            "--dataset-path", str(hf_dir / "val.jsonl"),
+            "--generate-scale", "--quantize-model",
+            "--type", "int4", "--group-size", "32",
+            "--scale-output", str(tmp_path / "act_scales.pkl"),
+            "--scale-input", str(tmp_path / "act_scales.pkl"),
+            "--num-samples", "16", "--seq-len", "32",
+            "--model-output", str(out)]
+    old = sys.argv
+    sys.argv = argv
+    try:
+        cli.main()
+    finally:
+        sys.argv = old
+    sub = list(out.glob("*smoothquant*"))
+    qdir = sub[0] if sub else out
+    qc = json.load(open(qdir / "quant_config.json"))
+    assert qc["type"] == "int4" and qc["group_size"] == 32
+
+    gen = _load_cli("test_model")
+    argv = ["test_model.py",
+            "--quantized-model-path", str(qdir),
+            "--tokenizer-path", str(hf_dir),
+            "--prompt", "7 12 9 101 44",
+            "--max-new-tokens", "4", "--max-seq", "64"]
+    sys.argv = argv
+    try:
+        gen.main()
+    finally:
+        sys.argv = old
+    assert capsys.readouterr().out.strip()
