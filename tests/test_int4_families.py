@@ -193,3 +193,33 @@ def test_opt_int4_engine_tp_token_equality():
     mesh = make_mesh(data=1, model=2, devices=jax.devices()[:2])
     got = Engine(M, qparams, cfg, qcfg, mesh=mesh, **kw).generate(prompts, g)
     assert got == ref
+
+
+def test_int4_continuous_and_paged_serving():
+    """W4A8 through the SERVING tier: ContinuousEngine and PagedEngine
+    produce the static Engine's tokens on the same int4 checkpoint (the
+    production deployment shape for the 4-bit format)."""
+    from autosmoothquant_tpu.models import llama as L
+    from autosmoothquant_tpu.serve.batching import ContinuousEngine
+    from autosmoothquant_tpu.serve.paged import PagedEngine
+
+    cfg = L.LlamaConfig(vocab_size=512, hidden_size=64,
+                        intermediate_size=128, num_hidden_layers=2,
+                        num_attention_heads=4, num_key_value_heads=2,
+                        max_position_embeddings=128)
+    params = L.init_params(cfg, jax.random.PRNGKey(3))
+    qparams, qcfg = _quantize_int4(L, cfg, params)
+    rng = np.random.default_rng(9)
+    prompts = [list(map(int, rng.integers(1, 512, size=n)))
+               for n in (9, 17, 5)]
+    kw = dict(max_batch=4, max_seq=64, kv_dtype=jnp.float32,
+              compute_dtype=jnp.float32, fuse_projections=False)
+    ref = Engine(L, qparams, cfg, qcfg, **kw).generate(
+        prompts, GenerationConfig(max_new_tokens=8))
+    for cls, extra in ((ContinuousEngine, {}),
+                       (PagedEngine, {"block_size": 16})):
+        eng = cls(L, qparams, cfg, qcfg, **kw, **extra)
+        for i, p in enumerate(prompts):
+            eng.submit(i, p, max_new_tokens=8)
+        got = eng.run()
+        assert [got[i] for i in range(len(prompts))] == ref, cls.__name__
