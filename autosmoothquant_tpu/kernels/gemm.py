@@ -256,22 +256,38 @@ def _fp8_dot_native_supported(dtype_name: str) -> bool:
 
 
 def fp8_matmul(x_f8: jnp.ndarray, w_f8: jnp.ndarray, row_scale=1.0, col_scale=1.0,
-               bias: Optional[jnp.ndarray] = None, out_dtype=jnp.float32) -> jnp.ndarray:
-    """FP8 matmul with scale epilogue. Tries the native fp8 dot first (probed
-    once per process); falls back to a bf16 upcast dot on backends without
-    fp8 MXU support."""
+               bias: Optional[jnp.ndarray] = None, out_dtype=jnp.float32,
+               layer=None) -> jnp.ndarray:
+    """FP8 matmul with scale epilogue. Backend order: native fp8 dot (probed
+    once per process; TPU gens with an fp8 MXU mode), then the Pallas
+    byte-streaming kernel for decode-shaped M (kernels/fp8.py — the XLA
+    upcast materializes a bf16 weight and runs at bf16 speed, measured),
+    then the bf16 upcast dot.
+
+    ``w_f8`` is [K, N] or STACKED [L, K, N] with ``layer`` the traced index
+    (the model's layer scan keeps fp8 weights stacked so the Pallas kernel
+    can index them via scalar prefetch — see kernels/int4.py for why a
+    sliced operand would cost a full copy per step)."""
     m, _ = x_f8.shape
-    _, n = w_f8.shape
+    n = w_f8.shape[-1]
+    acc = None
+    stacked = w_f8.ndim == 3
     if _fp8_dot_native_supported(jnp.dtype(x_f8.dtype).name):
+        w2 = _layer_slice(w_f8, layer) if stacked else w_f8
         acc = jax.lax.dot_general(
-            x_f8, w_f8,
+            x_f8, w2,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-    else:
+    if acc is None:
+        from .fp8 import fp8_stream_matmul
+
+        acc = fp8_stream_matmul(x_f8, w_f8, layer)
+    if acc is None:
+        w2 = _layer_slice(w_f8, layer) if stacked else w_f8
         acc = jax.lax.dot_general(
             x_f8.astype(jnp.bfloat16),
-            w_f8.astype(jnp.bfloat16),
+            w2.astype(jnp.bfloat16),
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
@@ -279,3 +295,9 @@ def fp8_matmul(x_f8: jnp.ndarray, w_f8: jnp.ndarray, row_scale=1.0, col_scale=1.
     if bias is not None:
         out = out + bias.reshape(1, n).astype(jnp.float32)
     return out.astype(out_dtype)
+
+
+def _layer_slice(w, layer):
+    if w.shape[0] == 1:
+        return w[0]
+    return jax.lax.dynamic_index_in_dim(w, layer, 0, keepdims=False)

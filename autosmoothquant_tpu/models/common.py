@@ -155,7 +155,8 @@ def quant_linear(x: jnp.ndarray, p: dict, cfg: QuantConfig, granularity: str,
             # linear.py:503-580)
             q = qmath.quantize_fp8_static(x2, p["input_scale"], fdt)
             out = fp8_matmul(q, p["w"], row_scale=p["input_scale"],
-                             col_scale=p["w_scale"], bias=bias, out_dtype=out_dtype)
+                             col_scale=p["w_scale"], bias=bias,
+                             out_dtype=out_dtype, layer=p.get("layer"))
             if "output_scale" in p:
                 # observer-tracked output re-quantization (FP8LinearStatic
                 # with quantize_output, ref: linear.py:562-566)
@@ -168,13 +169,15 @@ def quant_linear(x: jnp.ndarray, p: dict, cfg: QuantConfig, granularity: str,
             else:
                 q, s = qmath.quantize_fp8_per_tensor(x2, fdt)
             out = fp8_matmul(q, p["w"], row_scale=s, col_scale=p["w_scale"],
-                             bias=bias, out_dtype=out_dtype)
+                             bias=bias, out_dtype=out_dtype,
+                             layer=p.get("layer"))
         return out.reshape(*lead, -1)
 
     if cfg.type == "fp8_e5m2":
         # scale-free cast of act and weight (FP8E5M2Linear, linear.py:583-643)
         q = x2.astype(jnp.float8_e5m2)
-        out = fp8_matmul(q, p["w"], bias=bias, out_dtype=out_dtype)
+        out = fp8_matmul(q, p["w"], bias=bias, out_dtype=out_dtype,
+                         layer=p.get("layer"))
         return out.reshape(*lead, -1)
 
     raise ValueError(f"unknown quant type {cfg.type}")
@@ -215,9 +218,11 @@ def fused_linear(x: jnp.ndarray, p: dict, qcfg: Optional[QuantConfig],
             else:
                 q, s = qmath.quantize_fp8_per_tensor(x2, p["w"].dtype)
             out = fp8_matmul(q, p["w"], row_scale=s, col_scale=p["w_scale"],
-                             bias=p.get("bias"), out_dtype=compute_dtype)
+                             bias=p.get("bias"), out_dtype=compute_dtype,
+                             layer=p.get("layer"))
         else:
-            out = fp8_matmul(q, p["w"], bias=p.get("bias"), out_dtype=compute_dtype)
+            out = fp8_matmul(q, p["w"], bias=p.get("bias"),
+                             out_dtype=compute_dtype, layer=p.get("layer"))
         return out.reshape(*lead, -1)
     if granularity == PER_TOKEN:
         q, tok_scale = qmath.quantize_act_per_token(x2)
@@ -232,30 +237,41 @@ def fused_linear(x: jnp.ndarray, p: dict, qcfg: Optional[QuantConfig],
 
 
 def int4_scan_view(tree, l):
-    """Per-layer view of a STACKED int4 layer pytree for a lax.scan body
-    running with xs=None. Packed weights (uint8) and their group scales
-    stay stacked with the traced layer index attached — kernels/int4.py
-    indexes them via scalar-prefetched BlockSpec index maps, which is the
-    only way to feed a pallas_call from a stacked array without XLA
-    materializing a full per-layer copy each step (custom-call operands
-    cannot fuse a dynamic_slice). Small leaves (norms, biases) are sliced
-    normally."""
+    """Per-layer view of a STACKED quantized layer pytree for a lax.scan
+    body running with xs=None. Kernel-streamed weights — int4 nibble packs
+    (uint8, with their group scales) and fp8 byte tensors — stay stacked
+    with the traced layer index attached: kernels/int4.py and
+    kernels/fp8.py index them via scalar-prefetched BlockSpec index maps,
+    which is the only way to feed a pallas_call from a stacked array
+    without XLA materializing a full per-layer copy each step (custom-call
+    operands cannot fuse a dynamic_slice). Small leaves (norms, biases,
+    per-layer scales) are sliced normally."""
     def idx(a):
         return jax.lax.dynamic_index_in_dim(a, l, 0, keepdims=False)
 
     def walk(node):
         if isinstance(node, dict):
             w = node.get("w")
-            if w is not None and getattr(w, "dtype", None) == jnp.uint8:
+            dt = getattr(w, "dtype", None)
+            if w is not None and dt == jnp.uint8:
                 out = {"w": w, "w_scales": node["w_scales"], "layer": l}
                 for k_, v in node.items():
                     if k_ not in ("w", "w_scales"):
+                        out[k_] = idx(v)
+                return out
+            if w is not None and dt in (jnp.float8_e4m3fn, jnp.float8_e5m2):
+                out = {"w": w, "layer": l}
+                for k_, v in node.items():
+                    if k_ != "w":
                         out[k_] = idx(v)
                 return out
             return {k_: walk(v) for k_, v in node.items()}
         return idx(node)
 
     return walk(tree)
+
+
+quant_scan_view = int4_scan_view  # the view covers int4 AND fp8 leaves
 
 
 def linear_prequant(x_q: jnp.ndarray, p: dict, compute_dtype) -> jnp.ndarray:

@@ -339,12 +339,18 @@ def forward(params, input_ids: jnp.ndarray, cfg: LlamaConfig,
         ys = (new_cache, stats) if capture_stats else (new_cache, None)
         return hh, ys
 
-    # int4 packed weights must NOT ride the scan xs: slicing them per layer
-    # to feed the Pallas kernel costs a full materialized copy of the packed
-    # bytes every step (measured: it erased the entire W4 bandwidth win at
-    # 7B). Instead scan over nothing and give the body a layer VIEW whose
-    # packed leaves stay stacked, indexed in-kernel (common.int4_scan_view).
-    int4_stacked = quant_config is not None and quant_config.is_int4
+    # int4 packed and fp8 byte weights must NOT ride the scan xs: slicing
+    # them per layer to feed the Pallas kernels costs a full materialized
+    # copy of the bytes every step (measured: it erased the entire W4
+    # bandwidth win at 7B; same custom-call-operand rule applies to the fp8
+    # streaming kernel). Instead scan over nothing and give the body a
+    # layer VIEW whose kernel-streamed leaves stay stacked, indexed
+    # in-kernel (common.int4_scan_view).
+    from ..runtime import flags as _flags
+
+    int4_stacked = quant_config is not None and (
+        quant_config.is_int4
+        or (quant_config.is_fp8 and _flags().fp8_stream == "on"))
 
     if kv_cache is None:
         if int4_stacked:

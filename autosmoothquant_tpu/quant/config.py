@@ -102,6 +102,10 @@ class QuantConfig:
         return self.type == "int4"
 
     @property
+    def is_fp8(self) -> bool:
+        return self.type in ("fp8_e4m3", "fp8_e5m2")
+
+    @property
     def fp8_dtype(self):
         import jax.numpy as jnp
 

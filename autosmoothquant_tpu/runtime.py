@@ -23,6 +23,10 @@ Flag reference (env var / values / effect):
                  (auto = Pallas on TPU whenever the shape tiles; the XLA
                  path materializes dequantized weights and is fallback-only)
   fp8_native     ASQ_FP8_NATIVE     auto|off         probe native fp8 dot
+  fp8_stream     ASQ_FP8_STREAM     auto|on|off      Pallas fp8 byte-stream
+                 GEMM for decode-shaped M (kernels/fp8.py). auto/off = XLA
+                 upcast (measured tie in-model, both VPU-convert-bound on
+                 v5e); on = force the kernel (for fp8-MXU-less perf study)
   banded_prefill ASQ_BANDED_PREFILL auto|on|off      banded ragged prefill
   no_flash       ASQ_NO_FLASH       ""|1             disable flash prefill
   fused_block    ASQ_FUSED_BLOCK    auto|off|force   fused add+norm+quant
@@ -43,6 +47,7 @@ class Flags:
     int8_backend: str = "auto"
     int4_backend: str = "auto"
     fp8_native: str = "auto"
+    fp8_stream: str = "auto"
     banded_prefill: str = "auto"
     no_flash: bool = False
     fused_block: str = "auto"
@@ -55,6 +60,7 @@ class Flags:
             int8_backend=e("ASQ_INT8_BACKEND", "auto"),
             int4_backend=e("ASQ_INT4_BACKEND", "auto"),
             fp8_native=e("ASQ_FP8_NATIVE", "auto"),
+            fp8_stream=e("ASQ_FP8_STREAM", "auto"),
             banded_prefill=e("ASQ_BANDED_PREFILL", "auto"),
             no_flash=e("ASQ_NO_FLASH", "") == "1",
             fused_block=e("ASQ_FUSED_BLOCK", "auto"),
