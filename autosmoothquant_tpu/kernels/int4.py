@@ -281,12 +281,15 @@ def _quant_acts(x):
 
 
 def int4_matmul_xla(x, packed, scales, group: int, bias=None, *,
-                    activation=None, out_dtype=None, a8: Optional[bool] = None):
+                    activation=None, out_dtype=None, a8: Optional[bool] = None,
+                    tok_scale=None):
     """Fallback path (CPU / unaligned shapes): reproduces the kernel's math
     with XLA ops. a8=True mirrors the W4A8 per-group integer accumulation
     (exact: integer dots in f32 stay exact below 2^24); a8=False mirrors
     the bf16 W4A16 variant. Materializes unpacked weights, so on TPU the
-    Pallas kernel is the production path."""
+    Pallas kernel is the production path. ``tok_scale`` overrides the
+    per-token act-quant scale (row-parallel TP quantizes against the
+    GLOBAL per-token absmax so shards stay bit-consistent)."""
     from ..quant.math import unpack_int4
 
     if out_dtype is None:
@@ -299,7 +302,12 @@ def int4_matmul_xla(x, packed, scales, group: int, bias=None, *,
     G = scales.shape[0]
     wq = jnp.concatenate([lo, hi], axis=0)             # [K, N] int8
     if a8:
-        q, tok_scale = _quant_acts(x.reshape(m, k))
+        if tok_scale is not None:
+            from ..quant.math import quantize_act_static_per_token
+
+            q = quantize_act_static_per_token(x.reshape(m, k), tok_scale)
+        else:
+            q, tok_scale = _quant_acts(x.reshape(m, k))
         xg = q.reshape(m, G, k // G).astype(jnp.float32)
         wg = wq.reshape(G, k // G, n).astype(jnp.float32)
         part = jnp.einsum("mgk,gkn->mgn", xg, wg)      # exact int values
@@ -318,7 +326,8 @@ def int4_matmul(x: jnp.ndarray, packed: jnp.ndarray, scales: jnp.ndarray,
                 bias: Optional[jnp.ndarray] = None, *,
                 activation: Optional[str] = None, out_dtype=None,
                 use_pallas: Optional[bool] = None,
-                interpret: bool = False, layer=None) -> jnp.ndarray:
+                interpret: bool = False, layer=None,
+                tok_scale=None) -> jnp.ndarray:
     """``x @ dequant(packed, scales) (+ bias)`` with x float [M, K], packed
     uint8 [K'/2, N] split-K offset nibbles, scales f32 [K'/group, N] (group
     inferred from shapes). K' >= K is the zero-padded storage depth chosen
@@ -353,10 +362,13 @@ def int4_matmul(x: jnp.ndarray, packed: jnp.ndarray, scales: jnp.ndarray,
     # applies; padded rows are zeros and sliced off after
     pad_m = (-m) % 8
     if pad_m and jax.default_backend() == "tpu" and flags().int4_backend != "xla":
+        ts_pad = None if tok_scale is None else jnp.concatenate(
+            [tok_scale, jnp.ones((pad_m, 1), tok_scale.dtype)], axis=0)
         out = int4_matmul(
             jnp.concatenate([x, jnp.zeros((pad_m, k), x.dtype)], axis=0),
             packed, scales, bias, activation=activation, out_dtype=out_dtype,
-            use_pallas=use_pallas, interpret=interpret, layer=layer)
+            use_pallas=use_pallas, interpret=interpret, layer=layer,
+            tok_scale=ts_pad)
         return out[:m]
 
     # The Pallas kernel serves DECODE-shaped calls only (M <= 64, the
@@ -373,8 +385,9 @@ def int4_matmul(x: jnp.ndarray, packed: jnp.ndarray, scales: jnp.ndarray,
         use_pallas = want and jax.default_backend() == "tpu" and blocks is not None
     if use_pallas and blocks is not None:
         bm, bn, hk = blocks
-        absmax = jnp.max(jnp.abs(x), axis=-1, keepdims=True)
-        tok_scale = jnp.maximum(absmax.astype(jnp.float32), 1e-8) / 127.0
+        if tok_scale is None:
+            absmax = jnp.max(jnp.abs(x), axis=-1, keepdims=True)
+            tok_scale = jnp.maximum(absmax.astype(jnp.float32), 1e-8) / 127.0
         out = _int4_matmul_pallas(
             x, packed, scales, tok_scale, layer, group=group, block_m=bm,
             block_n=bn, block_hk=hk, interpret=interpret, a8=True)
@@ -385,4 +398,5 @@ def int4_matmul(x: jnp.ndarray, packed: jnp.ndarray, scales: jnp.ndarray,
         p2 = jax.lax.dynamic_index_in_dim(packed, layer, 0, keepdims=False)
         s2 = jax.lax.dynamic_index_in_dim(scales, layer, 0, keepdims=False)
     return int4_matmul_xla(x, p2, s2, group, bias,
-                           activation=activation, out_dtype=out_dtype, a8=a8)
+                           activation=activation, out_dtype=out_dtype, a8=a8,
+                           tok_scale=tok_scale if a8 else None)

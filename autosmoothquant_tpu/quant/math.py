@@ -102,6 +102,16 @@ def quantize_act_static(x: jnp.ndarray, quant_scale) -> jnp.ndarray:
     return q.astype(jnp.int8)
 
 
+def quantize_act_static_per_token(x: jnp.ndarray, tok_scale) -> jnp.ndarray:
+    """Per-token quant against a PROVIDED [..., 1] scale — same op order as
+    quantize_act_per_token's quantize step. Used by row-parallel TP where
+    each shard sees a K-slice of x but must quantize against the global
+    per-token absmax to stay bit-consistent with the unsharded kernel."""
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / tok_scale),
+                 INT8_MIN, INT8_MAX)
+    return q.astype(jnp.int8)
+
+
 def quantize_act_prescaled(x: jnp.ndarray) -> jnp.ndarray:
     """Per-tensor quant for inputs whose 1/scale was folded into the preceding
     RMSNorm/LayerNorm weight — runtime cost is just round+clamp.

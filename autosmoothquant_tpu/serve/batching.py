@@ -85,7 +85,7 @@ class ContinuousEngine:
                  prefill_chunk: Optional[int] = None, seed: int = 0,
                  fuse_projections=None, speculative_gamma: int = 0,
                  speculative_ngram: int = 3, max_prefixes: int = 16,
-                 speculative_adaptive: bool = True):
+                 speculative_adaptive: bool = True, draft=None):
         from .engine import maybe_fuse_projections
 
         params = maybe_fuse_projections(model_mod, params, mesh,
@@ -111,6 +111,21 @@ class ContinuousEngine:
         self.speculative_adaptive = speculative_adaptive
         self._spec_acc_ema = 1.0   # optimistic start: probe at full gamma
         self._spec_ticks = 0
+        # DRAFT-MODEL speculation (engine.DraftModel): the draft keeps a
+        # parallel slot pool, mirrors every admission write (prefix copy /
+        # whole-bucket / chunked), and each spec tick runs ONE fused
+        # rollout+verify dispatch (serve/speculative.py semantics at the
+        # continuous-batching tier). draft=None keeps the host n-gram path.
+        self.draft = draft
+        if draft is not None:
+            assert draft.cfg.vocab_size == cfg.vocab_size, (
+                "draft model must share the target's vocab")
+            draft.params = maybe_fuse_projections(
+                draft.model, draft.params, mesh, fuse_projections, None)
+            if draft.compute_dtype is None:
+                draft.compute_dtype = compute_dtype
+            if draft.kv_dtype is None:
+                draft.kv_dtype = kv_dtype
         self.mesh = mesh
         # chunked prefill: admit at most prefill_chunk prompt tokens per
         # scheduler tick so a long prompt cannot stall decoding of the other
@@ -129,11 +144,37 @@ class ContinuousEngine:
                 specs = _family_specs(model_mod.FAMILY, cfg, mesh)
                 specs = with_stage_axis(specs, mesh, cfg.num_hidden_layers)
             self.params = shard_params(params, mesh, specs)
+            if draft is not None:
+                dspecs = _family_specs(draft.model.FAMILY, draft.cfg, mesh)
+                dspecs = with_stage_axis(dspecs, mesh,
+                                         draft.cfg.num_hidden_layers)
+                draft.params = shard_params(draft.params, mesh, dspecs)
         else:
             self.params = params
 
         self.pool = self._make_pool()
         self._pool_shardings = None
+        self.dpool = None
+        self._dpool_shardings = None
+        if draft is not None:
+            self.dpool = draft.model.init_kv_cache(
+                draft.cfg, max_batch, max_seq, draft.kv_dtype)
+            if mesh is not None:
+                from ..shard.sharding import (kv_cache_spec_tree,
+                                              shard_kv_cache)
+
+                self.dpool = shard_kv_cache(self.dpool, mesh, draft.cfg,
+                                            shard_batch=False)
+                dst = kv_cache_spec_tree(self.dpool, draft.cfg, mesh,
+                                         shard_batch=False)
+                self._dpool_shardings = jax.tree.map(
+                    lambda sp: jax.sharding.NamedSharding(mesh, sp), dst,
+                    is_leaf=lambda x: isinstance(
+                        x, jax.sharding.PartitionSpec))
+        self._dprefill_cache = {}
+        self._dinsert_cache = {}
+        self._dchunk_cache = {}
+        self._dprefixes: Dict[Any, Any] = {}
         if mesh is not None:
             # explicit jit out_shardings: under an ambient mesh (mesh_context)
             # jax tries to express every inferred output sharding in mesh
@@ -279,6 +320,70 @@ class ContinuousEngine:
             self._chunk_cache[chunk] = prefill_chunk
         return self._chunk_cache[chunk]
 
+    # -- draft-model mirrors (admission writes for the draft pool) ----------
+
+    def _dprefill(self, bucket: int):
+        if bucket not in self._dprefill_cache:
+            d = self.draft
+            dsh = self._dpool_shardings
+
+            @functools.partial(jax.jit,
+                               out_shardings=dsh if dsh is not None else None)
+            def dprefill(dparams, ids):
+                temp = d.model.init_kv_cache(d.cfg, 1, bucket, d.kv_dtype)
+                if dsh is not None:
+                    temp = jax.lax.with_sharding_constraint(temp, dsh)
+                _, temp, _ = d.model.forward(dparams, ids, d.cfg, d.qcfg,
+                                             kv_cache=temp, cache_index=0,
+                                             compute_dtype=d.compute_dtype)
+                return temp
+
+            self._dprefill_cache[bucket] = dprefill
+        return self._dprefill_cache[bucket]
+
+    def _dinsert(self, bucket: int):
+        if bucket not in self._dinsert_cache:
+            @functools.partial(jax.jit, donate_argnums=(0,),
+                               out_shardings=self._dpool_shardings)
+            def dinsert(dpool, temp, row):
+                def put(p, t):
+                    start = (0, row) + (0,) * (p.ndim - 2)
+                    return jax.lax.dynamic_update_slice(
+                        p, t.astype(p.dtype), start)
+
+                return jax.tree.map(put, dpool, temp)
+
+            self._dinsert_cache[bucket] = dinsert
+        return self._dinsert_cache[bucket]
+
+    def _dchunk_prefill(self, chunk: int):
+        if chunk not in self._dchunk_cache:
+            d = self.draft
+            out_sh = self._dpool_shardings
+
+            @functools.partial(jax.jit, donate_argnums=(1,),
+                               out_shardings=out_sh)
+            def dprefill_chunk(dparams, dpool, ids, row, pos):
+                def take(p):
+                    start = (0, row) + (0,) * (p.ndim - 2)
+                    sizes = (p.shape[0], 1) + p.shape[2:]
+                    return jax.lax.dynamic_slice(p, start, sizes)
+
+                rowcache = jax.tree.map(take, dpool)
+                _, rowcache, _ = d.model.forward(
+                    dparams, ids, d.cfg, d.qcfg, kv_cache=rowcache,
+                    cache_index=pos, compute_dtype=d.compute_dtype)
+
+                def put(p, t):
+                    start = (0, row) + (0,) * (p.ndim - 2)
+                    return jax.lax.dynamic_update_slice(
+                        p, t.astype(p.dtype), start)
+
+                return jax.tree.map(put, dpool, rowcache)
+
+            self._dchunk_cache[chunk] = dprefill_chunk
+        return self._dchunk_cache[chunk]
+
     def _decode(self, n: int, sampling: bool = False, penalize: bool = False,
                 want_lp: bool = False, kv_window: Optional[int] = None):
         key_ = (n, sampling, penalize, want_lp, kv_window)
@@ -390,6 +495,9 @@ class ContinuousEngine:
         with mesh_context(self.mesh):
             temp, last = self._prefill(bucket)(self.params, jnp.asarray(ids),
                                                len(toks))
+            if self.draft is not None:
+                self._dprefixes[prefix_id] = self._dprefill(bucket)(
+                    self.draft.params, jnp.asarray(ids))
         self.prefill_tokens_processed += len(toks)
         self._prefixes[prefix_id] = (temp, len(toks), last, toks)
         self._touch_prefix(prefix_id)
@@ -397,6 +505,7 @@ class ContinuousEngine:
     def drop_prefix(self, prefix_id) -> None:
         self._prefixes.pop(prefix_id, None)
         self._prefix_lru.pop(prefix_id, None)
+        self._dprefixes.pop(prefix_id, None)
 
     def _touch_prefix(self, prefix_id) -> None:
         self._prefix_clock += 1
@@ -536,6 +645,9 @@ class ContinuousEngine:
                 bucket = temp.k.shape[2] if hasattr(temp, "k") else \
                     jax.tree.leaves(temp)[0].shape[2]
                 self.pool = self._insert(bucket)(self.pool, temp, row)
+                if self.draft is not None and req.prefix in self._dprefixes:
+                    self.dpool = self._dinsert(bucket)(
+                        self.dpool, self._dprefixes[req.prefix], row)
                 if len(req.prompt) == plen:
                     self._activate(row, req, last_logits)
                 else:
@@ -553,6 +665,10 @@ class ContinuousEngine:
                 self.params, jnp.asarray(ids), len(req.prompt))
             self.prefill_tokens_processed += len(req.prompt)
             self.pool = self._insert(bucket)(self.pool, temp, row)
+            if self.draft is not None:
+                dtemp = self._dprefill(bucket)(self.draft.params,
+                                               jnp.asarray(ids))
+                self.dpool = self._dinsert(bucket)(self.dpool, dtemp, row)
             self._activate(row, req, last_logits)
 
     def _advance_prefills(self):
@@ -586,6 +702,10 @@ class ContinuousEngine:
                     ids[0, :n] = prompt
             self.pool, last_logits = self._chunk_prefill(chunk)(
                 self.params, self.pool, jnp.asarray(ids), row, start, valid)
+            if self.draft is not None:
+                self.dpool = self._dchunk_prefill(chunk)(
+                    self.draft.params, self.dpool, jnp.asarray(ids), row,
+                    start)
             self.prefill_tokens_processed += valid
             st["pos"] = start + valid
             if st["pos"] >= n:
@@ -661,6 +781,173 @@ class ContinuousEngine:
             self._decode_fns["verify"] = verify
         return self._decode_fns["verify"]
 
+    def _verify_draft(self, g: int):
+        """Fused draft-rollout + verify: ONE dispatch per spec tick (this
+        runtime pays 30-80 ms host latency per jitted call, so rollout and
+        verify must not be separate calls). The draft rolls out g+1 steps
+        against its slot pool (the +1 writes K/V for its last draft token —
+        without it a full-acceptance round leaves a hole later drafts
+        attend, serve/speculative.py), then the target verifies the g
+        drafts. Inactive rows ride the lens=max_seq convention: their cache
+        writes scatter out of bounds and are dropped."""
+        key = ("verify_draft", g)
+        if key not in self._decode_fns:
+            model, cfg, qcfg, cdt = (self.model, self.cfg, self.qcfg,
+                                     self.compute_dtype)
+            d = self.draft
+            out_sh = None
+            if self._pool_shardings is not None:
+                out_sh = (self._repl, self._repl, self._pool_shardings,
+                          self._dpool_shardings)
+
+            @functools.partial(jax.jit, donate_argnums=(2, 3),
+                               out_shardings=out_sh)
+            def verify_draft(params, dparams, pool, dpool, pending, lens):
+                def draft_step(c, j):
+                    dpool, tok = c
+                    slot = lens + j
+                    h, dpool, _ = d.model.forward(
+                        dparams, tok[:, None], d.cfg, d.qcfg,
+                        kv_cache=dpool, cache_index=slot,
+                        positions=slot[:, None],
+                        compute_dtype=d.compute_dtype)
+                    nxt = jnp.argmax(d.model.logits(dparams, h)[:, 0],
+                                     axis=-1).astype(jnp.int32)
+                    return (dpool, nxt), nxt
+
+                (dpool, _), drafts = jax.lax.scan(
+                    draft_step, (dpool, pending),
+                    jnp.arange(g + 1, dtype=jnp.int32))
+                draft = drafts.T[:, :g]                       # [B, g]
+                inputs = jnp.concatenate([pending[:, None], draft], axis=1)
+                h, pool, _ = model.forward(
+                    params, inputs, cfg, qcfg, kv_cache=pool,
+                    cache_index=lens, positions=(
+                        lens[:, None] + jnp.arange(g + 1)[None]),
+                    compute_dtype=cdt)
+                targets = jnp.argmax(model.logits(params, h), -1)
+                return targets.astype(jnp.int32), draft, pool, dpool
+
+            self._decode_fns[key] = verify_draft
+        return self._decode_fns[key]
+
+    def _verify_draft_multi(self, g: int, k: int):
+        """k consecutive rollout+verify rounds in ONE dispatch (the spec
+        analog of steps_per_sync): device-side acceptance advances
+        lens/pending between rounds, so each dispatch emits ~k*(1+acc*g)
+        tokens per row instead of one round's worth. On this runtime a
+        dispatch costs 30-80 ms host latency — single-round speculation
+        loses to plain sync batching at saturation purely on dispatch
+        amortization (measured 0.85x); multi-round restores the win.
+        Rows that finish (eos/stop/max_new) mid-window keep decoding
+        garbage the host discards — the same overshoot tradeoff the plain
+        scan decode makes."""
+        key = ("verify_draft_multi", g, k)
+        if key not in self._decode_fns:
+            model, cfg, qcfg, cdt = (self.model, self.cfg, self.qcfg,
+                                     self.compute_dtype)
+            d = self.draft
+            out_sh = None
+            if self._pool_shardings is not None:
+                out_sh = (self._repl, self._repl, self._repl, self._repl,
+                          self._pool_shardings, self._dpool_shardings)
+
+            @functools.partial(jax.jit, donate_argnums=(2, 3),
+                               out_shardings=out_sh)
+            def verify_multi(params, dparams, pool, dpool, pending, lens):
+                b = pending.shape[0]
+                rows = jnp.arange(b)
+
+                def one_round(carry, _):
+                    pool, dpool, pending, lens = carry
+
+                    def draft_step(c, j):
+                        dpool, tok = c
+                        slot = lens + j
+                        h, dpool, _ = d.model.forward(
+                            dparams, tok[:, None], d.cfg, d.qcfg,
+                            kv_cache=dpool, cache_index=slot,
+                            positions=slot[:, None],
+                            compute_dtype=d.compute_dtype)
+                        nxt = jnp.argmax(d.model.logits(dparams, h)[:, 0],
+                                         axis=-1).astype(jnp.int32)
+                        return (dpool, nxt), nxt
+
+                    (dpool, _), drafts = jax.lax.scan(
+                        draft_step, (dpool, pending),
+                        jnp.arange(g + 1, dtype=jnp.int32))
+                    draft = drafts.T[:, :g]
+                    inputs = jnp.concatenate([pending[:, None], draft], 1)
+                    h, pool, _ = model.forward(
+                        params, inputs, cfg, qcfg, kv_cache=pool,
+                        cache_index=lens, positions=(
+                            lens[:, None] + jnp.arange(g + 1)[None]),
+                        compute_dtype=cdt)
+                    targets = jnp.argmax(model.logits(params, h),
+                                         -1).astype(jnp.int32)
+                    ok = jnp.cumprod(
+                        (draft == targets[:, :-1]).astype(jnp.int32), 1)
+                    n_acc = jnp.sum(ok, axis=1)
+                    new_pending = targets[rows, n_acc]
+                    return ((pool, dpool, new_pending, lens + n_acc + 1),
+                            (targets, n_acc))
+
+                (pool, dpool, pending, lens), (tgt, acc) = jax.lax.scan(
+                    one_round, (pool, dpool, pending, lens), None, length=k)
+                return tgt, acc, pending, lens, pool, dpool
+
+            self._decode_fns[key] = verify_multi
+        return self._decode_fns[key]
+
+    def _spec_step_draft_multi(self, active, g: int, k: int):
+        """Draft-model spec tick, k rounds per dispatch. Host applies
+        eos/stop/max_new truncation over the returned per-round targets and
+        adopts the device's final lens/pending for rows that stay live."""
+        lens_dec = np.where(active, self.lens, self.max_seq).astype(np.int32)
+        self._event += 1
+        tgt, acc, pend, lens_out, pool, dpool = self._verify_draft_multi(
+            g, k)(self.params, self.draft.params, self.pool, self.dpool,
+                  jnp.asarray(self.pending_tok.astype(np.int32)),
+                  jnp.asarray(lens_dec))
+        self.pool, self.dpool = pool, dpool
+        tgt = np.asarray(jax.device_get(tgt))        # [k, B, g+1]
+        acc = np.asarray(jax.device_get(acc))        # [k, B]
+        pend = np.asarray(jax.device_get(pend))
+        lens_out = np.asarray(jax.device_get(lens_out))
+        tick_acc = tick_rounds = 0
+        for row, req in enumerate(self.slot_req):
+            if req is None:
+                continue
+            done = False
+            for r in range(k):
+                n_acc = int(acc[r, row])
+                tick_acc += n_acc
+                tick_rounds += 1
+                for t in tgt[r, row, : n_acc + 1]:
+                    req.output.append(int(t))
+                    self.decode_tokens_generated += 1
+                    if ((req.eos_token_id is not None
+                         and int(t) == req.eos_token_id)
+                            or self._stop_hit(req.output, req.stop)
+                            or len(req.output) >= req.max_new_tokens):
+                        done = True
+                        break
+                if done:
+                    break
+            if done:
+                # overshoot rounds discarded; the freed slot's cache rows
+                # are overwritten at the next admission
+                self.lens[row] = min(int(lens_out[row]), self.max_seq - 1)
+                self.pending_tok[row] = req.output[-1]
+                self._check_done(row)
+            else:
+                self.lens[row] = int(lens_out[row])
+                self.pending_tok[row] = int(pend[row])
+                self._check_done(row)
+        if tick_rounds:
+            rate = tick_acc / (tick_rounds * g)
+            self._spec_acc_ema = 0.8 * self._spec_acc_ema + 0.2 * rate
+
     @staticmethod
     def _host_draft(history: List[int], gamma: int, ngram: int) -> List[int]:
         """Prompt-lookup draft on the host: continuation after the most
@@ -696,19 +983,30 @@ class ContinuousEngine:
         Greedy-exact: emitted tokens equal the plain scheduler's. Rejected
         draft K/V is overwritten by the next window before it is causally
         reachable (lens' <= lens + gamma + 1)."""
-        inputs = np.zeros((self.max_batch, g + 1), np.int32)
-        for row, req in enumerate(self.slot_req):
-            if req is None:
-                continue
-            hist = req.prompt + req.output
-            inputs[row, 0] = self.pending_tok[row]
-            inputs[row, 1:] = self._host_draft(hist, g, self.speculative_ngram)
         lens_dec = np.where(active, self.lens, self.max_seq).astype(np.int32)
         self._event += 1  # keep the deterministic event clock ticking
-        targets, pool = self._verify()(
-            self.params, self.pool, jnp.asarray(inputs),
-            jnp.asarray(lens_dec))
-        self.pool = pool
+        if self.draft is not None:
+            targets, drafts, pool, dpool = self._verify_draft(g)(
+                self.params, self.draft.params, self.pool, self.dpool,
+                jnp.asarray(self.pending_tok.astype(np.int32)),
+                jnp.asarray(lens_dec))
+            self.pool, self.dpool = pool, dpool
+            drafts = np.asarray(jax.device_get(drafts))
+            inputs = np.concatenate(
+                [self.pending_tok.astype(np.int32)[:, None], drafts], axis=1)
+        else:
+            inputs = np.zeros((self.max_batch, g + 1), np.int32)
+            for row, req in enumerate(self.slot_req):
+                if req is None:
+                    continue
+                hist = req.prompt + req.output
+                inputs[row, 0] = self.pending_tok[row]
+                inputs[row, 1:] = self._host_draft(hist, g,
+                                                   self.speculative_ngram)
+            targets, pool = self._verify()(
+                self.params, self.pool, jnp.asarray(inputs),
+                jnp.asarray(lens_dec))
+            self.pool = pool
         targets = np.asarray(jax.device_get(targets))
         tick_acc = tick_rows = 0
         for row, req in enumerate(self.slot_req):
@@ -757,7 +1055,23 @@ class ContinuousEngine:
                 self.lens[row] + g + 1 < self.max_seq
                 for row in range(self.max_batch) if active[row])
             if plain_greedy and room:
-                self._spec_step(active, g)
+                if self.draft is not None:
+                    # multi-round sync: as many rounds per dispatch as the
+                    # cache headroom allows, capped at steps_per_sync and
+                    # held to powers of two to bound compile variants
+                    max_lens = max(int(self.lens[row])
+                                   for row in range(self.max_batch)
+                                   if active[row])
+                    fit = (self.max_seq - 1 - max_lens) // (g + 1)
+                    k = 1
+                    while k * 2 <= min(self.steps_per_sync, fit):
+                        k *= 2
+                    if k >= 2:
+                        self._spec_step_draft_multi(active, g, k)
+                    else:
+                        self._spec_step(active, g)
+                else:
+                    self._spec_step(active, g)
                 return
         # clamp on-device steps to the smallest remaining CACHE capacity
         # across active slots: a slot whose lens overshoots max_seq mid-sync

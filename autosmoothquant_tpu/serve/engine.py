@@ -33,6 +33,22 @@ def mesh_context(mesh):
     return jax.sharding.set_mesh(mesh)
 
 
+@dataclasses.dataclass
+class DraftModel:
+    """A cheaper model driving draft-model speculative decoding (fewer
+    layers, int4 weights, a distilled checkpoint — any family member with
+    the same vocab). Verification keeps outputs bit-identical to plain
+    greedy decoding of the target, so the draft is purely a throughput
+    knob (serve/speculative.py:speculative_decode_draft)."""
+
+    model: object
+    params: object
+    cfg: object
+    qcfg: Optional[QuantConfig] = None
+    compute_dtype: object = None    # defaults to the engine's
+    kv_dtype: object = None         # defaults to the engine's
+
+
 @dataclasses.dataclass(frozen=True)
 class GenerationConfig:
     max_new_tokens: int = 20
@@ -130,7 +146,8 @@ class Engine:
     def __init__(self, model_mod, params, cfg, qcfg: Optional[QuantConfig] = None,
                  *, max_batch: int = 8, max_seq: int = 2048,
                  kv_dtype=jnp.bfloat16, compute_dtype=jnp.bfloat16,
-                 mesh=None, param_shardings=None, fuse_projections=None):
+                 mesh=None, param_shardings=None, fuse_projections=None,
+                 draft: Optional[DraftModel] = None):
         params = maybe_fuse_projections(model_mod, params, mesh,
                                         fuse_projections, param_shardings)
         self.model = model_mod
@@ -144,6 +161,17 @@ class Engine:
         self._prefill = {}
         self._decode = {}
         self._spec = {}
+        self._dprefill = {}
+        self.draft = draft
+        if draft is not None:
+            assert draft.cfg.vocab_size == cfg.vocab_size, (
+                "draft model must share the target's vocab")
+            draft.params = maybe_fuse_projections(
+                draft.model, draft.params, mesh, fuse_projections, None)
+            if draft.compute_dtype is None:
+                draft.compute_dtype = compute_dtype
+            if draft.kv_dtype is None:
+                draft.kv_dtype = kv_dtype
         if mesh is not None:
             from ..shard.sharding import (
                 param_specs as _family_specs, shard_params, with_stage_axis)
@@ -153,6 +181,11 @@ class Engine:
                 specs = _family_specs(model_mod.FAMILY, cfg, mesh)
                 specs = with_stage_axis(specs, mesh, cfg.num_hidden_layers)
             self.params = shard_params(params, mesh, specs)
+            if draft is not None:
+                dspecs = _family_specs(draft.model.FAMILY, draft.cfg, mesh)
+                dspecs = with_stage_axis(dspecs, mesh,
+                                         draft.cfg.num_hidden_layers)
+                draft.params = shard_params(draft.params, mesh, dspecs)
             self._dp = mesh.shape.get("data", 1)
             assert max_batch % self._dp == 0, (
                 f"max_batch={max_batch} must divide the data axis ({self._dp})")
@@ -262,6 +295,47 @@ class Engine:
             self._spec[key] = spec
         return self._spec[key]
 
+    def _draft_prefill_fn(self, prompt_len: int, padded: bool):
+        """Prefill of the DRAFT model's cache over the same padded prompt
+        layout as the target's (its logits are unused — the first emitted
+        token comes from the target prefill)."""
+        key = (prompt_len, padded)
+        if key not in self._dprefill:
+            d = self.draft
+
+            @jax.jit
+            def dprefill(dparams, ids, positions, pads, dcache):
+                _, dcache, _ = d.model.forward(
+                    dparams, ids, d.cfg, d.qcfg, kv_cache=dcache,
+                    cache_index=0, pad_starts=pads if padded else None,
+                    positions=positions, compute_dtype=d.compute_dtype)
+                return dcache
+
+            self._dprefill[key] = dprefill
+        return self._dprefill[key]
+
+    def _spec_draft_fn(self, max_new: int, gamma: int):
+        key = ("draft", max_new, gamma)
+        if key not in self._spec:
+            from .speculative import speculative_decode_draft
+
+            model, cfg, qcfg, cdt = (self.model, self.cfg, self.qcfg,
+                                     self.compute_dtype)
+            d = self.draft
+
+            @jax.jit
+            def spec(params, dparams, cache, dcache, history, start_lens,
+                     pad_lens):
+                return speculative_decode_draft(
+                    model, params, cfg, qcfg, cache,
+                    d.model, dparams, d.cfg, d.qcfg, dcache,
+                    history, start_lens, pad_lens, max_new=max_new,
+                    gamma=gamma, compute_dtype=cdt,
+                    draft_compute_dtype=d.compute_dtype)
+
+            self._spec[key] = spec
+        return self._spec[key]
+
     # -- public API ---------------------------------------------------------
 
     def generate(self, prompts: Sequence[Sequence[int]],
@@ -335,10 +409,31 @@ class Engine:
                     history, self._put(ids, P(dp, None)), (0, 0))
                 tok0 = jnp.argmax(first_logits, axis=-1).astype(jnp.int32)
                 history = history.at[:, max_len].set(tok0)
-                toks = self._spec_fn(n, spec, gen_cfg.speculative_ngram)(
-                    self.params, cache, history,
-                    jnp.full((b,), max_len, jnp.int32),
-                    self._put(pad_lens, P(dp)))
+                if self.draft is not None:
+                    d = self.draft
+                    dcache = d.model.init_kv_cache(
+                        d.cfg, b, self.max_seq, d.kv_dtype)
+                    if self.mesh is not None:
+                        from ..shard.sharding import shard_kv_cache
+
+                        dcache = shard_kv_cache(dcache, self.mesh, d.cfg)
+                    dcache = self._draft_prefill_fn(
+                        max_len, padded=bool(pad_lens.max() > 0))(
+                        d.params, self._put(ids, P(dp, None)),
+                        self._put(positions, P(dp, None)),
+                        self._put(pad_lens, P(dp)), dcache)
+                    toks, spec_stats = self._spec_draft_fn(n, spec)(
+                        self.params, d.params, cache, dcache, history,
+                        jnp.full((b,), max_len, jnp.int32),
+                        self._put(pad_lens, P(dp)))
+                    # [verify rounds, accepted draft tokens] telemetry
+                    self.last_spec_stats = np.asarray(
+                        jax.device_get(spec_stats)).tolist()
+                else:
+                    toks = self._spec_fn(n, spec, gen_cfg.speculative_ngram)(
+                        self.params, cache, history,
+                        jnp.full((b,), max_len, jnp.int32),
+                        self._put(pad_lens, P(dp)))
             else:
                 if gen_cfg.repetition_penalty != 1.0:
                     seen = np.zeros((b, self.cfg.vocab_size), bool)

