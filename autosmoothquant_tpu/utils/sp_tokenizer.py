@@ -85,14 +85,32 @@ class Piece:
     type: int
 
 
+@dataclasses.dataclass
+class NormalizerSpec:
+    """ModelProto field 4 (sentencepiece_model.proto NormalizerSpec). The
+    precompiled charsmap (a darts double-array over the rule TSV) is not
+    executed — instead the NAME selects a pure-Python reimplementation of
+    the stock rule sets (nmt_nfkc / nfkc / their _cf casefold variants /
+    identity), which covers every model sentencepiece's own trainer
+    produces. Boolean defaults mirror the proto."""
+
+    name: str = "nmt_nfkc"
+    add_dummy_prefix: bool = True
+    remove_extra_whitespaces: bool = True
+    escape_whitespaces: bool = True
+
+
 def parse_model_proto(data: bytes):
-    """tokenizer.model bytes -> (pieces: List[Piece], model_type: str).
+    """tokenizer.model bytes -> (pieces, model_type, NormalizerSpec).
     ModelProto: field 1 = repeated SentencePiece, field 2 = TrainerSpec
-    (whose field 3 = model_type enum: 1 UNIGRAM, 2 BPE, 3 WORD, 4 CHAR)."""
+    (whose field 3 = model_type enum: 1 UNIGRAM, 2 BPE, 3 WORD, 4 CHAR),
+    field 4 = NormalizerSpec (name=1, add_dummy_prefix=3,
+    remove_extra_whitespaces=4, escape_whitespaces=5)."""
     import struct
 
     pieces: List[Piece] = []
     model_type = "unigram"
+    norm = NormalizerSpec()
     for field, wire, val in _walk_fields(data):
         if field == 1 and wire == 2:
             text, score, ptype = "", 0.0, _NORMAL
@@ -109,11 +127,22 @@ def parse_model_proto(data: bytes):
                 if f2 == 3 and w2 == 0:
                     model_type = {1: "unigram", 2: "bpe", 3: "word",
                                   4: "char"}.get(v2, "unigram")
-    return pieces, model_type
+        elif field == 4 and wire == 2:  # NormalizerSpec
+            for f2, w2, v2 in _walk_fields(val):
+                if f2 == 1 and w2 == 2:
+                    norm.name = v2.decode("utf-8", errors="replace")
+                elif f2 == 3 and w2 == 0:
+                    norm.add_dummy_prefix = bool(v2)
+                elif f2 == 4 and w2 == 0:
+                    norm.remove_extra_whitespaces = bool(v2)
+                elif f2 == 5 and w2 == 0:
+                    norm.escape_whitespaces = bool(v2)
+    return pieces, model_type, norm
 
 
 def write_model_proto(pieces: List[Tuple[str, float, int]],
-                      model_type: str = "bpe") -> bytes:
+                      model_type: str = "bpe",
+                      norm: Optional[NormalizerSpec] = None) -> bytes:
     """Inverse of parse_model_proto — synthesizes a valid tokenizer.model
     (used by tests; also handy for shipping tiny fixture tokenizers)."""
     import struct
@@ -138,7 +167,36 @@ def write_model_proto(pieces: List[Tuple[str, float, int]],
         out += ld(1, body)
     mt = {"unigram": 1, "bpe": 2, "word": 3, "char": 4}[model_type]
     out += ld(2, varint(3 << 3) + varint(mt))
+    if norm is not None:
+        body = ld(1, norm.name.encode("utf-8"))
+        body += varint(3 << 3) + varint(int(norm.add_dummy_prefix))
+        body += varint(4 << 3) + varint(int(norm.remove_extra_whitespaces))
+        body += varint(5 << 3) + varint(int(norm.escape_whitespaces))
+        out += ld(4, body)
     return out
+
+
+# -- NMT text cleanup (the non-NFKC half of the stock nmt_nfkc rules,
+#    sentencepiece builder.cc BuildNmtNfkcMap) ------------------------------
+
+# line/paragraph separators and C0 whitespace controls normalize to SPACE
+_NMT_TO_SPACE = frozenset(
+    [0x09, 0x0A, 0x0B, 0x0C, 0x0D, 0x85, 0x2028, 0x2029])
+# other C0/C1 controls, DEL, zero-width marks and the BOM are removed
+_NMT_REMOVE = frozenset(
+    list(range(0x00, 0x09)) + [0x0E + i for i in range(0x1F - 0x0E + 1)]
+    + [0x7F] + [c for c in range(0x80, 0xA0) if c != 0x85]
+    + [0x200B, 0x200C, 0x200D, 0x200E, 0x200F, 0xFEFF])
+
+
+def _nmt_clean(text: str) -> str:
+    out = []
+    for ch in text:
+        cp = ord(ch)
+        if cp in _NMT_REMOVE:
+            continue
+        out.append(" " if cp in _NMT_TO_SPACE else ch)
+    return "".join(out)
 
 
 # -- the runtime --------------------------------------------------------------
@@ -148,9 +206,11 @@ class SentencePieceModel:
     """Pieces table + BPE/unigram encoding (the spm runtime surface this
     framework needs: encode-as-pieces, ids, decode)."""
 
-    def __init__(self, pieces: List[Piece], model_type: str):
+    def __init__(self, pieces: List[Piece], model_type: str,
+                 norm: Optional[NormalizerSpec] = None):
         self.pieces = pieces
         self.model_type = model_type
+        self.norm = norm or NormalizerSpec()
         self.piece_to_id: Dict[str, int] = {
             p.text: i for i, p in enumerate(pieces)}
         self.unk_id = next((i for i, p in enumerate(pieces)
@@ -166,9 +226,33 @@ class SentencePieceModel:
         with open(path, "rb") as f:
             return cls(*parse_model_proto(f.read()))
 
-    # normalization: add_dummy_prefix + whitespace escape (spm defaults)
+    # normalization per the model's NormalizerSpec (normalizer.cc order:
+    # charsmap rules -> whitespace collapse -> dummy prefix -> escape).
+    # The charsmap itself is name-dispatched: nmt_nfkc = NMT cleanup +
+    # unicodedata NFKC (+ casefold for the _cf variants); "identity"/""
+    # skips it. Oracle-checked against HF tokenizers' Rust NFKC
+    # normalizer (tests/test_sp_tokenizer.py fixtures).
     def _normalize(self, text: str) -> str:
-        return _SPACE + text.replace(" ", _SPACE)
+        import unicodedata
+
+        name = self.norm.name
+        if name.startswith("nmt_"):
+            text = _nmt_clean(text)
+        if "nfkc" in name:
+            text = unicodedata.normalize("NFKC", text)
+        elif "nfc" in name:
+            text = unicodedata.normalize("NFC", text)
+        if name.endswith("_cf"):
+            text = text.casefold()
+        if self.norm.remove_extra_whitespaces:
+            while "  " in text:
+                text = text.replace("  ", " ")
+            text = text.strip(" ")
+        if self.norm.add_dummy_prefix:
+            text = " " + text
+        if self.norm.escape_whitespaces:
+            text = text.replace(" ", _SPACE)
+        return text
 
     def _char_fallback(self, ch: str) -> List[int]:
         if ch in self.piece_to_id:
