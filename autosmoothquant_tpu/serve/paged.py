@@ -7,7 +7,10 @@ pools capacity instead: K/V lives in fixed-size pages, a per-slot block
 table maps virtual positions to pages, admission reserves only
 ceil((prompt + max_new) / block_size) pages per request, and registered
 prefixes SHARE their full pages across slots copy-free (only a partial
-tail block is copied per request). Model-side compute is
+tail block is copied per request). Beyond explicit registration, a block
+radix tree AUTOMATICALLY shares the full prompt blocks of completed
+prefills with later requests whose prompts start with the same tokens —
+no register_prefix call needed (r4 verdict item 6). Model-side compute is
 models/common.paged_attend — an online-softmax scan over mapped pages
 (flash-style: no virtual-cache materialization), pure lax so it nests
 inside the decode layer-scan safely on this runtime.
@@ -45,12 +48,32 @@ class PagedEngine(ContinuousEngine):
 
     def __init__(self, model_mod, params, cfg, qcfg=None, *,
                  block_size: int = 32, num_pages: Optional[int] = None,
-                 mesh=None, speculative_gamma: int = 0, **kw):
+                 mesh=None, speculative_gamma: int = 0,
+                 auto_prefix: bool = True,
+                 max_auto_pages: Optional[int] = None, **kw):
         self.block_size = block_size
         self.num_pages = num_pages
         self._scatter_cache: Dict[Any, Any] = {}
+        # automatic prefix sharing (r4 verdict item 6): a radix tree over
+        # block-aligned prompt prefixes. Completed prefills PUBLISH their
+        # full prompt blocks (map holds one page ref each); admission walks
+        # the tree and shares the longest published chain copy-free — no
+        # register_prefix call needed. Exact block-token keys (no hashes),
+        # so a match can never serve wrong K/V.
+        self.auto_prefix = auto_prefix
+        self._auto_nodes: Dict[int, dict] = {}   # nid -> node
+        self._auto_root: Dict[tuple, int] = {}   # first block tokens -> nid
+        self._auto_next = 0
+        self._auto_clock = 0
+        self._auto_pages = 0          # pages currently pinned by the tree
+        self.auto_hits = 0            # admissions that shared >=1 block
+        self.auto_hit_tokens = 0      # prefill tokens skipped via sharing
         super().__init__(model_mod, params, cfg, qcfg, mesh=mesh,
                          speculative_gamma=speculative_gamma, **kw)
+        if max_auto_pages is None:
+            # leave at least half the pool for request working sets
+            max_auto_pages = (self.num_pages - 1) // 2
+        self.max_auto_pages = max_auto_pages if auto_prefix else 0
 
     # -- pool + page allocator ----------------------------------------------
 
@@ -270,9 +293,97 @@ class PagedEngine(ContinuousEngine):
             st["pos"] = pos + valid
             if st["pos"] >= n:
                 done_rows.append(row)
+                self._publish_auto(prompt, row)
                 self._activate(row, req, last_logits)
         for row in done_rows:
             del self._admitting[row]
+
+    # -- automatic prefix sharing (block radix tree) -------------------------
+
+    def _auto_match(self, prompt: List[int]):
+        """Longest published chain of full blocks covering at most the first
+        len(prompt)-1 tokens (>=1 suffix token always prefills, so
+        activation gets real last-token logits). Returns (pages, n_tokens);
+        touches matched nodes' LRU clocks."""
+        if not self.auto_prefix:
+            return [], 0
+        bs = self.block_size
+        children = self._auto_root
+        pages: List[int] = []
+        self._auto_clock += 1
+        for b in range((len(prompt) - 1) // bs):
+            nid = children.get(tuple(prompt[b * bs:(b + 1) * bs]))
+            if nid is None:
+                break
+            node = self._auto_nodes[nid]
+            node["clock"] = self._auto_clock
+            pages.append(node["page"])
+            children = node["children"]
+        return pages, len(pages) * bs
+
+    def _publish_auto(self, prompt: List[int], row: int) -> None:
+        """After a row's prefill fully completes, insert its full prompt
+        blocks into the radix tree (each new node increfs its page, so the
+        page outlives the row). Only blocks whose every position holds
+        prompt K/V are publishable: tokens < len(prompt) — decode and the
+        padded final prefill chunk both write at positions >= len(prompt),
+        which land in strictly later blocks."""
+        if not self.auto_prefix:
+            return
+        bs = self.block_size
+        pages = self._row_pages[row]
+        children = self._auto_root
+        parent = None
+        path = set()
+        self._auto_clock += 1
+        for b in range((len(prompt) - 1) // bs):
+            bt = tuple(prompt[b * bs:(b + 1) * bs])
+            nid = children.get(bt)
+            if nid is None:
+                if (self._auto_pages >= self.max_auto_pages
+                        and not self._evict_auto_block(protect=path)):
+                    return  # at cap with nothing evictable: stop publishing
+                nid = self._auto_next
+                self._auto_next += 1
+                self._incref([pages[b]])
+                self._auto_nodes[nid] = {
+                    "page": pages[b], "parent": parent, "key": bt,
+                    "children": {}, "clock": self._auto_clock}
+                children[bt] = nid
+                self._auto_pages += 1
+            else:
+                self._auto_nodes[nid]["clock"] = self._auto_clock
+            path.add(nid)
+            children = self._auto_nodes[nid]["children"]
+            parent = nid
+
+    def _evict_auto_block(self, protect=frozenset()) -> bool:
+        """Drop the least-recently-used LEAF of the radix tree (leaf-only so
+        every surviving chain stays reachable root-first). The page frees
+        now if only the tree held it, else when sharing rows release."""
+        best = None
+        for nid, node in self._auto_nodes.items():
+            if node["children"] or nid in protect:
+                continue
+            if best is None or node["clock"] < self._auto_nodes[best]["clock"]:
+                best = nid
+        if best is None:
+            return False
+        node = self._auto_nodes.pop(best)
+        sib = (self._auto_root if node["parent"] is None
+               else self._auto_nodes[node["parent"]]["children"])
+        del sib[node["key"]]
+        self._decref([node["page"]])
+        self._auto_pages -= 1
+        return True
+
+    def clear_auto_prefixes(self) -> None:
+        """Release every tree-held page (admin/testing hook)."""
+        for node in self._auto_nodes.values():
+            self._decref([node["page"]])
+        self._auto_nodes.clear()
+        self._auto_root.clear()
+        self._auto_pages = 0
 
     # -- admission -----------------------------------------------------------
 
@@ -284,13 +395,45 @@ class PagedEngine(ContinuousEngine):
             pref = self._prefix_for(req)
             n_total = self._pages_needed(req)
             if pref is None:
+                # no registered prefix: try the automatic block radix tree
+                # (published full blocks of earlier prompts share copy-free)
+                shared, matched = self._auto_match(req.prompt)
+                if matched:
+                    alloc = self._alloc(max(n_total - len(shared), 1))
+                    if alloc is None:
+                        if (self._evict_auto_block()
+                                or self._evict_lru_prefix(keep=req.prefix)):
+                            continue  # re-matches against the pruned tree
+                        break
+                    self.waiting.pop(0)
+                    row = free.pop(0)
+                    self._incref(shared)
+                    self._set_row(row, list(shared) + alloc)
+                    self.auto_hits += 1
+                    self.auto_hit_tokens += matched
+                    if self.draft is not None:
+                        # the draft's CONTIGUOUS pool has no K/V for the
+                        # shared blocks: prefill the matched prefix for it
+                        # (tiny model — the target-side savings dominate)
+                        dbucket = min(_bucket(matched), self.max_seq)
+                        dids = np.zeros((1, dbucket), np.int32)
+                        dids[0, :matched] = req.prompt[:matched]
+                        dtemp = self._dprefill(dbucket)(self.draft.params,
+                                                        jnp.asarray(dids))
+                        self.dpool = self._dinsert(dbucket)(self.dpool,
+                                                            dtemp, row)
+                    # only the suffix runs through (paged) chunk prefill
+                    self._admitting[row] = {"req": req, "pos": matched}
+                    continue
                 bucket = min(_bucket(len(req.prompt)), self.max_seq)
                 n_bucket = -(-bucket // self.block_size)
                 alloc = self._alloc(max(n_total, n_bucket))
                 if alloc is None:
-                    # before backpressure: evict idle LRU prefixes — their
-                    # pages free unless an active request still shares them
-                    if self._evict_lru_prefix(keep=req.prefix):
+                    # before backpressure: evict idle auto blocks / LRU
+                    # prefixes — their pages free unless an active request
+                    # still shares them
+                    if (self._evict_auto_block()
+                            or self._evict_lru_prefix(keep=req.prefix)):
                         continue  # retry this request with the freed pages
                     break  # backpressure: wait for pages to free
                 self.waiting.pop(0)
@@ -304,6 +447,12 @@ class PagedEngine(ContinuousEngine):
                 self.pool = self._scatter_temp(bucket, n_bucket)(
                     self.pool, temp, jnp.asarray(alloc[:n_bucket],
                                                  jnp.int32))
+                if self.draft is not None:
+                    dtemp = self._dprefill(bucket)(self.draft.params,
+                                                   jnp.asarray(ids))
+                    self.dpool = self._dinsert(bucket)(self.dpool, dtemp,
+                                                       row)
+                self._publish_auto(req.prompt, row)
                 self._activate(row, req, last_logits)
                 continue
             # shared-prefix admission: full prefix pages are SHARED
@@ -315,7 +464,8 @@ class PagedEngine(ContinuousEngine):
             n_private = max(n_total - len(shared), 1 if tail_page else 0)
             alloc = self._alloc(n_private)
             if alloc is None:
-                if self._evict_lru_prefix(keep=req.prefix):
+                if (self._evict_auto_block()
+                        or self._evict_lru_prefix(keep=req.prefix)):
                     continue  # the request's own prefix is never evicted
                 break
             self.waiting.pop(0)
@@ -327,7 +477,15 @@ class PagedEngine(ContinuousEngine):
                 self.pool = self._copy_page()(self.pool,
                                               jnp.int32(tail_page),
                                               jnp.int32(alloc[0]))
+            if self.draft is not None and req.prefix in self._dprefixes:
+                dtemp = self._dprefixes[req.prefix]
+                dbucket = (dtemp.k.shape[2] if hasattr(dtemp, "k")
+                           else jax.tree.leaves(dtemp)[0].shape[2])
+                self.dpool = self._dinsert(dbucket)(self.dpool, dtemp, row)
             if len(req.prompt) == plen:
+                # prefill already complete (prefix covers the whole prompt):
+                # publish its full blocks so prefix-less requests share too
+                self._publish_auto(req.prompt, row)
                 self._activate(row, req, last_logits)
             else:
                 self._admitting[row] = {"req": req, "pos": plen}
@@ -351,9 +509,10 @@ class PagedEngine(ContinuousEngine):
         tail = plen % bs
         pages = self._alloc(n_full + (1 if tail else 0))
         while pages is None:
-            # page pressure: evict idle LRU prefixes (pages free once no
-            # active request still shares them) before giving up
-            if not self._evict_lru_prefix(keep=prefix_id):
+            # page pressure: evict idle auto blocks / LRU prefixes (pages
+            # free once no active request still shares them) before giving up
+            if not (self._evict_auto_block()
+                    or self._evict_lru_prefix(keep=prefix_id)):
                 raise PrefixCacheFull("no free pages for prefix registration")
             pages = self._alloc(n_full + (1 if tail else 0))
         bucket = min(_bucket(plen), self.max_seq)

@@ -66,8 +66,12 @@ def test_matches_contiguous_engine_greedy(setup):
     pe = _paged(cfg, params, steps_per_sync=3)
     got = _submit_all(pe, [(u, list(p), n, dict(k)) for u, p, n, k in SPECS])
     assert got == want
-    # every page returned to the free list after completion
-    assert pe.free_pages == pe.num_pages - 1  # page 0 is scratch
+    # every page returned to the free list after completion, except the
+    # full prompt blocks the auto-prefix radix tree published (page 0 is
+    # scratch); clearing the tree returns the pool to pristine
+    assert pe.free_pages == pe.num_pages - 1 - pe._auto_pages
+    pe.clear_auto_prefixes()
+    assert pe.free_pages == pe.num_pages - 1
 
 
 def test_matches_contiguous_engine_sampled(setup):
@@ -123,13 +127,18 @@ def test_backpressure_when_pages_exhausted(setup):
     reqs = {uid: pe.submit(uid, p, max_new_tokens=n, **kw)
             for uid, p, n, kw in specs}
     pe._admit()
-    assert sum(r is not None for r in pe.slot_req) == 2
+    # 2 of 5 fit at once (the second shares the first's published block,
+    # so it sits in _admitting for suffix prefill rather than slot_req)
+    assert (sum(r is not None for r in pe.slot_req)
+            + len(pe._admitting)) == 2
     pe.run()
     outs = {u: r.output[:r.max_new_tokens] for u, r in reqs.items()}
     want = _submit_all(_contiguous(cfg, params),
                        [(u, list(p), n, dict(k)) for u, p, n, k in specs])
     assert outs == want
-    assert pe.free_pages == 6
+    # the 5 identical prompts shared published blocks through the tree
+    assert pe.auto_hits >= 1
+    assert pe.free_pages == 6 - pe._auto_pages
 
 
 def test_prefix_sharing_is_copy_free(setup):
@@ -159,8 +168,11 @@ def test_prefix_sharing_is_copy_free(setup):
     want = _submit_all(_paged(cfg, params),
                        [(u, list(p), n, {}) for u, p, n, _ in specs])
     assert outs == want
-    # slots released their shares; registry keeps one ref
-    assert all(pe._ref[p] == 1 for p in entry["pages"])
+    # slots released their shares; registry keeps one ref and the auto
+    # tree (which republished the same pages on completion) another
+    assert all(pe._ref[p] == 2 for p in entry["pages"])
+    assert {n["page"] for n in pe._auto_nodes.values()} == set(entry["pages"])
+    pe.clear_auto_prefixes()
     pe.drop_prefix("sys")
     assert pe.free_pages == pe.num_pages - 1
 
@@ -216,7 +228,7 @@ def test_int8_kv_pages_match_contiguous_int8_kv(setup):
     got = _submit_all(pe, [(u, list(p), n, dict(k))
                            for u, p, n, k in SPECS[:4]])
     assert got == want
-    assert pe.free_pages == pe.num_pages - 1
+    assert pe.free_pages == pe.num_pages - 1 - pe._auto_pages
 
 
 def test_int8_kv_pages_prefix_sharing(setup):
@@ -266,6 +278,47 @@ def test_paged_speculative_greedy_exact(setup):
             pe.submit(u, list(p), max_new_tokens=n)
         outs[g] = pe.run()
     assert outs[0] == outs[2]
+
+
+def test_paged_draft_model_greedy_exact(setup):
+    """Draft-MODEL speculation over the paged pool (r5): the draft keeps a
+    contiguous cache that admission mirrors on every paged path — bucket
+    prefill, explicit-prefix insert, AUTO-matched prefix (draft prefills
+    the matched span itself), and chunked suffixes. Verification guarantees
+    exactness for ANY draft, so outputs must equal plain paged decoding
+    through all those paths."""
+    from autosmoothquant_tpu.serve.engine import DraftModel
+
+    cfg, params = setup
+    dcfg = L.LlamaConfig(vocab_size=cfg.vocab_size, hidden_size=32,
+                         intermediate_size=64, num_hidden_layers=1,
+                         num_attention_heads=2, num_key_value_heads=2,
+                         max_position_embeddings=256)
+    dparams = L.init_params(dcfg, jax.random.PRNGKey(9))
+    prefix = list(range(1, 33))                      # 2 full 16-tok blocks
+    shared = [7] * 40                                 # auto-tree fodder
+    waves = [
+        [("p0", prefix + [50, 51], 8, dict(prefix="sys")),   # explicit
+         ("a0", shared + [1], 8, {}),                        # publishes
+         ("b0", [9, 8, 7, 6, 5], 8, {})],                    # bucket
+        [("a1", shared + [2], 8, {})],                       # auto hit
+    ]
+    outs = {}
+    for use_draft in (False, True):
+        d = (DraftModel(model=L, params=dparams, cfg=dcfg)
+             if use_draft else None)
+        pe = _paged(cfg, params, speculative_gamma=3 if use_draft else 0,
+                    draft=d)
+        pe.register_prefix("sys", list(prefix))
+        got = {}
+        for wave in waves:
+            for u, p, n, kw in wave:
+                pe.submit(u, list(p), max_new_tokens=n, **kw)
+            got.update(pe.run())
+        outs[use_draft] = got
+        if use_draft:
+            assert pe.auto_hits >= 1      # the draft path took a tree hit
+    assert outs[True] == outs[False]
 
 
 def test_prefix_lru_eviction_at_cap(setup):

@@ -40,7 +40,11 @@ for wave in range(10):
                 rng.integers(4, 200))).tolist(), max_new_tokens=24,
                 temperature=0.8, top_k=40))
         else:
-            reqs.append(eng.submit(uid, rng.integers(1, 2048, size=12
+            # shared system prompt, but NO register_prefix / prefix= — the
+            # automatic block radix tree must pick these up by itself
+            pid = f"sys{j % 6}"
+            reqs.append(eng.submit(
+                uid, sys_prompts[pid] + rng.integers(1, 2048, size=6
                 ).tolist(), max_new_tokens=16))
     eng.run()
     for r in reqs:
@@ -48,13 +52,20 @@ for wave in range(10):
         done += 1
     assert len(eng._prefixes) <= eng.max_prefixes
 dt = time.perf_counter() - t0
-# all request rows released -> page accounting returns to steady state
+# all request rows released -> page accounting returns to steady state:
+# every still-held page is pinned by the prefix registry or the auto tree
 held = sum(len(p) for p in eng._row_pages)
-pref = sum(len(e["pages"]) + (1 if e["tail"] else 0)
-           for e in eng._prefixes.values())
+pinned = int((eng._ref[1:] > 0).sum())
+hit_rate = eng.auto_hit_tokens / max(eng.auto_hit_tokens
+                                     + eng.prefill_tokens_processed, 1)
 print(f"soak OK: {done} requests in {dt:.1f}s "
       f"({done/dt:.1f} req/s), free_pages={eng.free_pages}, "
-      f"rows_hold={held}, prefix_pages={pref}, "
-      f"prefixes={len(eng._prefixes)}, spec_ema={eng._spec_acc_ema:.3f}")
+      f"rows_hold={held}, pinned_pages={pinned}, "
+      f"prefixes={len(eng._prefixes)}, auto_blocks={eng._auto_pages}, "
+      f"auto_hits={eng.auto_hits}, auto_hit_tokens={eng.auto_hit_tokens}, "
+      f"prefill_skip_frac={hit_rate:.3f}, "
+      f"spec_ema={eng._spec_acc_ema:.3f}")
 assert held == 0
-assert eng.free_pages + pref == eng.num_pages - 1
+assert eng.free_pages + pinned == eng.num_pages - 1
+# prefix-less shared-prompt traffic DID share pages through the tree
+assert eng.auto_hits > 0 and eng.auto_hit_tokens > 0
