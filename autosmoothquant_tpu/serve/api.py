@@ -29,6 +29,20 @@ Endpoints:
                 500 = engine fault.
   GET  /health  -> {"ok": true, "active": int, "waiting": int}
 
+OpenAI-compatible facade (r4 verdict item 9 — standard clients and load
+generators drive the server unmodified):
+  POST /v1/completions  the OpenAI Completions wire shape: "prompt" (text,
+                token ids, or a batch of either), "max_tokens",
+                "temperature", "top_p", "n", "stop" (text needs a
+                tokenizer; token-id lists always work), "logprobs"
+                (token logprobs; no top-k alternatives), "echo", "stream"
+                (SSE chunks ending in `data: [DONE]`, single prompt only),
+                "seed"/"user" accepted and ignored. Responses carry the
+                standard choices/finish_reason/usage envelope plus a
+                non-standard "tokens" field per choice (tokenizer-free
+                deployments still get ids).
+  GET  /v1/models  -> the single served model id.
+
 Sampling requests ride the engine's per-request parameters (one compiled
 decode step serves a mixed greedy/sampled batch, serve/batching.py).
 """
@@ -171,6 +185,10 @@ class ServingAPI:
         if hasattr(eng, "free_pages"):  # paged engine
             out["free_pages"] = eng.free_pages
             out["num_pages"] = eng.num_pages
+            if getattr(eng, "auto_prefix", False):
+                out["auto_prefix_blocks"] = eng._auto_pages
+                out["auto_prefix_hits"] = eng.auto_hits
+                out["auto_prefix_hit_tokens"] = eng.auto_hit_tokens
         return out
 
     # -- scheduler thread (sole owner of the engine/device) -------------------
@@ -268,7 +286,38 @@ class ServingAPI:
             self._thread = None
 
 
-def _make_handler(api: ServingAPI):
+def _follow(api: ServingAPI, uid: int, ev, holdback: int, deadline: float,
+            want_lp: bool):
+    """Poll a submitted request and yield its life as events:
+    ("chunk", [new token ids...]) as the scheduler appends them (minus the
+    holdback tokens a trailing eos/stop could still retract — concatenated
+    chunks are always a prefix of the final output), then exactly one of
+    ("done", (tokens, logprobs)) or ("error", message)."""
+    import time
+
+    sent = 0
+    while not ev.wait(0.02):
+        if time.time() > deadline:
+            yield "error", "timeout"
+            return
+        handle = api._handles.get(uid)
+        if handle is None:
+            continue
+        out = handle.output  # scheduler only appends (GIL-atomic)
+        safe = len(out) - holdback
+        if safe > sent:
+            chunk = out[sent:safe]
+            sent = safe
+            yield "chunk", chunk
+    try:
+        res = api.result(uid, want_lp)
+    except RuntimeError as e:
+        yield "error", str(e)
+        return
+    yield "done", (res if want_lp else (res, None))
+
+
+def _make_handler(api: ServingAPI, model_id: str = "autosmoothquant-tpu"):
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *a):  # quiet test output
             pass
@@ -307,40 +356,199 @@ def _make_handler(api: ServingAPI):
             self.send_header("Content-Type", "text/event-stream")
             self.send_header("Cache-Control", "no-cache")
             self.end_headers()
-            sent = 0
             deadline = time.time() + float(req.get("timeout", 600.0))
             try:
-                while not ev.wait(0.02):
-                    if time.time() > deadline:
-                        self._sse("error", {"error": "timeout"})
-                        return
-                    handle = api._handles.get(uid)
-                    if handle is None:
-                        continue
-                    out = handle.output  # scheduler only appends (GIL-atomic)
-                    safe = len(out) - holdback
-                    if safe > sent:
-                        chunk = out[sent:safe]
-                        sent = safe
-                        text = (api.tokenizer.decode(chunk)
+                for kind, val in _follow(api, uid, ev, holdback, deadline,
+                                         want_lp):
+                    if kind == "chunk":
+                        text = (api.tokenizer.decode(val)
                                 if api.tokenizer is not None else None)
-                        self._sse(None, {"tokens": chunk, "text": text})
-                try:
-                    res = api.result(uid, want_lp)
-                except RuntimeError as e:
-                    self._sse("error", {"error": str(e)})
-                    return
-                toks, lps = res if want_lp else (res, None)
-                text = (api.tokenizer.decode(toks)
-                        if api.tokenizer is not None else None)
-                payload = {"tokens": toks, "text": text}
-                if want_lp:
-                    payload["logprobs"] = lps
-                self._sse("done", payload)
+                        self._sse(None, {"tokens": val, "text": text})
+                    elif kind == "error":
+                        self._sse("error", {"error": val})
+                    else:
+                        toks, lps = val
+                        text = (api.tokenizer.decode(toks)
+                                if api.tokenizer is not None else None)
+                        payload = {"tokens": toks, "text": text}
+                        if want_lp:
+                            payload["logprobs"] = lps
+                        self._sse("done", payload)
             finally:
                 # disconnected clients (BrokenPipeError mid-write) and
                 # timeouts must not leave the uid registered, or the
                 # scheduler stores the finished result forever
+                api.deregister(uid)
+
+        # -- OpenAI-compatible facade (/v1/*) ----------------------------
+
+        def _v1_prompts(self, req) -> List[List[int]]:
+            """OpenAI "prompt": text, token ids, or a batch of either."""
+            def one(x):
+                if isinstance(x, str):
+                    if api.tokenizer is None:
+                        raise ValueError(
+                            "text prompt needs a tokenizer; send token ids")
+                    ids = list(api.tokenizer(x).input_ids)
+                elif isinstance(x, list) and x and all(
+                        isinstance(t, int) and not isinstance(t, bool)
+                        for t in x):
+                    ids = [int(t) for t in x]
+                else:
+                    raise ValueError("prompt must be text or a non-empty "
+                                     "list of token ids")
+                if not ids:
+                    raise ValueError("prompt tokenized to zero tokens")
+                return ids
+
+            p = req.get("prompt")
+            if isinstance(p, list) and p and all(
+                    isinstance(x, (str, list)) for x in p):
+                return [one(x) for x in p]
+            return [one(p)]
+
+        def _v1_stop(self, req):
+            """OpenAI "stop": string or list of strings (tokenized), with
+            token-id lists accepted as a tokenizer-free extension."""
+            s = req.get("stop")
+            if s is None:
+                return None
+            if isinstance(s, (str, int)):
+                s = [s]
+            out = []
+            for item in s:
+                if isinstance(item, str):
+                    if api.tokenizer is None:
+                        raise ValueError("text stop needs a tokenizer; "
+                                         "send token-id lists")
+                    ids = list(api.tokenizer(item).input_ids)
+                elif isinstance(item, list) and item and all(
+                        isinstance(t, int) for t in item):
+                    ids = [int(t) for t in item]
+                else:
+                    raise ValueError("stop must be text or token-id lists")
+                if ids:
+                    out.append(ids)
+            return out or None
+
+        def _v1_decode(self, toks):
+            return (api.tokenizer.decode(toks)
+                    if api.tokenizer is not None else "")
+
+        def _v1_logprobs(self, toks, lps):
+            tok_strs = ([self._v1_decode([t]) for t in toks]
+                        if api.tokenizer is not None
+                        else [str(t) for t in toks])
+            return {"tokens": tok_strs, "token_logprobs": lps,
+                    "top_logprobs": None, "text_offset": []}
+
+        def _v1_completions(self, req):
+            import time
+            import uuid
+
+            cid = "cmpl-" + uuid.uuid4().hex[:24]
+            created = int(time.time())
+            base = {"id": cid, "object": "text_completion",
+                    "created": created, "model": model_id}
+            prompts = self._v1_prompts(req)
+            n = int(req.get("n", 1) or 1)
+            if not 1 <= n <= 64:
+                raise ValueError("n must be in [1, 64]")
+            want_lp = req.get("logprobs") not in (None, False)
+            echo = bool(req.get("echo", False))
+            stop = self._v1_stop(req)
+            max_toks = int(req.get("max_tokens", 16))
+            kw = dict(max_new_tokens=max_toks,
+                      eos_token_id=req.get("eos_token_id"),
+                      # OpenAI semantics: temperature defaults to 1
+                      # (sampling); 0 falls through to the engine's greedy
+                      temperature=float(req.get("temperature", 1.0)),
+                      top_k=int(req.get("top_k", 0)),
+                      top_p=float(req.get("top_p", 1.0)),
+                      repetition_penalty=float(
+                          req.get("repetition_penalty", 1.0)),
+                      stop=stop, want_logprobs=want_lp)
+            deadline = time.time() + float(req.get("timeout", 600.0))
+            if bool(req.get("stream", False)):
+                if len(prompts) != 1 or n != 1:
+                    raise ValueError(
+                        "stream=true supports a single prompt with n=1")
+                self._v1_stream(base, prompts[0], kw, deadline, want_lp,
+                                max_toks)
+                return
+            # one engine request per (prompt, sample): they decode as one
+            # continuous batch; choices index prompt-major like OpenAI
+            subs = [api.submit_nowait(list(p), **kw)
+                    for p in prompts for _ in range(n)]
+            choices, completion_tokens = [], 0
+            try:
+                for i, (uid, ev) in enumerate(subs):
+                    if not ev.wait(max(deadline - time.time(), 0.001)):
+                        raise TimeoutError(f"completion {i} timed out")
+                    res = api.result(uid, want_lp)
+                    toks, lps = res if want_lp else (res, None)
+                    completion_tokens += len(toks)
+                    text = self._v1_decode(toks)
+                    if echo:
+                        text = self._v1_decode(prompts[i // n]) + text
+                    choices.append({
+                        "index": i, "text": text, "tokens": toks,
+                        "logprobs": (self._v1_logprobs(toks, lps)
+                                     if want_lp else None),
+                        "finish_reason": ("length" if len(toks) >= max_toks
+                                          else "stop")})
+            finally:
+                for uid, _ in subs:
+                    api.deregister(uid)
+            prompt_tokens = sum(len(p) for p in prompts) * n
+            self._send(200, {
+                **base, "choices": choices,
+                "usage": {"prompt_tokens": prompt_tokens,
+                          "completion_tokens": completion_tokens,
+                          "total_tokens": prompt_tokens + completion_tokens}})
+
+        def _v1_stream(self, base, prompt, kw, deadline, want_lp, max_toks):
+            """OpenAI streaming: `data: {chunk}` events whose choices carry
+            text deltas, a final chunk with finish_reason, then
+            `data: [DONE]`."""
+            uid, ev = api.submit_nowait(list(prompt), **kw)
+            holdback = max((len(s) for s in (kw["stop"] or [])), default=0)
+            if kw["eos_token_id"] is not None:
+                holdback = max(holdback, 1)
+            self.send_response(200)
+            self.send_header("Content-Type", "text/event-stream")
+            self.send_header("Cache-Control", "no-cache")
+            self.end_headers()
+
+            def chunk(text, finish, toks, lps=None):
+                c = {"index": 0, "text": text, "tokens": toks,
+                     "logprobs": (self._v1_logprobs(toks, lps)
+                                  if want_lp and lps is not None else None),
+                     "finish_reason": finish}
+                self.wfile.write(("data: " + json.dumps(
+                    {**base, "choices": [c]}) + "\n\n").encode())
+                self.wfile.flush()
+
+            sent = 0
+            try:
+                for kind, val in _follow(api, uid, ev, holdback, deadline,
+                                         want_lp):
+                    if kind == "chunk":
+                        sent += len(val)
+                        chunk(self._v1_decode(val), None, val)
+                    elif kind == "error":
+                        self.wfile.write(("data: " + json.dumps(
+                            {**base, "error": val}) + "\n\n").encode())
+                        return
+                    else:
+                        toks, lps = val
+                        tail = toks[sent:]
+                        chunk(self._v1_decode(tail),
+                              "length" if len(toks) >= max_toks else "stop",
+                              tail, lps)
+                self.wfile.write(b"data: [DONE]\n\n")
+                self.wfile.flush()
+            finally:
                 api.deregister(uid)
 
         def _send(self, code: int, payload: dict):
@@ -354,10 +562,29 @@ def _make_handler(api: ServingAPI):
         def do_GET(self):
             if self.path in ("/health", "/stats"):
                 self._send(200, api.stats())
+            elif self.path == "/v1/models":
+                self._send(200, {"object": "list", "data": [
+                    {"id": model_id, "object": "model",
+                     "owned_by": "autosmoothquant-tpu"}]})
             else:
                 self._send(404, {"error": "not found"})
 
         def do_POST(self):
+            if self.path == "/v1/completions":
+                try:
+                    n = int(self.headers.get("Content-Length", 0))
+                    req = json.loads(self.rfile.read(n) or b"{}")
+                    self._v1_completions(req)
+                except (ValueError, json.JSONDecodeError) as e:
+                    # OpenAI error envelope so standard clients parse it
+                    self._send(400, {"error": {
+                        "message": str(e), "type": "invalid_request_error",
+                        "param": None, "code": None}})
+                except Exception as e:
+                    self._send(500, {"error": {
+                        "message": f"{type(e).__name__}: {e}",
+                        "type": "server_error", "param": None, "code": None}})
+                return
             if self.path == "/prefix":
                 # status mapping: 400 = request validation, 429 = prefix
                 # cache at capacity (retry after dropping one), 500 =
@@ -446,11 +673,12 @@ def _make_handler(api: ServingAPI):
     return Handler
 
 
-def serve(engine, host: str = "127.0.0.1", port: int = 8000, tokenizer=None
-          ) -> tuple:
+def serve(engine, host: str = "127.0.0.1", port: int = 8000, tokenizer=None,
+          model_id: str = "autosmoothquant-tpu") -> tuple:
     """Start the scheduler thread + HTTP server; returns (api, httpd).
     Callers run ``httpd.serve_forever()`` (or poke it from tests) and shut
-    down with ``httpd.shutdown(); api.stop()``."""
+    down with ``httpd.shutdown(); api.stop()``. ``model_id`` is what
+    /v1/models and completion envelopes report."""
     api = ServingAPI(engine, tokenizer=tokenizer).start()
-    httpd = ThreadingHTTPServer((host, port), _make_handler(api))
+    httpd = ThreadingHTTPServer((host, port), _make_handler(api, model_id))
     return api, httpd

@@ -8,6 +8,12 @@ generate/eval, ref: examples/test_model.py); this is the production analog:
 
   curl -s localhost:8000/generate -d '{"prompt": "Hello", "max_new_tokens": 32,
                                        "temperature": 0.7, "top_p": 0.9}'
+
+Also speaks the OpenAI Completions wire shape, so stock clients and load
+generators work unmodified:
+
+  curl -s localhost:8000/v1/completions -d '{"prompt": "Hello",
+                                             "max_tokens": 32}'
 """
 
 from __future__ import annotations
@@ -53,6 +59,12 @@ def parse_args():
     p.add_argument("--num-pages", type=int, default=0,
                    help="paged engine total pages (0 = contiguous-equivalent"
                         " capacity); smaller pools oversubscribe slots")
+    p.add_argument("--no-auto-prefix", action="store_true",
+                   help="disable the paged engine's automatic block-level "
+                        "prefix sharing (explicit POST /prefix still works)")
+    p.add_argument("--model-id", default=None,
+                   help="name reported by /v1/models and completion "
+                        "envelopes (default: checkpoint directory name)")
     return p.parse_args()
 
 
@@ -96,12 +108,16 @@ def build(args):
         from autosmoothquant_tpu.serve.paged import PagedEngine
 
         kw.update(block_size=args.block_size,
-                  num_pages=args.num_pages or None)
+                  num_pages=args.num_pages or None,
+                  auto_prefix=not getattr(args, "no_auto_prefix", False))
         eng = PagedEngine(model_mod, params, cfg, qcfg, **kw)
     else:
         eng = ContinuousEngine(model_mod, params, cfg, qcfg, **kw)
+    model_id = (getattr(args, "model_id", None)
+                or Path(args.quantized_model_path).name
+                or "autosmoothquant-tpu")
     api, httpd = serve(eng, host=args.host, port=args.port,
-                       tokenizer=tokenizer)
+                       tokenizer=tokenizer, model_id=model_id)
     return api, httpd, family
 
 

@@ -1,0 +1,233 @@
+"""OpenAI-compatible facade (serve/api.py /v1/completions + /v1/models):
+wire-shape compliance, token parity with /generate, batched prompts, n>1
+sampling, stop sequences, logprobs, streaming chunks ending in [DONE], and
+the OpenAI error envelope — so standard clients and load generators drive
+the server unmodified (r4 verdict item 9)."""
+
+import json
+import threading
+import urllib.request
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from autosmoothquant_tpu.serve.api import serve
+from autosmoothquant_tpu.serve.batching import ContinuousEngine
+
+
+def _tiny():
+    from autosmoothquant_tpu.models import llama as L
+
+    cfg = L.LlamaConfig(vocab_size=128, hidden_size=64, intermediate_size=128,
+                        num_hidden_layers=2, num_attention_heads=4,
+                        num_key_value_heads=2, max_position_embeddings=128)
+    return L, cfg, L.init_params(cfg, jax.random.PRNGKey(0))
+
+
+def _post(port, path, payload):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}{path}",
+        data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"})
+    try:
+        with urllib.request.urlopen(req, timeout=120) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+@pytest.fixture(scope="module")
+def server():
+    L, cfg, params = _tiny()
+    eng = ContinuousEngine(L, params, cfg, max_batch=4, max_seq=64,
+                           kv_dtype=jnp.float32, compute_dtype=jnp.float32)
+    api, httpd = serve(eng, port=0, model_id="tiny-llama-int8")
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    yield api, httpd.server_address[1]
+    httpd.shutdown()
+    api.stop()
+
+
+PROMPT = [3, 1, 4, 1, 5, 9, 2, 6]
+
+
+def test_models_endpoint(server):
+    _, port = server
+    with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/v1/models", timeout=30) as r:
+        out = json.loads(r.read())
+    assert out["object"] == "list"
+    assert out["data"][0]["id"] == "tiny-llama-int8"
+
+
+def test_completion_envelope_and_parity_with_generate(server):
+    """Greedy /v1/completions returns the standard envelope and the SAME
+    tokens as the native /generate endpoint."""
+    _, port = server
+    status, want = _post(port, "/generate",
+                         {"prompt": PROMPT, "max_new_tokens": 8})
+    assert status == 200
+    status, out = _post(port, "/v1/completions",
+                        {"prompt": PROMPT, "max_tokens": 8,
+                         "temperature": 0.0})
+    assert status == 200
+    assert out["object"] == "text_completion"
+    assert out["id"].startswith("cmpl-")
+    assert out["model"] == "tiny-llama-int8"
+    (c,) = out["choices"]
+    assert c["index"] == 0 and c["finish_reason"] == "length"
+    assert c["tokens"] == want["tokens"]
+    assert out["usage"] == {"prompt_tokens": len(PROMPT),
+                            "completion_tokens": 8,
+                            "total_tokens": len(PROMPT) + 8}
+
+
+def test_batched_prompts_and_n_samples(server):
+    """A batch of 2 prompts with n=2: four choices, prompt-major index
+    order; greedy duplicates within a prompt are identical."""
+    _, port = server
+    p2 = [7, 7, 7, 7]
+    status, out = _post(port, "/v1/completions",
+                        {"prompt": [PROMPT, p2], "n": 2, "max_tokens": 6,
+                         "temperature": 0.0})
+    assert status == 200
+    assert [c["index"] for c in out["choices"]] == [0, 1, 2, 3]
+    toks = [c["tokens"] for c in out["choices"]]
+    assert toks[0] == toks[1] and toks[2] == toks[3]  # greedy n=2 agrees
+    assert toks[0] != toks[2]                          # different prompts
+    assert out["usage"]["prompt_tokens"] == 2 * (len(PROMPT) + len(p2))
+    assert out["usage"]["completion_tokens"] == 24
+
+
+def test_sampling_defaults_are_openai(server):
+    """No temperature given -> OpenAI's default 1.0 (sampling), so two
+    single-shot calls are allowed to disagree while a temperature-0 call
+    is deterministic. (With a fixed engine seed the sampled path is still
+    exercised; we only assert the greedy pin.)"""
+    _, port = server
+    status, a = _post(port, "/v1/completions",
+                      {"prompt": PROMPT, "max_tokens": 6,
+                       "temperature": 0.0})
+    status, b = _post(port, "/v1/completions",
+                      {"prompt": PROMPT, "max_tokens": 6,
+                       "temperature": 0.0})
+    assert a["choices"][0]["tokens"] == b["choices"][0]["tokens"]
+    status, c = _post(port, "/v1/completions",
+                      {"prompt": PROMPT, "max_tokens": 6})
+    assert status == 200 and len(c["choices"][0]["tokens"]) == 6
+
+
+def test_stop_token_ids_and_finish_reason(server):
+    """Token-id stop lists work without a tokenizer; hitting one yields
+    finish_reason='stop' and truncated output."""
+    _, port = server
+    status, free = _post(port, "/v1/completions",
+                         {"prompt": PROMPT, "max_tokens": 8,
+                          "temperature": 0.0})
+    toks = free["choices"][0]["tokens"]
+    stop_at = toks[3]  # stop on the 4th greedy token
+    status, out = _post(port, "/v1/completions",
+                        {"prompt": PROMPT, "max_tokens": 8,
+                         "temperature": 0.0, "stop": [[stop_at]]})
+    assert status == 200
+    c = out["choices"][0]
+    assert c["finish_reason"] == "stop"
+    assert len(c["tokens"]) < 8
+    assert stop_at not in c["tokens"]
+
+
+def test_logprobs(server):
+    _, port = server
+    status, out = _post(port, "/v1/completions",
+                        {"prompt": PROMPT, "max_tokens": 5,
+                         "temperature": 0.0, "logprobs": 1})
+    assert status == 200
+    lp = out["choices"][0]["logprobs"]
+    assert len(lp["token_logprobs"]) == 5
+    assert all(x <= 0.0 for x in lp["token_logprobs"])
+    assert len(lp["tokens"]) == 5
+
+
+def test_streaming_chunks_prefix_of_done(server):
+    """SSE chunks: concatenated streamed tokens equal the non-streamed
+    result; the stream ends with `data: [DONE]` and the last content chunk
+    carries finish_reason."""
+    _, port = server
+    status, want = _post(port, "/v1/completions",
+                         {"prompt": PROMPT, "max_tokens": 8,
+                          "temperature": 0.0})
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/v1/completions",
+        data=json.dumps({"prompt": PROMPT, "max_tokens": 8,
+                         "temperature": 0.0, "stream": True}).encode(),
+        headers={"Content-Type": "application/json"})
+    events = []
+    with urllib.request.urlopen(req, timeout=120) as r:
+        assert r.headers["Content-Type"].startswith("text/event-stream")
+        for raw in r:
+            line = raw.decode().strip()
+            if line.startswith("data: "):
+                events.append(line[len("data: "):])
+    assert events[-1] == "[DONE]"
+    chunks = [json.loads(e) for e in events[:-1]]
+    assert all(c["object"] == "text_completion" for c in chunks)
+    streamed = [t for c in chunks for t in c["choices"][0]["tokens"]]
+    assert streamed == want["choices"][0]["tokens"]
+    finishes = [c["choices"][0]["finish_reason"] for c in chunks]
+    assert finishes[-1] == "length"
+    assert all(f is None for f in finishes[:-1])
+
+
+def test_error_envelope(server):
+    _, port = server
+    status, out = _post(port, "/v1/completions", {"prompt": []})
+    assert status == 400
+    assert out["error"]["type"] == "invalid_request_error"
+    status, out = _post(port, "/v1/completions",
+                        {"prompt": "text", "max_tokens": 4})
+    assert status == 400  # no tokenizer configured on this server
+    status, out = _post(port, "/v1/completions",
+                        {"prompt": PROMPT, "stream": True, "n": 2})
+    assert status == 400
+
+
+def test_tokenized_text_path(server):
+    """With a toy tokenizer, text prompts/stops and echo round-trip."""
+    class ToyTok:
+        class _Enc(list):
+            @property
+            def input_ids(self):
+                return list(self)
+
+        def __call__(self, text):
+            return self._Enc((ord(ch) - 32) % 96 + 2 for ch in text)
+
+        def decode(self, ids):
+            return "".join(chr((i - 2) % 96 + 32) for i in ids)
+
+    from autosmoothquant_tpu.models import llama as L
+    cfg = L.LlamaConfig(vocab_size=128, hidden_size=64,
+                        intermediate_size=128, num_hidden_layers=2,
+                        num_attention_heads=4, num_key_value_heads=2,
+                        max_position_embeddings=128)
+    params = L.init_params(cfg, jax.random.PRNGKey(0))
+    eng = ContinuousEngine(L, params, cfg, max_batch=2, max_seq=64,
+                           kv_dtype=jnp.float32, compute_dtype=jnp.float32)
+    api, httpd = serve(eng, port=0, tokenizer=ToyTok())
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        port = httpd.server_address[1]
+        status, out = _post(port, "/v1/completions",
+                            {"prompt": "hello", "max_tokens": 4,
+                             "temperature": 0.0, "echo": True})
+        assert status == 200
+        c = out["choices"][0]
+        assert c["text"].startswith("hello")
+        assert len(c["tokens"]) == 4
+    finally:
+        httpd.shutdown()
+        api.stop()

@@ -147,7 +147,55 @@ def main():
         assert "decode_tok_per_s" in st and "max_batch" in st
         if paged:
             assert st["free_pages"] <= st["num_pages"]
+        # 6. OpenAI-compatible facade: /v1/completions greedy parity with
+        # /generate, envelope fields, and SSE chunks ending in [DONE]
+        timeout = float(os.environ.get("ASQ_DRIVE_TIMEOUT", "300"))
+
+        def post_v1(body, stream=False):
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/v1/completions",
+                data=json.dumps(body).encode(), method="POST",
+                headers={"Content-Type": "application/json"})
+            resp = urllib.request.urlopen(req, timeout=timeout)
+            if not stream:
+                return json.loads(resp.read())
+            datas = []
+            for raw in resp:
+                line = raw.decode().strip()
+                if line.startswith("data:"):
+                    datas.append(line[5:].strip())
+            return datas
+
+        v1 = post_v1({"prompt": base * 2, "max_tokens": 12,
+                      "temperature": 0.0})
+        native = post(port, {"prompt": base * 2, "max_new_tokens": 12})
+        assert v1["object"] == "text_completion", v1
+        assert v1["choices"][0]["tokens"] == native["tokens"], (v1, native)
+        assert v1["choices"][0]["finish_reason"] == "length"
+        assert v1["usage"]["completion_tokens"] == 12
+        datas = post_v1({"prompt": base * 2, "max_tokens": 12,
+                         "temperature": 0.0, "stream": True}, stream=True)
+        assert datas[-1] == "[DONE]"
+        streamed = [t for dd in datas[:-1]
+                    for t in json.loads(dd)["choices"][0]["tokens"]]
+        assert streamed == native["tokens"], (streamed, native)
+        models = json.loads(urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/v1/models", timeout=10).read())
+        assert models["data"][0]["id"]
+        # 7. paged-only: AUTOMATIC prefix sharing — two prefix-less
+        # requests with a common long prompt prefix share pages through
+        # the block radix tree (visible in /stats), tokens exact
+        if paged:
+            common = rng.integers(1, 1024, size=192).tolist()
+            a = post(port, {"prompt": common + [5], "max_new_tokens": 8})
+            b = post(port, {"prompt": common + [5], "max_new_tokens": 8})
+            assert a["tokens"] == b["tokens"]
+            st2 = json.loads(urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/stats", timeout=10).read())
+            assert st2.get("auto_prefix_hits", 0) >= 1, st2
+            assert st2.get("auto_prefix_hit_tokens", 0) >= 128, st2
         print("functional drive OK (greedy, sampled+logprobs, SSE, prefix, "
+              "v1-completions, v1-stream, "
               f"stats={st})")
 
         # 4. concurrent throughput: 16 clients x 64 tokens, repetitive
