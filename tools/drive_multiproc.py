@@ -17,6 +17,12 @@ collectives, 4 virtual devices per process = 8 global) and asserts:
      uids its stable hash owns on a LOCAL 4-device mesh, then ``gather``
      merges all outputs through ``process_allgather`` — the merged dict is
      identical on both ranks, covers every uid, and matches golden.
+  3. The same pool with ``engine_cls=PagedEngine`` (r4 verdict item 7):
+     per-replica PAGE pools, the same explicit prefix registered on every
+     rank, and two request waves so each rank also takes an AUTOMATIC
+     radix-tree prefix hit against blocks its own replica published.
+     Asserts cross-rank token equality, golden equality, per-rank page
+     accounting, and that every rank actually shared pages.
 
 This is the TPU-native analog, done properly, of the reference's only
 multi-process machinery — lm-eval's cross-rank object gathers
@@ -57,6 +63,35 @@ def _requests_spec():
              temperature=0.8, top_k=20, top_p=0.95,
              repetition_penalty=1.1),                                # sampled
     ]
+
+
+def _paged_spec():
+    """Paged-arm request waves. uids are chosen so the splitmix64 owner
+    hash puts one of each traffic class on EACH of the 2 ranks (181-184 ->
+    rank 0, 1-4 -> rank 1), and the shared-prompt pair within a rank spans
+    the two waves — so every rank exercises explicit prefix sharing AND an
+    automatic radix-tree hit against its own replica's published blocks."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    prefix = rng.integers(1, 128, size=16).tolist()     # 1 full block
+    common = rng.integers(1, 128, size=32).tolist()     # 2 full blocks
+    other = rng.integers(1, 128, size=12).tolist()
+    wave1 = [
+        dict(uid=181, prompt=prefix + [40, 41], max_new_tokens=8,
+             prefix="sys"),
+        dict(uid=1, prompt=prefix + [42, 43], max_new_tokens=8,
+             prefix="sys"),
+        dict(uid=182, prompt=common + [7], max_new_tokens=8),
+        dict(uid=2, prompt=common + [7], max_new_tokens=8),
+        dict(uid=184, prompt=other, max_new_tokens=8),
+        dict(uid=4, prompt=other + [9], max_new_tokens=8),
+    ]
+    wave2 = [  # same common prompt: hits the blocks wave 1 published
+        dict(uid=183, prompt=common + [7, 8], max_new_tokens=8),
+        dict(uid=3, prompt=common + [7, 8], max_new_tokens=8),
+    ]
+    return prefix, wave1, wave2
 
 
 def _tiny():
@@ -120,6 +155,39 @@ def worker(rank: int, nproc: int, port: int, out_path: str) -> None:
     merged = pool.gather()
     results["pool"] = {str(k): v for k, v in merged.items()}
     results["pool_owned"] = {str(k): bool(v) for k, v in owned.items()}
+
+    # --- 3. PAGED engine-per-replica DP pool (r4 verdict item 7) -----------
+    # Each rank runs a PagedEngine replica with its own page pool, registers
+    # the same explicit prefix locally, and serves two waves so the second
+    # wave hits blocks the first wave published in the replica's automatic
+    # radix tree. Token equality across ranks and vs golden is the hard
+    # requirement; per-rank page accounting and auto-hit evidence ride along.
+    from autosmoothquant_tpu.serve.paged import PagedEngine
+
+    prefix, wave1, wave2 = _paged_spec()
+    ppool = ShardedServingPool(L, params, cfg, max_batch=4, max_seq=64,
+                               kv_dtype=jnp.float32,
+                               compute_dtype=jnp.float32, max_new_cap=16,
+                               mesh=lmesh, seed=0, engine_cls=PagedEngine,
+                               block_size=16, num_pages=25)
+    ppool.engine.register_prefix("sys", prefix)
+    powned = {}
+    for wave in (wave1, wave2):
+        for r in wave:
+            r = dict(r)
+            uid = r.pop("uid")
+            powned[uid] = ppool.submit(uid, **r)
+        ppool.run()
+    pmerged = ppool.gather()
+    eng = ppool.engine
+    held = sum(len(p) for p in eng._row_pages)
+    pinned = int((eng._ref[1:] > 0).sum())
+    results["paged"] = {str(k): v for k, v in pmerged.items()}
+    results["paged_owned"] = {str(k): bool(v) for k, v in powned.items()}
+    results["paged_auto_hits"] = int(eng.auto_hits)
+    results["paged_auto_hit_tokens"] = int(eng.auto_hit_tokens)
+    results["paged_accounting_ok"] = bool(
+        held == 0 and eng.free_pages + pinned == eng.num_pages - 1)
 
     with open(out_path, "w", encoding="utf-8") as f:
         json.dump(results, f)
@@ -233,10 +301,46 @@ def parent(timeout: float = 600.0) -> int:
                   f"single-process golden: {golden['pool'].get(uid)} vs "
                   f"{ranks[0]['pool'].get(uid)}")
             ok = False
+    # 3. paged pool: merged dict identical on both ranks, covers every uid,
+    # all-greedy outputs match golden; each rank shared pages (explicit
+    # prefix AND >=1 automatic radix-tree hit) with clean page accounting
+    _, wave1, wave2 = _paged_spec()
+    puids = {str(r["uid"]) for r in wave1 + wave2}
+    if ranks[0]["paged"] != ranks[1]["paged"]:
+        print("[parent] FAIL: paged pool gather differs across ranks")
+        ok = False
+    if set(ranks[0]["paged"]) != puids:
+        print(f"[parent] FAIL: paged gather missing uids: "
+              f"{puids - set(ranks[0]['paged'])}")
+        ok = False
+    for uid in puids:
+        owners = [r["paged_owned"][uid] for r in ranks]
+        if sum(owners) != 1:
+            print(f"[parent] FAIL: paged uid {uid} owned by "
+                  f"{sum(owners)} ranks")
+            ok = False
+        if ranks[0]["paged"].get(uid) != golden["paged"].get(uid):
+            print(f"[parent] FAIL: paged uid {uid} differs from golden: "
+                  f"{golden['paged'].get(uid)} vs "
+                  f"{ranks[0]['paged'].get(uid)}")
+            ok = False
+    for r in ranks + [golden]:
+        who = f"rank {r['rank']}" if r["nproc"] > 1 else "golden"
+        if not r["paged_accounting_ok"]:
+            print(f"[parent] FAIL: paged page accounting broken on {who}")
+            ok = False
+        if r["paged_auto_hits"] < 1 or r["paged_auto_hit_tokens"] < 32:
+            print(f"[parent] FAIL: {who} saw no automatic prefix sharing "
+                  f"(hits={r['paged_auto_hits']})")
+            ok = False
     if ok:
         print("[parent] OK: 2-process jax.distributed cluster — lockstep "
               "MultiHostEngine identical across ranks; ShardedServingPool "
-              "gather merged identically on both ranks and matches golden")
+              "gather merged identically on both ranks and matches golden; "
+              "PAGED pool replicas token-equal across ranks with per-rank "
+              "page pools, explicit prefix sharing, and automatic "
+              f"radix-tree hits (rank auto_hits="
+              f"{[r['paged_auto_hits'] for r in ranks]})")
     return 0 if ok else 1
 
 
