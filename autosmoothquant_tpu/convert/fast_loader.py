@@ -108,12 +108,34 @@ def load_safetensors(path: str, nthreads: int = 8) -> Dict[str, np.ndarray]:
 
 
 def _load_safetensors_py(path: str) -> Dict[str, np.ndarray]:
-    from safetensors import safe_open
+    """Self-contained safetensors reader (mmap + frombuffer). The
+    ``safetensors`` package's numpy framework cannot represent fp8 tensors
+    (``np.float8_e4m3fn`` does not exist — fp8 checkpoints saved by this
+    framework or the reference would fail to load through it), so the
+    fallback parses the trivial format directly with ml_dtypes."""
+    import mmap
 
-    out = {}
-    with safe_open(path, framework="np") as f:
-        for key in f.keys():
-            out[key] = f.get_tensor(key)
+    out: Dict[str, np.ndarray] = {}
+    with open(path, "rb") as f:
+        mm = mmap.mmap(f.fileno(), 0, access=mmap.ACCESS_READ)
+        try:
+            (hdr_len,) = struct.unpack("<Q", mm[:8])
+            header = json.loads(mm[8:8 + hdr_len].decode("utf-8"))
+            data_off = 8 + hdr_len
+            for name, meta in header.items():
+                if name == "__metadata__":
+                    continue
+                dtype = np.dtype(_DTYPES[meta["dtype"]])
+                shape = tuple(meta["shape"])
+                begin, end = meta["data_offsets"]
+                count = (end - begin) // dtype.itemsize
+                # copy in one expression: a named frombuffer view would
+                # still hold a buffer export at mm.close() -> BufferError
+                out[name] = np.frombuffer(
+                    mm, dtype=dtype, count=count,
+                    offset=data_off + begin).reshape(shape).copy()
+        finally:
+            mm.close()
     return out
 
 
