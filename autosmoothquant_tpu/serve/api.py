@@ -41,6 +41,12 @@ generators drive the server unmodified):
                 standard choices/finish_reason/usage envelope plus a
                 non-standard "tokens" field per choice (tokenizer-free
                 deployments still get ids).
+  POST /v1/chat/completions  the Chat Completions shape: "messages"
+                (system/user/assistant) rendered through the tokenizer's
+                own chat template when it has one (HF
+                ``apply_chat_template``) or a generic role-header template
+                otherwise; same sampling/stop/stream/usage semantics, with
+                chat.completion / chat.completion.chunk envelopes.
   GET  /v1/models  -> the single served model id.
 
 Sampling requests ride the engine's per-request parameters (one compiled
@@ -442,6 +448,138 @@ def _make_handler(api: ServingAPI, model_id: str = "autosmoothquant-tpu"):
             return {"tokens": tok_strs, "token_logprobs": lps,
                     "top_logprobs": None, "text_offset": []}
 
+        def _v1_chat_prompt(self, req) -> List[int]:
+            """messages -> prompt token ids. Prefers the tokenizer's own
+            chat template (HF ``apply_chat_template``); falls back to a
+            generic role-header template otherwise."""
+            msgs = req.get("messages")
+            if not (isinstance(msgs, list) and msgs and all(
+                    isinstance(m, dict) and m.get("role") in
+                    ("system", "user", "assistant")
+                    and isinstance(m.get("content"), str) for m in msgs)):
+                raise ValueError(
+                    "messages must be a non-empty list of "
+                    "{role: system|user|assistant, content: str}")
+            if api.tokenizer is None:
+                raise ValueError("chat completions need a tokenizer; use "
+                                 "/v1/completions with token ids instead")
+            tok = api.tokenizer
+            if hasattr(tok, "apply_chat_template"):
+                try:
+                    ids = tok.apply_chat_template(
+                        msgs, add_generation_prompt=True, tokenize=True)
+                    if ids:
+                        return [int(t) for t in ids]
+                except Exception:
+                    pass  # model ships no template -> generic fallback
+            text = "".join(f"<|{m['role']}|>\n{m['content']}\n"
+                           for m in msgs) + "<|assistant|>\n"
+            ids = list(tok(text).input_ids)
+            if not ids:
+                raise ValueError("messages tokenized to zero tokens")
+            return ids
+
+        def _v1_chat(self, req):
+            import time
+            import uuid
+
+            cid = "chatcmpl-" + uuid.uuid4().hex[:24]
+            created = int(time.time())
+            base = {"id": cid, "object": "chat.completion",
+                    "created": created, "model": model_id}
+            prompt = self._v1_chat_prompt(req)
+            n = int(req.get("n", 1) or 1)
+            if not 1 <= n <= 64:
+                raise ValueError("n must be in [1, 64]")
+            want_lp = req.get("logprobs") not in (None, False)
+            stop = self._v1_stop(req)
+            max_toks = int(req.get("max_completion_tokens",
+                                   req.get("max_tokens", 16)))
+            kw = dict(max_new_tokens=max_toks,
+                      eos_token_id=req.get("eos_token_id"),
+                      temperature=float(req.get("temperature", 1.0)),
+                      top_k=int(req.get("top_k", 0)),
+                      top_p=float(req.get("top_p", 1.0)),
+                      repetition_penalty=float(
+                          req.get("repetition_penalty", 1.0)),
+                      stop=stop, want_logprobs=want_lp)
+            deadline = time.time() + float(req.get("timeout", 600.0))
+            if bool(req.get("stream", False)):
+                if n != 1:
+                    raise ValueError("stream=true supports n=1")
+                self._v1_chat_stream(base, prompt, kw, deadline, max_toks)
+                return
+            subs = [api.submit_nowait(list(prompt), **kw) for _ in range(n)]
+            choices, completion_tokens = [], 0
+            try:
+                for i, (uid, ev) in enumerate(subs):
+                    if not ev.wait(max(deadline - time.time(), 0.001)):
+                        raise TimeoutError(f"completion {i} timed out")
+                    res = api.result(uid, want_lp)
+                    toks, lps = res if want_lp else (res, None)
+                    completion_tokens += len(toks)
+                    choices.append({
+                        "index": i,
+                        "message": {"role": "assistant",
+                                    "content": self._v1_decode(toks)},
+                        "tokens": toks,
+                        "logprobs": (self._v1_logprobs(toks, lps)
+                                     if want_lp else None),
+                        "finish_reason": ("length" if len(toks) >= max_toks
+                                          else "stop")})
+            finally:
+                for uid, _ in subs:
+                    api.deregister(uid)
+            self._send(200, {
+                **base, "choices": choices,
+                "usage": {"prompt_tokens": len(prompt) * n,
+                          "completion_tokens": completion_tokens,
+                          "total_tokens": len(prompt) * n
+                          + completion_tokens}})
+
+        def _v1_chat_stream(self, base, prompt, kw, deadline, max_toks):
+            """chat.completion.chunk stream: role-opening delta, content
+            deltas, a finish_reason chunk, then `data: [DONE]`."""
+            base = {**base, "object": "chat.completion.chunk"}
+            uid, ev = api.submit_nowait(list(prompt), **kw)
+            holdback = max((len(s) for s in (kw["stop"] or [])), default=0)
+            if kw["eos_token_id"] is not None:
+                holdback = max(holdback, 1)
+            self.send_response(200)
+            self.send_header("Content-Type", "text/event-stream")
+            self.send_header("Cache-Control", "no-cache")
+            self.end_headers()
+
+            def chunk(delta, finish):
+                c = {"index": 0, "delta": delta, "finish_reason": finish}
+                self.wfile.write(("data: " + json.dumps(
+                    {**base, "choices": [c]}) + "\n\n").encode())
+                self.wfile.flush()
+
+            sent = 0
+            try:
+                chunk({"role": "assistant", "content": ""}, None)
+                for kind, val in _follow(api, uid, ev, holdback, deadline,
+                                         False):
+                    if kind == "chunk":
+                        sent += len(val)
+                        chunk({"content": self._v1_decode(val)}, None)
+                    elif kind == "error":
+                        self.wfile.write(("data: " + json.dumps(
+                            {**base, "error": val}) + "\n\n").encode())
+                        return
+                    else:
+                        toks, _ = val
+                        tail = toks[sent:]
+                        if tail:
+                            chunk({"content": self._v1_decode(tail)}, None)
+                        chunk({}, "length" if len(toks) >= max_toks
+                              else "stop")
+                self.wfile.write(b"data: [DONE]\n\n")
+                self.wfile.flush()
+            finally:
+                api.deregister(uid)
+
         def _v1_completions(self, req):
             import time
             import uuid
@@ -570,11 +708,14 @@ def _make_handler(api: ServingAPI, model_id: str = "autosmoothquant-tpu"):
                 self._send(404, {"error": "not found"})
 
         def do_POST(self):
-            if self.path == "/v1/completions":
+            if self.path in ("/v1/completions", "/v1/chat/completions"):
                 try:
                     n = int(self.headers.get("Content-Length", 0))
                     req = json.loads(self.rfile.read(n) or b"{}")
-                    self._v1_completions(req)
+                    if self.path.endswith("/chat/completions"):
+                        self._v1_chat(req)
+                    else:
+                        self._v1_completions(req)
                 except (ValueError, json.JSONDecodeError) as e:
                     # OpenAI error envelope so standard clients parse it
                     self._send(400, {"error": {

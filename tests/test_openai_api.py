@@ -194,20 +194,23 @@ def test_error_envelope(server):
     assert status == 400
 
 
-def test_tokenized_text_path(server):
-    """With a toy tokenizer, text prompts/stops and echo round-trip."""
-    class ToyTok:
-        class _Enc(list):
-            @property
-            def input_ids(self):
-                return list(self)
+class ToyTok:
+    """Char-level round-trip tokenizer (printable ASCII -> ids 2..97)."""
 
-        def __call__(self, text):
-            return self._Enc((ord(ch) - 32) % 96 + 2 for ch in text)
+    class _Enc(list):
+        @property
+        def input_ids(self):
+            return list(self)
 
-        def decode(self, ids):
-            return "".join(chr((i - 2) % 96 + 32) for i in ids)
+    def __call__(self, text):
+        return self._Enc((ord(ch) - 32) % 96 + 2 for ch in text)
 
+    def decode(self, ids):
+        return "".join(chr((i - 2) % 96 + 32) for i in ids)
+
+
+@pytest.fixture(scope="module")
+def tok_server():
     from autosmoothquant_tpu.models import llama as L
     cfg = L.LlamaConfig(vocab_size=128, hidden_size=64,
                         intermediate_size=128, num_hidden_layers=2,
@@ -219,15 +222,105 @@ def test_tokenized_text_path(server):
     api, httpd = serve(eng, port=0, tokenizer=ToyTok())
     t = threading.Thread(target=httpd.serve_forever, daemon=True)
     t.start()
+    yield api, httpd.server_address[1]
+    httpd.shutdown()
+    api.stop()
+
+
+def test_tokenized_text_path(tok_server):
+    """With a toy tokenizer, text prompts/stops and echo round-trip."""
+    _, port = tok_server
+    status, out = _post(port, "/v1/completions",
+                        {"prompt": "hello", "max_tokens": 4,
+                         "temperature": 0.0, "echo": True})
+    assert status == 200
+    c = out["choices"][0]
+    assert c["text"].startswith("hello")
+    assert len(c["tokens"]) == 4
+
+
+def test_chat_completion(tok_server):
+    """/v1/chat/completions: generic role-header template (ToyTok has no
+    apply_chat_template), chat.completion envelope, assistant message."""
+    _, port = tok_server
+    msgs = [{"role": "system", "content": "be brief"},
+            {"role": "user", "content": "hi"}]
+    status, out = _post(port, "/v1/chat/completions",
+                        {"messages": msgs, "max_tokens": 5,
+                         "temperature": 0.0})
+    assert status == 200
+    assert out["object"] == "chat.completion"
+    assert out["id"].startswith("chatcmpl-")
+    (c,) = out["choices"]
+    assert c["message"]["role"] == "assistant"
+    assert isinstance(c["message"]["content"], str)
+    assert len(c["tokens"]) == 5 and c["finish_reason"] == "length"
+    assert out["usage"]["completion_tokens"] == 5
+    # deterministic: same messages, same greedy content
+    status, out2 = _post(port, "/v1/chat/completions",
+                         {"messages": msgs, "max_tokens": 5,
+                          "temperature": 0.0})
+    assert out2["choices"][0]["tokens"] == c["tokens"]
+
+
+def test_chat_uses_tokenizer_template_when_present(tok_server):
+    """A tokenizer exposing apply_chat_template takes precedence over the
+    generic role-header fallback."""
+    api, port = tok_server
+    calls = []
+
+    class TemplTok(ToyTok):
+        def apply_chat_template(self, messages, add_generation_prompt=True,
+                                tokenize=True):
+            calls.append(list(messages))
+            return list(self("T:" + messages[-1]["content"]))
+
+    old = api.tokenizer
+    api.tokenizer = TemplTok()
     try:
-        port = httpd.server_address[1]
-        status, out = _post(port, "/v1/completions",
-                            {"prompt": "hello", "max_tokens": 4,
-                             "temperature": 0.0, "echo": True})
-        assert status == 200
-        c = out["choices"][0]
-        assert c["text"].startswith("hello")
-        assert len(c["tokens"]) == 4
+        status, out = _post(port, "/v1/chat/completions",
+                            {"messages": [{"role": "user",
+                                           "content": "yo"}],
+                             "max_tokens": 3, "temperature": 0.0})
+        assert status == 200 and calls  # template path was used
     finally:
-        httpd.shutdown()
-        api.stop()
+        api.tokenizer = old
+
+
+def test_chat_streaming(tok_server):
+    _, port = tok_server
+    msgs = [{"role": "user", "content": "stream please"}]
+    status, want = _post(port, "/v1/chat/completions",
+                         {"messages": msgs, "max_tokens": 6,
+                          "temperature": 0.0})
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/v1/chat/completions",
+        data=json.dumps({"messages": msgs, "max_tokens": 6,
+                         "temperature": 0.0, "stream": True}).encode(),
+        headers={"Content-Type": "application/json"})
+    events = []
+    with urllib.request.urlopen(req, timeout=120) as r:
+        for raw in r:
+            line = raw.decode().strip()
+            if line.startswith("data: "):
+                events.append(line[len("data: "):])
+    assert events[-1] == "[DONE]"
+    chunks = [json.loads(e) for e in events[:-1]]
+    assert all(c["object"] == "chat.completion.chunk" for c in chunks)
+    assert chunks[0]["choices"][0]["delta"].get("role") == "assistant"
+    text = "".join(c["choices"][0]["delta"].get("content", "")
+                   for c in chunks)
+    assert text == want["choices"][0]["message"]["content"]
+    assert chunks[-1]["choices"][0]["finish_reason"] in ("length", "stop")
+
+
+def test_chat_errors(server):
+    """Chat needs a tokenizer (the plain module server has none) and
+    validates the messages shape."""
+    _, port = server
+    status, out = _post(port, "/v1/chat/completions",
+                        {"messages": [{"role": "user", "content": "x"}]})
+    assert status == 400
+    assert out["error"]["type"] == "invalid_request_error"
+    status, out = _post(port, "/v1/chat/completions", {"messages": []})
+    assert status == 400
