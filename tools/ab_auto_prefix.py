@@ -1,0 +1,89 @@
+"""On-chip A/B: automatic prefix sharing vs cold prefill (PagedEngine).
+
+Workload: N requests whose prompts share a 960-token prefix (15 full
+64-token blocks) with distinct 8-token tails — the system-prompt serving
+shape, with NO register_prefix call. Arm A (auto_prefix=True) prefills the
+full prompt once, publishes its blocks, and admits every later request
+with an 8..16-token suffix chunk; arm B (auto_prefix=False) pays the full
+~1k-token prefill per request. Reported metric = median wall-clock to
+complete a warm request (submit -> run, max_new=4), i.e. TTFT-dominated.
+
+Run: python tools/ab_auto_prefix.py   (real TPU; ~2 min incl. compiles)
+"""
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from autosmoothquant_tpu.models import llama as L
+    from autosmoothquant_tpu.serve.paged import PagedEngine
+
+    preset = os.environ.get("ASQ_AB_PRESET", "")
+    if preset:
+        # big shapes via bench.py's builders (bf16 drawn natively — f32
+        # intermediates would blow HBM at 7B); unfused so the engine's own
+        # projection handling applies
+        os.environ["ASQ_BENCH_FUSE"] = "0"
+        import bench
+
+        cfg = bench.get_cfg(preset)
+        params = bench.build_params(cfg, "bf16")
+        max_batch = 1
+    else:
+        cfg = L.LlamaConfig(vocab_size=1024, hidden_size=256,
+                            intermediate_size=512, num_hidden_layers=4,
+                            num_attention_heads=8, num_key_value_heads=4,
+                            max_position_embeddings=2048)
+        params = L.init_params(cfg, jax.random.PRNGKey(0))
+        max_batch = 4
+    rng = np.random.default_rng(0)
+    shared = rng.integers(1, cfg.vocab_size, size=960).tolist()
+    n_warm = 6
+
+    def run_arm(auto: bool):
+        eng = PagedEngine(L, params, cfg, None, max_batch=max_batch,
+                          max_seq=1024,
+                          kv_dtype=jnp.bfloat16, compute_dtype=jnp.bfloat16,
+                          block_size=64, auto_prefix=auto)
+        # cold request: compiles the 1024-bucket prefill; under auto it also
+        # publishes the 15 shared blocks
+        eng.submit("cold", shared + [900] * 8, max_new_tokens=4)
+        eng.run()
+        # one throwaway warm request to compile the suffix-chunk path
+        eng.submit("compile", shared + [901] * 8, max_new_tokens=4)
+        eng.run()
+        times = []
+        for i in range(n_warm):
+            tail = rng.integers(1, cfg.vocab_size, size=8).tolist()
+            t0 = time.perf_counter()
+            r = eng.submit(f"w{i}", shared + tail, max_new_tokens=4)
+            eng.run()
+            times.append(time.perf_counter() - t0)
+            assert r.done and len(r.output) == 4
+        return statistics.median(times), eng
+
+    t_auto, eng_a = run_arm(True)
+    t_cold, _ = run_arm(False)
+    assert eng_a.auto_hits >= n_warm, eng_a.auto_hits
+    print(json.dumps({
+        "metric": "auto_prefix_warm_request_ms",
+        "auto_ms": round(t_auto * 1e3, 1),
+        "cold_ms": round(t_cold * 1e3, 1),
+        "speedup": round(t_cold / t_auto, 2),
+        "shared_tokens": 960, "suffix_tokens": 8,
+        "auto_hit_tokens": int(eng_a.auto_hit_tokens)}))
+
+
+if __name__ == "__main__":
+    main()
