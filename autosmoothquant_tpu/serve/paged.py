@@ -524,6 +524,12 @@ class PagedEngine(ContinuousEngine):
         self.pool = self._scatter_temp(bucket, len(pages))(
             self.pool, temp, jnp.asarray(pages, jnp.int32))
         self.drop_prefix(prefix_id)  # re-registration frees the old pages
+        if self.draft is not None:
+            # draft-pool mirror (contiguous bucket cache, inserted per
+            # admission like the contiguous engine's); registered AFTER the
+            # drop above or re-registration would discard it
+            self._dprefixes[prefix_id] = self._dprefill(bucket)(
+                self.draft.params, jnp.asarray(ids))
         self._prefixes[prefix_id] = {
             "pages": pages[:n_full],
             "tail": pages[n_full] if tail else None,
@@ -534,6 +540,7 @@ class PagedEngine(ContinuousEngine):
     def drop_prefix(self, prefix_id) -> None:
         entry = self._prefixes.pop(prefix_id, None)
         self._prefix_lru.pop(prefix_id, None)
+        self._dprefixes.pop(prefix_id, None)
         if entry is not None:
             pages = list(entry["pages"])
             if entry["tail"] is not None:

@@ -244,6 +244,27 @@ def test_concurrent_batch_shares_after_first_completes(setup):
     assert _accounting_ok(pe)
 
 
+def test_cancel_during_auto_admission_releases_shares(setup):
+    """Cancelling a request mid suffix-prefill (auto-matched, sitting in
+    _admitting) drops its refs on the shared tree pages and frees its
+    private pages — no leak, tree intact for the next request."""
+    cfg, params = setup
+    pe = _paged(cfg, params)
+    pe.submit("pub", SHARED + [99], max_new_tokens=4)
+    pe.run()
+    tree_pages = {n["page"] for n in pe._auto_nodes.values()}
+    pe.submit("doomed", SHARED + [98, 97], max_new_tokens=4)
+    pe._admit()   # auto-matched -> _admitting, shares tree pages
+    assert all(pe._ref[p] == 2 for p in tree_pages)
+    assert pe.cancel("doomed")
+    assert all(pe._ref[p] == 1 for p in tree_pages)
+    assert _accounting_ok(pe)
+    # tree still serves the next request
+    pe.submit("next", SHARED + [96], max_new_tokens=4)
+    out = pe.run()
+    assert len(out["next"]) == 4 and pe.auto_hits == 2
+
+
 def test_clear_auto_prefixes(setup):
     cfg, params = setup
     pe = _paged(cfg, params)

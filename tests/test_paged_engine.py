@@ -318,6 +318,7 @@ def test_paged_draft_model_greedy_exact(setup):
         outs[use_draft] = got
         if use_draft:
             assert pe.auto_hits >= 1      # the draft path took a tree hit
+            assert "sys" in pe._dprefixes  # draft prefix mirror registered
     assert outs[True] == outs[False]
 
 
