@@ -362,6 +362,7 @@ def _make_handler(api: ServingAPI, model_id: str = "autosmoothquant-tpu"):
             self.send_header("Content-Type", "text/event-stream")
             self.send_header("Cache-Control", "no-cache")
             self.end_headers()
+            self._streamed = True
             deadline = time.time() + float(req.get("timeout", 600.0))
             try:
                 for kind, val in _follow(api, uid, ev, holdback, deadline,
@@ -428,6 +429,8 @@ def _make_handler(api: ServingAPI, model_id: str = "autosmoothquant-tpu"):
                         raise ValueError("text stop needs a tokenizer; "
                                          "send token-id lists")
                     ids = list(api.tokenizer(item).input_ids)
+                elif isinstance(item, int) and not isinstance(item, bool):
+                    ids = [int(item)]  # bare stop token id
                 elif isinstance(item, list) and item and all(
                         isinstance(t, int) for t in item):
                     ids = [int(t) for t in item]
@@ -532,15 +535,17 @@ def _make_handler(api: ServingAPI, model_id: str = "autosmoothquant-tpu"):
                     api.deregister(uid)
             self._send(200, {
                 **base, "choices": choices,
-                "usage": {"prompt_tokens": len(prompt) * n,
+                "usage": {"prompt_tokens": len(prompt),
                           "completion_tokens": completion_tokens,
-                          "total_tokens": len(prompt) * n
+                          "total_tokens": len(prompt)
                           + completion_tokens}})
 
         def _v1_chat_stream(self, base, prompt, kw, deadline, max_toks):
             """chat.completion.chunk stream: role-opening delta, content
-            deltas, a finish_reason chunk, then `data: [DONE]`."""
+            deltas, a finish_reason chunk (carrying the full completion's
+            logprobs when requested), then `data: [DONE]`."""
             base = {**base, "object": "chat.completion.chunk"}
+            want_lp = kw["want_logprobs"]
             uid, ev = api.submit_nowait(list(prompt), **kw)
             holdback = max((len(s) for s in (kw["stop"] or [])), default=0)
             if kw["eos_token_id"] is not None:
@@ -549,9 +554,11 @@ def _make_handler(api: ServingAPI, model_id: str = "autosmoothquant-tpu"):
             self.send_header("Content-Type", "text/event-stream")
             self.send_header("Cache-Control", "no-cache")
             self.end_headers()
+            self._streamed = True
 
-            def chunk(delta, finish):
-                c = {"index": 0, "delta": delta, "finish_reason": finish}
+            def chunk(delta, finish, logprobs=None):
+                c = {"index": 0, "delta": delta, "logprobs": logprobs,
+                     "finish_reason": finish}
                 self.wfile.write(("data: " + json.dumps(
                     {**base, "choices": [c]}) + "\n\n").encode())
                 self.wfile.flush()
@@ -560,7 +567,7 @@ def _make_handler(api: ServingAPI, model_id: str = "autosmoothquant-tpu"):
             try:
                 chunk({"role": "assistant", "content": ""}, None)
                 for kind, val in _follow(api, uid, ev, holdback, deadline,
-                                         False):
+                                         want_lp):
                     if kind == "chunk":
                         sent += len(val)
                         chunk({"content": self._v1_decode(val)}, None)
@@ -569,12 +576,14 @@ def _make_handler(api: ServingAPI, model_id: str = "autosmoothquant-tpu"):
                             {**base, "error": val}) + "\n\n").encode())
                         return
                     else:
-                        toks, _ = val
+                        toks, lps = val
                         tail = toks[sent:]
                         if tail:
                             chunk({"content": self._v1_decode(tail)}, None)
                         chunk({}, "length" if len(toks) >= max_toks
-                              else "stop")
+                              else "stop",
+                              (self._v1_logprobs(toks, lps)
+                               if want_lp and lps is not None else None))
                 self.wfile.write(b"data: [DONE]\n\n")
                 self.wfile.flush()
             finally:
@@ -638,7 +647,9 @@ def _make_handler(api: ServingAPI, model_id: str = "autosmoothquant-tpu"):
             finally:
                 for uid, _ in subs:
                     api.deregister(uid)
-            prompt_tokens = sum(len(p) for p in prompts) * n
+            # OpenAI counts prompt tokens once per request, NOT once per
+            # sampled choice
+            prompt_tokens = sum(len(p) for p in prompts)
             self._send(200, {
                 **base, "choices": choices,
                 "usage": {"prompt_tokens": prompt_tokens,
@@ -657,6 +668,7 @@ def _make_handler(api: ServingAPI, model_id: str = "autosmoothquant-tpu"):
             self.send_header("Content-Type", "text/event-stream")
             self.send_header("Cache-Control", "no-cache")
             self.end_headers()
+            self._streamed = True
 
             def chunk(text, finish, toks, lps=None):
                 c = {"index": 0, "text": text, "tokens": toks,
@@ -681,9 +693,11 @@ def _make_handler(api: ServingAPI, model_id: str = "autosmoothquant-tpu"):
                     else:
                         toks, lps = val
                         tail = toks[sent:]
+                        # logprobs must stay aligned with the chunk's own
+                        # tokens — the tail slice, not the full request
                         chunk(self._v1_decode(tail),
                               "length" if len(toks) >= max_toks else "stop",
-                              tail, lps)
+                              tail, lps[sent:] if lps else lps)
                 self.wfile.write(b"data: [DONE]\n\n")
                 self.wfile.flush()
             finally:
@@ -708,6 +722,11 @@ def _make_handler(api: ServingAPI, model_id: str = "autosmoothquant-tpu"):
                 self._send(404, {"error": "not found"})
 
         def do_POST(self):
+            # once a streaming handler has sent its status line + SSE
+            # headers, error reporting must NOT emit a second HTTP status
+            # into the same byte stream (client-disconnect BrokenPipeError
+            # lands here too — swallow it, the connection is gone)
+            self._streamed = False
             if self.path in ("/v1/completions", "/v1/chat/completions"):
                 try:
                     n = int(self.headers.get("Content-Length", 0))
@@ -717,11 +736,15 @@ def _make_handler(api: ServingAPI, model_id: str = "autosmoothquant-tpu"):
                     else:
                         self._v1_completions(req)
                 except (ValueError, json.JSONDecodeError) as e:
+                    if self._streamed:
+                        return
                     # OpenAI error envelope so standard clients parse it
                     self._send(400, {"error": {
                         "message": str(e), "type": "invalid_request_error",
                         "param": None, "code": None}})
                 except Exception as e:
+                    if self._streamed:
+                        return
                     self._send(500, {"error": {
                         "message": f"{type(e).__name__}: {e}",
                         "type": "server_error", "param": None, "code": None}})
@@ -809,6 +832,8 @@ def _make_handler(api: ServingAPI, model_id: str = "autosmoothquant-tpu"):
                     payload["logprobs"] = lps
                 self._send(200, payload)
             except Exception as e:  # surface as a JSON error, keep serving
+                if self._streamed:  # SSE already underway: no 2nd status
+                    return
                 self._send(400, {"error": f"{type(e).__name__}: {e}"})
 
     return Handler

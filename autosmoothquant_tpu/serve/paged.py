@@ -289,6 +289,14 @@ class PagedEngine(ContinuousEngine):
                 ids[0, :remaining] = prompt[pos:]
             self.pool, last_logits = self._chunk_prefill(chunk)(
                 self.params, self.pool, jnp.asarray(ids), row, pos, valid)
+            if self.draft is not None:
+                # mirror the suffix into the draft's contiguous pool (its
+                # padded tail beyond the prompt is overwritten by rollout
+                # writes) — without this the draft proposes from zero K/V
+                # on exactly the shared-prefix traffic speculation targets
+                self.dpool = self._dchunk_prefill(chunk)(
+                    self.draft.params, self.dpool, jnp.asarray(ids), row,
+                    pos)
             self.prefill_tokens_processed += valid
             st["pos"] = pos + valid
             if st["pos"] >= n:

@@ -98,7 +98,8 @@ def test_batched_prompts_and_n_samples(server):
     toks = [c["tokens"] for c in out["choices"]]
     assert toks[0] == toks[1] and toks[2] == toks[3]  # greedy n=2 agrees
     assert toks[0] != toks[2]                          # different prompts
-    assert out["usage"]["prompt_tokens"] == 2 * (len(PROMPT) + len(p2))
+    # OpenAI counts prompt tokens once per request, not per sampled choice
+    assert out["usage"]["prompt_tokens"] == len(PROMPT) + len(p2)
     assert out["usage"]["completion_tokens"] == 24
 
 
@@ -179,6 +180,54 @@ def test_streaming_chunks_prefix_of_done(server):
     finishes = [c["choices"][0]["finish_reason"] for c in chunks]
     assert finishes[-1] == "length"
     assert all(f is None for f in finishes[:-1])
+
+
+def test_bare_int_stop(server):
+    """A single bare stop token id (OpenAI allows a scalar stop)."""
+    _, port = server
+    status, free = _post(port, "/v1/completions",
+                         {"prompt": PROMPT, "max_tokens": 8,
+                          "temperature": 0.0})
+    stop_at = free["choices"][0]["tokens"][2]
+    status, out = _post(port, "/v1/completions",
+                        {"prompt": PROMPT, "max_tokens": 8,
+                         "temperature": 0.0, "stop": stop_at})
+    assert status == 200
+    assert out["choices"][0]["finish_reason"] == "stop"
+    assert stop_at not in out["choices"][0]["tokens"]
+
+
+def test_streamed_logprobs_stay_aligned(server):
+    """stream+logprobs+stop: every chunk's logprobs tokens/token_logprobs
+    have EQUAL length (the finish chunk must slice lps to its tail, not
+    attach the whole request's list)."""
+    _, port = server
+    status, free = _post(port, "/v1/completions",
+                         {"prompt": PROMPT, "max_tokens": 8,
+                          "temperature": 0.0})
+    stop_at = free["choices"][0]["tokens"][5]  # stops late: chunks stream
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/v1/completions",
+        data=json.dumps({"prompt": PROMPT, "max_tokens": 8,
+                         "temperature": 0.0, "logprobs": 1,
+                         "stop": [[stop_at]], "stream": True}).encode(),
+        headers={"Content-Type": "application/json"})
+    chunks = []
+    with urllib.request.urlopen(req, timeout=120) as r:
+        for raw in r:
+            line = raw.decode().strip()
+            if line.startswith("data: ") and line != "data: [DONE]":
+                chunks.append(json.loads(line[len("data: "):]))
+    saw_lp = False
+    for c in chunks:
+        ch = c["choices"][0]
+        if ch["logprobs"] is not None:
+            saw_lp = True
+            assert (len(ch["logprobs"]["tokens"])
+                    == len(ch["logprobs"]["token_logprobs"]))
+            assert len(ch["logprobs"]["tokens"]) == len(ch["tokens"])
+    assert chunks[-1]["choices"][0]["finish_reason"] == "stop"
+    assert saw_lp
 
 
 def test_error_envelope(server):

@@ -322,6 +322,30 @@ def test_paged_draft_model_greedy_exact(setup):
     assert outs[True] == outs[False]
 
 
+def test_paged_draft_suffix_mirror_keeps_acceptance(setup):
+    """Regression (r5 review): an auto-matched admission's SUFFIX must be
+    mirrored into the draft pool by _advance_prefills. With the draft being
+    the target itself, greedy drafts match greedy decoding exactly — but
+    only if the draft's K/V agrees with the target's for the whole prompt.
+    A missing suffix mirror leaves the draft proposing from zero K/V and
+    acceptance collapses (outputs stay exact either way, so only the
+    acceptance EMA can catch it)."""
+    from autosmoothquant_tpu.serve.engine import DraftModel
+
+    cfg, params = setup
+    d = DraftModel(model=L, params=params, cfg=cfg)
+    shared = list(range(1, 49))                    # 3 full blocks
+    pe = _paged(cfg, params, speculative_gamma=3, draft=d,
+                speculative_adaptive=False)
+    pe.submit("pub", shared + [60] * 12, max_new_tokens=16)
+    pe.run()
+    # auto-matched: 48 shared tokens + a 12-token suffix through chunks
+    pe.submit("hit", shared + [61] * 12, max_new_tokens=16)
+    pe.run()
+    assert pe.auto_hits == 1
+    assert pe._spec_acc_ema > 0.9, pe._spec_acc_ema
+
+
 def test_prefix_lru_eviction_at_cap(setup):
     """At max_prefixes a new registration evicts the least-recently-USED
     prefix (r3 verdict item 6) instead of raising; an LRU touch comes from
