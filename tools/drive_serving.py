@@ -182,6 +182,20 @@ def main():
         models = json.loads(urllib.request.urlopen(
             f"http://127.0.0.1:{port}/v1/models", timeout=10).read())
         assert models["data"][0]["id"]
+        # chat endpoint needs a tokenizer -> expect the OpenAI error
+        # envelope here (this drive serves token ids only)
+        chat_req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/v1/chat/completions",
+            data=json.dumps({"messages": [
+                {"role": "user", "content": "hi"}]}).encode(),
+            method="POST", headers={"Content-Type": "application/json"})
+        try:
+            urllib.request.urlopen(chat_req, timeout=30)
+            raise AssertionError("chat without tokenizer should 400")
+        except urllib.error.HTTPError as e:
+            body = json.loads(e.read())
+            assert e.code == 400
+            assert body["error"]["type"] == "invalid_request_error", body
         # 7. paged-only: AUTOMATIC prefix sharing — two prefix-less
         # requests with a common long prompt prefix share pages through
         # the block radix tree (visible in /stats), tokens exact
