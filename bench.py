@@ -462,6 +462,57 @@ def churn_tps(L, cfg, qcfg, params, *, slots=8, n_requests=32,
     return churn, static
 
 
+def autoprefix_tps(L, cfg, qcfg, params, *, slots=8, n_requests=32,
+                   shared_len=960, tail_len=8, max_new=32, s_max=1024,
+                   seed=0):
+    """Aggregate serving throughput on SYSTEM-PROMPT traffic through the
+    paged engine: every request = one shared 960-token prefix + a distinct
+    8-token tail, no register_prefix call. The auto arm's block radix tree
+    turns every admission after the first into a suffix-only prefill; the
+    cold arm re-prefills ~1k tokens per request. Returns
+    (auto_tps, cold_tps, prefill_tokens_auto, prefill_tokens_cold)."""
+    import time as _time
+
+    import jax.numpy as jnp
+
+    from autosmoothquant_tpu.serve.paged import PagedEngine
+
+    rng = np.random.default_rng(seed)
+    shared = rng.integers(1, cfg.vocab_size, size=shared_len).tolist()
+    tails = [rng.integers(1, cfg.vocab_size, size=tail_len).tolist()
+             for _ in range(n_requests)]
+
+    def arm(auto: bool):
+        eng = PagedEngine(L, cfg=cfg, params=params, qcfg=qcfg,
+                          max_batch=slots, max_seq=s_max,
+                          kv_dtype=jnp.bfloat16,
+                          compute_dtype=jnp.bfloat16, steps_per_sync=8,
+                          block_size=64, auto_prefix=auto)
+        # first warm request publishes the shared blocks (auto) and
+        # compiles the full-prefill path; the second admits THROUGH the
+        # tree and compiles the suffix-chunk path — without it the first
+        # timed request pays that compile (measured: it flipped the whole
+        # A/B to 0.71x)
+        eng.submit("warm", shared + [1] * tail_len, max_new_tokens=2)
+        eng.run()
+        eng.submit("warm2", shared + [2] * tail_len, max_new_tokens=2)
+        eng.run()
+        pre0 = eng.prefill_tokens_processed
+        t0 = _time.perf_counter()
+        reqs = [eng.submit(i, shared + t, max_new_tokens=max_new)
+                for i, t in enumerate(tails)]
+        eng.run()
+        wall = _time.perf_counter() - t0
+        toks = sum(len(r.output) for r in reqs)
+        if auto:
+            assert eng.auto_hits >= n_requests, eng.auto_hits
+        return toks / wall, eng.prefill_tokens_processed - pre0
+
+    auto_tps, pre_auto = arm(True)
+    cold_tps, pre_cold = arm(False)
+    return auto_tps, cold_tps, pre_auto, pre_cold
+
+
 def main():
     _enable_compile_cache()
     if os.environ.get("ASQ_BENCH_MODE") == "kv":
@@ -1048,6 +1099,25 @@ def main():
             "contig_int8_tok_per_s": round(contig_i8, 2),
             "contig_bf16_tok_per_s": round(contig_bf, 2),
             "paged_vs_contig_int8": round(paged_i8 / contig_i8, 4),
+        }))
+        return
+    if os.environ.get("ASQ_BENCH_MODE") == "autoprefix":
+        from autosmoothquant_tpu.models import llama as L
+        from autosmoothquant_tpu.quant.config import QuantConfig
+
+        preset = os.environ.get("ASQ_BENCH_PRESET", "tinyllama")
+        cfg = get_cfg(preset)
+        qcfg = QuantConfig(type="int8")
+        params = build_params(cfg, "int8")
+        auto, cold, pre_auto, pre_cold = autoprefix_tps(L, cfg, qcfg,
+                                                        params)
+        print(json.dumps({
+            "metric": f"autoprefix_serving_tok_per_s_{preset}",
+            "value": round(auto, 2), "unit": "tok/s",
+            "vs_baseline": round(auto / cold, 4),
+            "cold_tok_per_s": round(cold, 2),
+            "prefill_tokens_auto": pre_auto,
+            "prefill_tokens_cold": pre_cold,
         }))
         return
     if os.environ.get("ASQ_BENCH_MODE") == "churn":

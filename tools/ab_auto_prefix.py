@@ -31,15 +31,19 @@ def main():
 
     preset = os.environ.get("ASQ_AB_PRESET", "")
     kv_dtype = jnp.bfloat16
+    qcfg = None
     if preset:
-        # big shapes via bench.py's builders (bf16 drawn natively — f32
-        # intermediates would blow HBM at 7B); unfused so the engine's own
-        # projection handling applies
+        # big shapes via bench.py's builders, in W8A8 int8 — the
+        # production serving precision, and 7B bf16 weights + pool +
+        # prefill transients exceed one chip's HBM anyway; unfused so the
+        # engine's own projection handling applies
         os.environ["ASQ_BENCH_FUSE"] = "0"
         import bench
+        from autosmoothquant_tpu.quant.config import QuantConfig
 
         cfg = bench.get_cfg(preset)
-        params = bench.build_params(cfg, "bf16")
+        params = bench.build_params(cfg, "int8")
+        qcfg = QuantConfig(type="int8")
         max_batch = 1
         # the pool must hold the 15 shared blocks in the tree PLUS a full
         # row (16 blocks) or the cap silently truncates sharing (measured:
@@ -62,7 +66,7 @@ def main():
     max_new = 2  # TTFT-focused: decode dispatches would swamp the signal
 
     def run_arm(auto: bool):
-        eng = PagedEngine(L, params, cfg, None, max_batch=max_batch,
+        eng = PagedEngine(L, params, cfg, qcfg, max_batch=max_batch,
                           max_seq=1024, kv_dtype=kv_dtype,
                           compute_dtype=jnp.bfloat16,
                           block_size=64, num_pages=num_pages,
