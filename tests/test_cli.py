@@ -200,7 +200,8 @@ def test_serve_cli_paged(hf_dir, quantized_dir):
             "--quantized-model-path", str(quantized_dir),
             "--tokenizer-path", str(hf_dir),
             "--port", "0", "--max-batch", "2", "--max-seq", "64",
-            "--prefill-chunk", "0", "--paged", "--block-size", "16"]
+            "--prefill-chunk", "0", "--paged", "--block-size", "16",
+            "--model-id", "tiny-cli-int8"]
     old = sys.argv
     sys.argv = argv
     try:
@@ -224,6 +225,23 @@ def test_serve_cli_paged(hf_dir, quantized_dir):
         out = post("/generate", {"prompt": "7 12 9 4 2", "prefix": "sys",
                                  "max_new_tokens": 4})
         assert len(out["tokens"]) == 4
+        # r5: the OpenAI facade rides the same CLI wiring — model id from
+        # --model-id, text completions, and chat via the real tokenizer
+        # (no chat template configured -> generic role-header fallback)
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/v1/models", timeout=30) as r:
+            models = json.loads(r.read())
+        assert models["data"][0]["id"] == "tiny-cli-int8"
+        v1 = post("/v1/completions", {"prompt": "7 12 9 4 2",
+                                      "max_tokens": 4, "temperature": 0.0})
+        assert v1["object"] == "text_completion"
+        assert v1["model"] == "tiny-cli-int8"
+        assert len(v1["choices"][0]["tokens"]) == 4
+        chat = post("/v1/chat/completions",
+                    {"messages": [{"role": "user", "content": "7 12"}],
+                     "max_tokens": 3, "temperature": 0.0})
+        assert chat["object"] == "chat.completion"
+        assert chat["choices"][0]["message"]["role"] == "assistant"
     finally:
         httpd.shutdown()
         api.stop()
