@@ -231,6 +231,14 @@ def main():
         for t in ths:
             t.join()
         dt = time.perf_counter() - t0
+        if any(r is None for r in results):
+            # a worker failed: dump the server's fate + output before the
+            # assert so the failure is diagnosable from the log alone
+            code = srv.poll()
+            print(f"[drive] {sum(r is None for r in results)} workers "
+                  f"failed; server poll={code}")
+            if code is not None:
+                print(srv.stdout.read()[-4000:])
         assert all(len(r["tokens"]) == n_tok for r in results)
         print(json.dumps({
             "metric": f"serve_http_tok_per_s_gamma{gamma}",
