@@ -185,8 +185,18 @@ def baichuan_params_from_state_dict(sd: Dict[str, Any], num_layers: int,
 
 def mixtral_params_from_state_dict(sd: Dict[str, Any], num_layers: int,
                                    dtype=jnp.float32,
-                                   num_experts: int = 8) -> Dict[str, Any]:
-    """Map HF Mixtral names -> stacked layout ([L, E, in, out] experts)."""
+                                   num_experts: Optional[int] = None
+                                   ) -> Dict[str, Any]:
+    """Map HF Mixtral names -> stacked layout ([L, E, in, out] experts).
+    num_experts defaults to what the checkpoint actually contains (the CLI
+    path has no HF config object in hand; a hardcoded 8 broke every
+    non-Mixtral-8x7B expert count)."""
+    if num_experts is None:
+        prefix = "model.layers.0.block_sparse_moe.experts."
+        num_experts = len({k[len(prefix):].split(".")[0]
+                           for k in sd if k.startswith(prefix)})
+        assert num_experts > 0, "no expert weights found in state dict"
+
     def cast(x):
         return x.astype(dtype)
 

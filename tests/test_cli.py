@@ -314,6 +314,135 @@ def test_opt_quantize_and_generate_cli(opt_quantized_dir, capsys):
     assert capsys.readouterr().out.strip()
 
 
+def _word_tokenizer(d):
+    from tokenizers import Tokenizer, models, pre_tokenizers
+    from transformers import PreTrainedTokenizerFast
+
+    tok = Tokenizer(models.WordLevel({str(i): i for i in range(VOCAB)},
+                                     unk_token="0"))
+    tok.pre_tokenizer = pre_tokenizers.Whitespace()
+    PreTrainedTokenizerFast(tokenizer_object=tok,
+                            unk_token="0").save_pretrained(d)
+
+
+def _calib_jsonl(d, n=16, length=64, seed=0):
+    rng = np.random.default_rng(seed)
+    with open(d / "val.jsonl", "w") as f:
+        for _ in range(n):
+            words = " ".join(str(x)
+                             for x in rng.integers(1, VOCAB, size=length))
+            f.write(json.dumps({"text": words}) + "\n")
+
+
+def _run_quantize_cli(d, out):
+    cli = _load_cli("smoothquant_model")
+    argv = ["smoothquant_model.py",
+            "--model-path", str(d),
+            "--dataset-path", str(d / "val.jsonl"),
+            "--generate-scale", "--quantize-model",
+            "--scale-output", str(out.parent / "act_scales.pkl"),
+            "--scale-input", str(out.parent / "act_scales.pkl"),
+            "--num-samples", "8", "--seq-len", "32",
+            "--model-output", str(out)]
+    old = sys.argv
+    sys.argv = argv
+    try:
+        cli.main()
+    finally:
+        sys.argv = old
+    sub = list(out.glob("*smoothquant*"))
+    return sub[0] if sub else out
+
+
+def _run_generate_cli(qdir, tok_dir, capsys):
+    cli = _load_cli("test_model")
+    argv = ["test_model.py",
+            "--quantized-model-path", str(qdir),
+            "--tokenizer-path", str(tok_dir),
+            "--prompt", "7 12 9 101 44",
+            "--max-new-tokens", "4", "--max-seq", "64"]
+    old = sys.argv
+    sys.argv = argv
+    try:
+        cli.main()
+    finally:
+        sys.argv = old
+    assert capsys.readouterr().out.strip()
+
+
+def test_mixtral_quantize_and_generate_cli(tmp_path_factory, capsys):
+    """Mixtral MoE through the real CLI surface: save_pretrained checkpoint
+    -> smoothquant_model.py (calibrate/smooth/quantize incl. per-expert
+    scales) -> test_model.py generate from the saved artifact. With Llama,
+    OPT, Qwen2 (on-chip drive, r2), int4 and this, the CLI matrix covers
+    every family the registry routes."""
+    torch = pytest.importorskip("torch")
+    from transformers import MixtralConfig, MixtralForCausalLM
+
+    d = tmp_path_factory.mktemp("hf_mixtral")
+    torch.manual_seed(0)
+    hf = MixtralForCausalLM(MixtralConfig(
+        vocab_size=VOCAB, hidden_size=64, intermediate_size=96,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        num_local_experts=4, num_experts_per_tok=2,
+        max_position_embeddings=128, tie_word_embeddings=False,
+        attn_implementation="eager")).eval().float()
+    hf.save_pretrained(d, safe_serialization=True)
+    _word_tokenizer(d)
+    _calib_jsonl(d)
+    out = tmp_path_factory.mktemp("quant_mixtral") / "model-int8"
+    qdir = _run_quantize_cli(d, out)
+    assert (qdir / "quant_config.json").exists()
+    assert json.load(open(qdir / "config.json"))["model_type"] == "mixtral"
+    _run_generate_cli(qdir, d, capsys)
+
+
+def test_baichuan_quantize_and_generate_cli(tmp_path_factory, capsys):
+    """Baichuan (ALiBi, W_pack) through the real CLI surface. transformers
+    ships no Baichuan class (upstream vendors it with trust_remote_code),
+    but the CLIs read config.json + safetensors directly — so a checkpoint
+    synthesized in the HF Baichuan layout drives the exact user flow
+    (BASELINE config 3's CLI stand-in)."""
+    torch = pytest.importorskip("torch")
+    from safetensors.torch import save_file
+
+    D, I, L_ = 64, 96, 2
+    d = tmp_path_factory.mktemp("hf_baichuan")
+    torch.manual_seed(0)
+
+    def w(*shape):
+        return torch.randn(*shape) * 0.05
+
+    sd = {"model.embed_tokens.weight": w(VOCAB, D),
+          "model.norm.weight": torch.ones(D),
+          "lm_head.weight": w(VOCAB, D)}
+    for i in range(L_):
+        b = f"model.layers.{i}"
+        sd.update({
+            f"{b}.input_layernorm.weight": torch.ones(D),
+            f"{b}.self_attn.W_pack.weight": w(3 * D, D),
+            f"{b}.self_attn.o_proj.weight": w(D, D),
+            f"{b}.post_attention_layernorm.weight": torch.ones(D),
+            f"{b}.mlp.gate_proj.weight": w(I, D),
+            f"{b}.mlp.up_proj.weight": w(I, D),
+            f"{b}.mlp.down_proj.weight": w(D, I),
+        })
+    save_file({k: v.contiguous() for k, v in sd.items()},
+              str(d / "model.safetensors"))
+    (d / "config.json").write_text(json.dumps({
+        "architectures": ["BaichuanForCausalLM"], "model_type": "baichuan",
+        "vocab_size": VOCAB, "hidden_size": D, "intermediate_size": I,
+        "num_hidden_layers": L_, "num_attention_heads": 4,
+        "model_max_length": 128, "rms_norm_eps": 1e-6}))
+    _word_tokenizer(d)
+    _calib_jsonl(d)
+    out = tmp_path_factory.mktemp("quant_baichuan") / "model-int8"
+    qdir = _run_quantize_cli(d, out)
+    assert (qdir / "quant_config.json").exists()
+    assert json.load(open(qdir / "config.json"))["model_type"] == "baichuan"
+    _run_generate_cli(qdir, d, capsys)
+
+
 def test_eval_cli_stock_task_pack(quantized_dir, tmp_path, capsys):
     """The shipped examples/tasks/ pack + custom-metrics module run through
     the eval CLI out of the box (r3 verdict item 9): MC with random
