@@ -510,7 +510,10 @@ def _make_handler(api: ServingAPI, model_id: str = "autosmoothquant-tpu"):
             if bool(req.get("stream", False)):
                 if n != 1:
                     raise ValueError("stream=true supports n=1")
-                self._v1_chat_stream(base, prompt, kw, deadline, max_toks)
+                include_usage = bool(
+                    (req.get("stream_options") or {}).get("include_usage"))
+                self._v1_chat_stream(base, prompt, kw, deadline, max_toks,
+                                     include_usage)
                 return
             subs = [api.submit_nowait(list(prompt), **kw) for _ in range(n)]
             choices, completion_tokens = [], 0
@@ -540,7 +543,8 @@ def _make_handler(api: ServingAPI, model_id: str = "autosmoothquant-tpu"):
                           "total_tokens": len(prompt)
                           + completion_tokens}})
 
-        def _v1_chat_stream(self, base, prompt, kw, deadline, max_toks):
+        def _v1_chat_stream(self, base, prompt, kw, deadline, max_toks,
+                            include_usage=False):
             """chat.completion.chunk stream: role-opening delta, content
             deltas, a finish_reason chunk (carrying the full completion's
             logprobs when requested), then `data: [DONE]`."""
@@ -584,6 +588,13 @@ def _make_handler(api: ServingAPI, model_id: str = "autosmoothquant-tpu"):
                               else "stop",
                               (self._v1_logprobs(toks, lps)
                                if want_lp and lps is not None else None))
+                        if include_usage:
+                            self.wfile.write(("data: " + json.dumps({
+                                **base, "choices": [], "usage": {
+                                    "prompt_tokens": len(prompt),
+                                    "completion_tokens": len(toks),
+                                    "total_tokens": len(prompt)
+                                    + len(toks)}}) + "\n\n").encode())
                 self.wfile.write(b"data: [DONE]\n\n")
                 self.wfile.flush()
             finally:
@@ -620,8 +631,10 @@ def _make_handler(api: ServingAPI, model_id: str = "autosmoothquant-tpu"):
                 if len(prompts) != 1 or n != 1:
                     raise ValueError(
                         "stream=true supports a single prompt with n=1")
+                include_usage = bool(
+                    (req.get("stream_options") or {}).get("include_usage"))
                 self._v1_stream(base, prompts[0], kw, deadline, want_lp,
-                                max_toks)
+                                max_toks, include_usage)
                 return
             # one engine request per (prompt, sample): they decode as one
             # continuous batch; choices index prompt-major like OpenAI
@@ -656,9 +669,11 @@ def _make_handler(api: ServingAPI, model_id: str = "autosmoothquant-tpu"):
                           "completion_tokens": completion_tokens,
                           "total_tokens": prompt_tokens + completion_tokens}})
 
-        def _v1_stream(self, base, prompt, kw, deadline, want_lp, max_toks):
+        def _v1_stream(self, base, prompt, kw, deadline, want_lp, max_toks,
+                       include_usage=False):
             """OpenAI streaming: `data: {chunk}` events whose choices carry
-            text deltas, a final chunk with finish_reason, then
+            text deltas, a final chunk with finish_reason, an optional
+            usage chunk (stream_options.include_usage), then
             `data: [DONE]`."""
             uid, ev = api.submit_nowait(list(prompt), **kw)
             holdback = max((len(s) for s in (kw["stop"] or [])), default=0)
@@ -698,6 +713,15 @@ def _make_handler(api: ServingAPI, model_id: str = "autosmoothquant-tpu"):
                         chunk(self._v1_decode(tail),
                               "length" if len(toks) >= max_toks else "stop",
                               tail, lps[sent:] if lps else lps)
+                        if include_usage:
+                            # OpenAI stream_options.include_usage: one
+                            # final chunk with empty choices + usage
+                            self.wfile.write(("data: " + json.dumps({
+                                **base, "choices": [], "usage": {
+                                    "prompt_tokens": len(prompt),
+                                    "completion_tokens": len(toks),
+                                    "total_tokens": len(prompt)
+                                    + len(toks)}}) + "\n\n").encode())
                 self.wfile.write(b"data: [DONE]\n\n")
                 self.wfile.flush()
             finally:

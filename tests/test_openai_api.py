@@ -230,6 +230,31 @@ def test_streamed_logprobs_stay_aligned(server):
     assert saw_lp
 
 
+def test_stream_options_include_usage(server):
+    """stream_options.include_usage: a final usage chunk (empty choices)
+    precedes [DONE]."""
+    _, port = server
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/v1/completions",
+        data=json.dumps({"prompt": PROMPT, "max_tokens": 5,
+                         "temperature": 0.0, "stream": True,
+                         "stream_options": {"include_usage": True}}
+                        ).encode(),
+        headers={"Content-Type": "application/json"})
+    datas = []
+    with urllib.request.urlopen(req, timeout=120) as r:
+        for raw in r:
+            line = raw.decode().strip()
+            if line.startswith("data: "):
+                datas.append(line[len("data: "):])
+    assert datas[-1] == "[DONE]"
+    usage_chunk = json.loads(datas[-2])
+    assert usage_chunk["choices"] == []
+    assert usage_chunk["usage"] == {"prompt_tokens": len(PROMPT),
+                                    "completion_tokens": 5,
+                                    "total_tokens": len(PROMPT) + 5}
+
+
 def test_error_envelope(server):
     _, port = server
     status, out = _post(port, "/v1/completions", {"prompt": []})
