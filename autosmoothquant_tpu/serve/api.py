@@ -229,24 +229,46 @@ class ServingAPI:
                 for uid in cancels:
                     inflight.pop(uid, None)
                     eng.cancel(uid)
+                cancelled = set(cancels)
                 for r in new:
                     uid = r.pop("uid")
-                    inflight[uid] = eng.submit(uid, **r)
+                    if uid in cancelled:
+                        # deregistered (client timeout) in the same drain:
+                        # submitting it anyway would decode a zombie whose
+                        # result nobody collects
+                        continue
+                    # a malformed request must fail ONLY its own client —
+                    # not hang it for its full timeout, and not take the
+                    # rest of the drained batch down with it
+                    try:
+                        inflight[uid] = eng.submit(uid, **r)
+                    except Exception as e:
+                        with self._lock:
+                            self._errors[uid] = f"{type(e).__name__}: {e}"
+                            ev = self._events.get(uid)
+                        if ev is not None:
+                            ev.set()
+                        continue
                     with self._lock:
                         self._handles[uid] = inflight[uid]
+                # rate window advances even when idle (throttled), so
+                # /stats decays to 0 instead of reporting the last burst's
+                # throughput forever
+                now = time.monotonic()
+                with self._lock:
+                    if (not self._rate_window
+                            or now - self._rate_window[-1][0] > 0.25):
+                        self._rate_window.append(
+                            (now, eng.decode_tokens_generated))
+                    while (len(self._rate_window) > 2
+                           and now - self._rate_window[0][0] > 5.0):
+                        self._rate_window.pop(0)
                 busy = (inflight or eng.waiting or eng._admitting
                         or any(s is not None for s in eng.slot_req))
                 if not busy:
                     time.sleep(self.idle_sleep)
                     continue
                 eng.step()
-                now = time.monotonic()
-                with self._lock:
-                    self._rate_window.append(
-                        (now, eng.decode_tokens_generated))
-                    while (len(self._rate_window) > 2
-                           and now - self._rate_window[0][0] > 5.0):
-                        self._rate_window.pop(0)
             except Exception as e:  # fail inflight FAST, keep serving
                 traceback.print_exc(file=sys.stderr)
                 with self._lock:
@@ -323,6 +345,13 @@ def _follow(api: ServingAPI, uid: int, ev, holdback: int, deadline: float,
     yield "done", (res if want_lp else (res, None))
 
 
+def _opt(req: dict, key: str, default):
+    """OpenAI clients send explicit JSON null for 'use the default' —
+    int(None)/float(None) must not 500."""
+    v = req.get(key, default)
+    return default if v is None else v
+
+
 def _make_handler(api: ServingAPI, model_id: str = "autosmoothquant-tpu"):
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *a):  # quiet test output
@@ -363,7 +392,7 @@ def _make_handler(api: ServingAPI, model_id: str = "autosmoothquant-tpu"):
             self.send_header("Cache-Control", "no-cache")
             self.end_headers()
             self._streamed = True
-            deadline = time.time() + float(req.get("timeout", 600.0))
+            deadline = time.time() + float(_opt(req, "timeout", 600.0))
             try:
                 for kind, val in _follow(api, uid, ev, holdback, deadline,
                                          want_lp):
@@ -496,17 +525,17 @@ def _make_handler(api: ServingAPI, model_id: str = "autosmoothquant-tpu"):
                 raise ValueError("n must be in [1, 64]")
             want_lp = req.get("logprobs") not in (None, False)
             stop = self._v1_stop(req)
-            max_toks = int(req.get("max_completion_tokens",
-                                   req.get("max_tokens", 16)))
+            max_toks = int(_opt(req, "max_completion_tokens",
+                                _opt(req, "max_tokens", 16)))
             kw = dict(max_new_tokens=max_toks,
                       eos_token_id=req.get("eos_token_id"),
-                      temperature=float(req.get("temperature", 1.0)),
-                      top_k=int(req.get("top_k", 0)),
-                      top_p=float(req.get("top_p", 1.0)),
+                      temperature=float(_opt(req, "temperature", 1.0)),
+                      top_k=int(_opt(req, "top_k", 0)),
+                      top_p=float(_opt(req, "top_p", 1.0)),
                       repetition_penalty=float(
-                          req.get("repetition_penalty", 1.0)),
+                          _opt(req, "repetition_penalty", 1.0)),
                       stop=stop, want_logprobs=want_lp)
-            deadline = time.time() + float(req.get("timeout", 600.0))
+            deadline = time.time() + float(_opt(req, "timeout", 600.0))
             if bool(req.get("stream", False)):
                 if n != 1:
                     raise ValueError("stream=true supports n=1")
@@ -615,18 +644,18 @@ def _make_handler(api: ServingAPI, model_id: str = "autosmoothquant-tpu"):
             want_lp = req.get("logprobs") not in (None, False)
             echo = bool(req.get("echo", False))
             stop = self._v1_stop(req)
-            max_toks = int(req.get("max_tokens", 16))
+            max_toks = int(_opt(req, "max_tokens", 16))
             kw = dict(max_new_tokens=max_toks,
                       eos_token_id=req.get("eos_token_id"),
                       # OpenAI semantics: temperature defaults to 1
                       # (sampling); 0 falls through to the engine's greedy
-                      temperature=float(req.get("temperature", 1.0)),
-                      top_k=int(req.get("top_k", 0)),
-                      top_p=float(req.get("top_p", 1.0)),
+                      temperature=float(_opt(req, "temperature", 1.0)),
+                      top_k=int(_opt(req, "top_k", 0)),
+                      top_p=float(_opt(req, "top_p", 1.0)),
                       repetition_penalty=float(
-                          req.get("repetition_penalty", 1.0)),
+                          _opt(req, "repetition_penalty", 1.0)),
                       stop=stop, want_logprobs=want_lp)
-            deadline = time.time() + float(req.get("timeout", 600.0))
+            deadline = time.time() + float(_opt(req, "timeout", 600.0))
             if bool(req.get("stream", False)):
                 if len(prompts) != 1 or n != 1:
                     raise ValueError(

@@ -365,13 +365,18 @@ class PagedEngine(ContinuousEngine):
             children = self._auto_nodes[nid]["children"]
             parent = nid
 
-    def _evict_auto_block(self, protect=frozenset()) -> bool:
+    def _evict_auto_block(self, protect=frozenset(),
+                          require_free: bool = False) -> bool:
         """Drop the least-recently-used LEAF of the radix tree (leaf-only so
         every surviving chain stays reachable root-first). The page frees
-        now if only the tree held it, else when sharing rows release."""
+        now if only the tree held it, else when sharing rows release;
+        require_free restricts candidates to leaves whose page WILL free
+        (ref 1 = tree-only) — the admission-pressure mode."""
         best = None
         for nid, node in self._auto_nodes.items():
             if node["children"] or nid in protect:
+                continue
+            if require_free and self._ref[node["page"]] != 1:
                 continue
             if best is None or node["clock"] < self._auto_nodes[best]["clock"]:
                 best = nid
@@ -384,6 +389,24 @@ class PagedEngine(ContinuousEngine):
         self._decref([node["page"]])
         self._auto_pages -= 1
         return True
+
+    def _evict_for_pages(self, keep=None) -> bool:
+        """Page-pressure eviction: only an eviction that actually FREES a
+        page counts as progress. Cache entries still shared by active rows
+        are left alone — destroying them would free nothing now while
+        losing future sharing (r5 review: the old blind loop emptied the
+        whole tree + every prefix without reclaiming a single page)."""
+        if self._evict_auto_block(require_free=True):
+            return True
+        for pid in sorted((p for p in self._prefix_lru if p != keep),
+                          key=self._prefix_lru.get):
+            e = self._prefixes[pid]
+            pages = list(e["pages"]) + (
+                [e["tail"]] if e["tail"] is not None else [])
+            if any(self._ref[p] == 1 for p in pages):
+                self.drop_prefix(pid)
+                return True
+        return False
 
     def clear_auto_prefixes(self) -> None:
         """Release every tree-held page (admin/testing hook)."""
@@ -409,8 +432,7 @@ class PagedEngine(ContinuousEngine):
                 if matched:
                     alloc = self._alloc(max(n_total - len(shared), 1))
                     if alloc is None:
-                        if (self._evict_auto_block()
-                                or self._evict_lru_prefix(keep=req.prefix)):
+                        if self._evict_for_pages(keep=req.prefix):
                             continue  # re-matches against the pruned tree
                         break
                     self.waiting.pop(0)
@@ -433,27 +455,38 @@ class PagedEngine(ContinuousEngine):
                     # only the suffix runs through (paged) chunk prefill
                     self._admitting[row] = {"req": req, "pos": matched}
                     continue
-                bucket = min(_bucket(len(req.prompt)), self.max_seq)
-                n_bucket = -(-bucket // self.block_size)
-                alloc = self._alloc(max(n_total, n_bucket))
+                # exact reservation: ceil((prompt+max_new+gamma)/bs) pages —
+                # NOT the pow2 prefill bucket rounded up to blocks, which
+                # pinned up to ~2x the documented need for the request's
+                # whole lifetime (r5 review)
+                alloc = self._alloc(n_total)
                 if alloc is None:
                     # before backpressure: evict idle auto blocks / LRU
-                    # prefixes — their pages free unless an active request
-                    # still shares them
-                    if (self._evict_auto_block()
-                            or self._evict_lru_prefix(keep=req.prefix)):
+                    # prefixes — but only evictions that actually FREE a
+                    # page count (r5 review: blind eviction destroyed the
+                    # whole cache under pressure without freeing anything)
+                    if self._evict_for_pages(keep=req.prefix):
                         continue  # retry this request with the freed pages
                     break  # backpressure: wait for pages to free
                 self.waiting.pop(0)
                 row = free.pop(0)
                 self._set_row(row, alloc)
+                if self.prefill_chunk is not None:
+                    # chunked admission (same contract as the contiguous
+                    # engine): long cold prompts advance one chunk per tick
+                    # in _advance_prefills so active slots keep decoding
+                    self._admitting[row] = {"req": req, "pos": 0}
+                    continue
+                bucket = min(_bucket(len(req.prompt)), self.max_seq)
+                n_bucket = -(-bucket // self.block_size)
                 ids = np.zeros((1, bucket), np.int32)
                 ids[0, :len(req.prompt)] = req.prompt[:bucket]
                 temp, last_logits = self._prefill(bucket)(
                     self.params, jnp.asarray(ids), len(req.prompt))
                 self.prefill_tokens_processed += len(req.prompt)
-                self.pool = self._scatter_temp(bucket, n_bucket)(
-                    self.pool, temp, jnp.asarray(alloc[:n_bucket],
+                n_scatter = min(n_bucket, n_total)  # pad blocks are never
+                self.pool = self._scatter_temp(bucket, n_scatter)(  # read
+                    self.pool, temp, jnp.asarray(alloc[:n_scatter],
                                                  jnp.int32))
                 if self.draft is not None:
                     dtemp = self._dprefill(bucket)(self.draft.params,
@@ -472,8 +505,7 @@ class PagedEngine(ContinuousEngine):
             n_private = max(n_total - len(shared), 1 if tail_page else 0)
             alloc = self._alloc(n_private)
             if alloc is None:
-                if (self._evict_auto_block()
-                        or self._evict_lru_prefix(keep=req.prefix)):
+                if self._evict_for_pages(keep=req.prefix):
                     continue  # the request's own prefix is never evicted
                 break
             self.waiting.pop(0)
@@ -517,27 +549,38 @@ class PagedEngine(ContinuousEngine):
         tail = plen % bs
         pages = self._alloc(n_full + (1 if tail else 0))
         while pages is None:
-            # page pressure: evict idle auto blocks / LRU prefixes (pages
-            # free once no active request still shares them) before giving up
-            if not (self._evict_auto_block()
-                    or self._evict_lru_prefix(keep=prefix_id)):
+            # page pressure: only evictions that actually FREE a page count
+            # (entries still shared by active rows would free nothing)
+            if not self._evict_for_pages(keep=prefix_id):
                 raise PrefixCacheFull("no free pages for prefix registration")
             pages = self._alloc(n_full + (1 if tail else 0))
         bucket = min(_bucket(plen), self.max_seq)
         ids = np.zeros((1, bucket), np.int32)
         ids[0, :plen] = toks
-        temp, last = self._prefill(bucket)(self.params, jnp.asarray(ids),
-                                           plen)
+        try:
+            from .engine import mesh_context
+
+            with mesh_context(self.mesh):
+                temp, last = self._prefill(bucket)(self.params,
+                                                   jnp.asarray(ids), plen)
+                self.pool = self._scatter_temp(bucket, len(pages))(
+                    self.pool, temp, jnp.asarray(pages, jnp.int32))
+                dtemp = (self._dprefill(bucket)(self.draft.params,
+                                                jnp.asarray(ids))
+                         if self.draft is not None else None)
+        except Exception:
+            # a failed prefill (device fault, OOM on a new bucket compile)
+            # must return the freshly allocated pages or retries drain the
+            # pool permanently (r5 review)
+            self._decref(pages)
+            raise
         self.prefill_tokens_processed += plen
-        self.pool = self._scatter_temp(bucket, len(pages))(
-            self.pool, temp, jnp.asarray(pages, jnp.int32))
         self.drop_prefix(prefix_id)  # re-registration frees the old pages
-        if self.draft is not None:
+        if dtemp is not None:
             # draft-pool mirror (contiguous bucket cache, inserted per
             # admission like the contiguous engine's); registered AFTER the
             # drop above or re-registration would discard it
-            self._dprefixes[prefix_id] = self._dprefill(bucket)(
-                self.draft.params, jnp.asarray(ids))
+            self._dprefixes[prefix_id] = dtemp
         self._prefixes[prefix_id] = {
             "pages": pages[:n_full],
             "tail": pages[n_full] if tail else None,
