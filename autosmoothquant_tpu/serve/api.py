@@ -387,10 +387,16 @@ def _make_handler(api: ServingAPI, model_id: str = "autosmoothquant-tpu"):
             holdback = max((len(s) for s in (stop or [])), default=0)
             if req.get("eos_token_id") is not None:
                 holdback = max(holdback, 1)
-            self.send_response(200)
-            self.send_header("Content-Type", "text/event-stream")
-            self.send_header("Cache-Control", "no-cache")
-            self.end_headers()
+            try:
+                self.send_response(200)
+                self.send_header("Content-Type", "text/event-stream")
+                self.send_header("Cache-Control", "no-cache")
+                self.end_headers()
+            except BaseException:
+                # client gone before headers: without this the uid's
+                # bookkeeping (and the finished result) leaks forever
+                api.deregister(uid)
+                raise
             self._streamed = True
             deadline = time.time() + float(_opt(req, "timeout", 600.0))
             try:
@@ -583,10 +589,14 @@ def _make_handler(api: ServingAPI, model_id: str = "autosmoothquant-tpu"):
             holdback = max((len(s) for s in (kw["stop"] or [])), default=0)
             if kw["eos_token_id"] is not None:
                 holdback = max(holdback, 1)
-            self.send_response(200)
-            self.send_header("Content-Type", "text/event-stream")
-            self.send_header("Cache-Control", "no-cache")
-            self.end_headers()
+            try:
+                self.send_response(200)
+                self.send_header("Content-Type", "text/event-stream")
+                self.send_header("Cache-Control", "no-cache")
+                self.end_headers()
+            except BaseException:
+                api.deregister(uid)  # client gone before headers: no leak
+                raise
             self._streamed = True
 
             def chunk(delta, finish, logprobs=None):
@@ -708,10 +718,14 @@ def _make_handler(api: ServingAPI, model_id: str = "autosmoothquant-tpu"):
             holdback = max((len(s) for s in (kw["stop"] or [])), default=0)
             if kw["eos_token_id"] is not None:
                 holdback = max(holdback, 1)
-            self.send_response(200)
-            self.send_header("Content-Type", "text/event-stream")
-            self.send_header("Cache-Control", "no-cache")
-            self.end_headers()
+            try:
+                self.send_response(200)
+                self.send_header("Content-Type", "text/event-stream")
+                self.send_header("Cache-Control", "no-cache")
+                self.end_headers()
+            except BaseException:
+                api.deregister(uid)  # client gone before headers: no leak
+                raise
             self._streamed = True
 
             def chunk(text, finish, toks, lps=None):
