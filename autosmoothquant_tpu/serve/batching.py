@@ -462,6 +462,17 @@ class ContinuousEngine:
                 raise ValueError(
                     "stop must be a non-empty list of token-id lists")
             stop = [list(s) for s in stop]
+        # same boundary rule for the prompt: an out-of-range id would crash
+        # the scheduler tick mid-flight (seen-mask IndexError / int32
+        # overflow) and an empty prompt would "generate" from padding
+        # positions — both must fail only THIS request, here
+        ids = np.asarray(list(prompt), dtype=np.int64)
+        if ids.size == 0:
+            raise ValueError("prompt must be non-empty")
+        if ids.ndim != 1 or int(ids.min()) < 0 \
+                or int(ids.max()) >= self.cfg.vocab_size:
+            raise ValueError(
+                f"prompt token ids must be in [0, {self.cfg.vocab_size})")
         req = Request(uid, list(prompt), max_new_tokens, eos_token_id,
                       temperature, top_k, top_p, repetition_penalty,
                       stop, prefix, want_logprobs)
@@ -538,11 +549,15 @@ class ContinuousEngine:
         """Abort a request wherever it is (waiting / admitting / decoding);
         returns True if found. The freed slot's cache rows need no clearing
         — admission overwrites them."""
-        n0 = len(self.waiting)
+        found = False
+        for r in self.waiting:
+            if r.uid == uid:
+                r.done = True  # a `while not req.done` driver must not spin
+                found = True
         self.waiting = [r for r in self.waiting if r.uid != uid]
-        found = len(self.waiting) != n0
         for row, st in list(self._admitting.items()):
             if st["req"].uid == uid:
+                st["req"].done = True
                 del self._admitting[row]
                 found = True
         for row, r in enumerate(self.slot_req):
@@ -560,10 +575,16 @@ class ContinuousEngine:
         request must not wedge the scheduler forever). Cache rows need no
         clearing — admission overwrites them."""
         for row in range(self.max_batch):
+            if self.slot_req[row] is not None:
+                self.slot_req[row].done = True
             self.slot_req[row] = None
             self.lens[row] = 0
             self.temps[row] = 0.0
             self.reppens[row] = 1.0
+        for r in self.waiting:
+            r.done = True
+        for st in self._admitting.values():
+            st["req"].done = True
         self.waiting.clear()
         self._admitting.clear()
 
@@ -706,7 +727,10 @@ class ContinuousEngine:
                 self.dpool = self._dchunk_prefill(chunk)(
                     self.draft.params, self.dpool, jnp.asarray(ids), row,
                     start)
-            self.prefill_tokens_processed += valid
+            # count logical NEW tokens only: the final ragged chunk re-feeds
+            # the last bucket window (start < pos), and counting its full
+            # `valid` double-counted the overlap vs the whole-prompt path
+            self.prefill_tokens_processed += min(valid, n - pos)
             st["pos"] = start + valid
             if st["pos"] >= n:
                 done_rows.append(row)
@@ -977,6 +1001,31 @@ class ContinuousEngine:
         # acceptance collapsed: plain decode, re-probe every 32nd tick
         return g if self._spec_ticks % 32 == 0 else 0
 
+    def _dmirror(self, n: int):
+        """Mirror n plainly-decoded tokens per row into the draft pool.
+        Plain ticks (a sampled/penalized/logprobs request in the batch,
+        adaptive off-ticks, near-capacity rows) advance the TARGET cache
+        only; without this the draft K/V grows permanent holes, rollouts
+        attend garbage, acceptance collapses and adaptive gamma can never
+        re-enable speculation (r5 review)."""
+        key = ("dmirror", n)
+        if key not in self._decode_fns:
+            d = self.draft
+            dsh = self._dpool_shardings
+
+            @functools.partial(jax.jit, donate_argnums=(1,),
+                               out_shardings=dsh)
+            def dmirror(dparams, dpool, tok_mat, lens):
+                _, dpool, _ = d.model.forward(
+                    dparams, tok_mat, d.cfg, d.qcfg, kv_cache=dpool,
+                    cache_index=lens,
+                    positions=lens[:, None] + jnp.arange(n)[None],
+                    compute_dtype=d.compute_dtype)
+                return dpool
+
+            self._decode_fns[key] = dmirror
+        return self._decode_fns[key]
+
     def _spec_step(self, active, g):
         """One speculative tick: draft (host) -> verify (one forward over
         gamma+1 positions) -> accept longest matching prefix per row.
@@ -1117,6 +1166,16 @@ class ContinuousEngine:
         toks, pool, lens = out
         toks = np.asarray(jax.device_get(toks))
         self.pool = pool
+        if self.draft is not None and self.speculative_gamma > 0:
+            # tokens fed this window = [pending, toks[:, :n-1]] at
+            # positions lens_dec + arange(n); inactive rows ride the
+            # out-of-bounds sentinel (writes dropped)
+            tok_mat = np.concatenate(
+                [self.pending_tok.astype(np.int32)[:, None],
+                 toks[:, :n - 1].astype(np.int32)], axis=1)
+            self.dpool = self._dmirror(n)(
+                self.draft.params, self.dpool, jnp.asarray(tok_mat),
+                jnp.asarray(lens_dec))
         # keep inactive rows' real lens (they ran with the out-of-bounds
         # sentinel above)
         self.lens = np.where(active, np.asarray(jax.device_get(lens)),

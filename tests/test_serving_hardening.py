@@ -136,6 +136,87 @@ def test_paged_chunked_cold_admission(setup):
     assert r.done and r.output[:6] == want["long"]
 
 
+def test_plain_ticks_mirror_into_draft_pool(setup):
+    """Plain decode ticks (forced by a sampled request in the batch) must
+    mirror their tokens into the draft pool; otherwise the draft attends
+    K/V holes once speculation resumes and acceptance collapses (r5
+    review). With the target as its own draft, acceptance stays ~1.0 —
+    but only if the mirror ran during the plain phase."""
+    from autosmoothquant_tpu.serve.engine import DraftModel
+
+    cfg, params = setup
+    d = DraftModel(model=L, params=params, cfg=cfg)
+    eng = ContinuousEngine(L, params, cfg, max_batch=2, max_seq=128,
+                           kv_dtype=jnp.float32, compute_dtype=jnp.float32,
+                           speculative_gamma=3, speculative_adaptive=False,
+                           draft=d)
+    # phase 1: a sampled request forces the PLAIN path for the whole batch
+    g = eng.submit("greedy", [3, 1, 4, 1, 5, 9], max_new_tokens=30)
+    s = eng.submit("samp", [7, 7, 7], max_new_tokens=6, temperature=0.9)
+    while not s.done:
+        eng.step()
+    assert not g.done and len(g.output) >= 6  # decoded plainly alongside
+    # phase 2: greedy-only batch -> speculation resumes over the history
+    # decoded during phase 1
+    while not g.done:
+        eng.step()
+    assert eng._spec_acc_ema > 0.9, eng._spec_acc_ema
+    # exactness vs a plain engine (always guaranteed; the EMA is the tell)
+    plain = ContinuousEngine(L, params, cfg, max_batch=2, max_seq=128,
+                             kv_dtype=jnp.float32,
+                             compute_dtype=jnp.float32)
+    want = plain.submit("greedy", [3, 1, 4, 1, 5, 9], max_new_tokens=30)
+    plain.run()
+    assert g.output[:30] == want.output[:30]
+
+
+def test_cancel_flags_queued_requests_done(setup):
+    """cancel() must set done=True wherever the request sits (waiting /
+    admitting), or a `while not req.done` driver spins forever (r5
+    review)."""
+    cfg, params = setup
+    pe = _paged(cfg, params, max_batch=1)
+    a = pe.submit("a", [1, 2, 3], max_new_tokens=50)
+    w = pe.submit("w", [4, 5, 6], max_new_tokens=4)  # queued behind a
+    pe._admit()
+    assert pe.cancel("w") and w.done
+    assert pe.cancel("a") and a.done
+    pe2 = _paged(cfg, params)
+    r = pe2.submit("r", [1, 2], max_new_tokens=4)
+    pe2.reset_slots()
+    assert r.done
+
+
+def test_submit_boundary_validation(setup):
+    """Out-of-range/empty prompts are rejected at submit, never inside a
+    scheduler tick (r5 review: one bad id crashed the tick and reset every
+    healthy slot)."""
+    cfg, params = setup
+    pe = _paged(cfg, params)
+    with pytest.raises(ValueError, match="non-empty"):
+        pe.submit("e", [], max_new_tokens=4)
+    with pytest.raises(ValueError, match="token ids"):
+        pe.submit("big", [cfg.vocab_size + 5], max_new_tokens=4)
+    with pytest.raises(ValueError, match="token ids"):
+        pe.submit("neg", [-1, 2], max_new_tokens=4)
+    # a healthy request still runs on the same engine
+    r = pe.submit("ok", [1, 2, 3], max_new_tokens=4)
+    pe.run()
+    assert r.done and len(r.output) == 4
+
+
+def test_chunked_prefill_token_counter_exact(setup):
+    """prefill_tokens_processed counts logical tokens once — the ragged
+    final chunk's overlap re-feed must not double-count (r5 review)."""
+    cfg, params = setup
+    ce = ContinuousEngine(L, params, cfg, max_batch=2, max_seq=128,
+                          kv_dtype=jnp.float32, compute_dtype=jnp.float32,
+                          prefill_chunk=64)
+    ce.submit("x", list(range(1, 101)), max_new_tokens=2)  # 100 tokens
+    ce.run()
+    assert ce.prefill_tokens_processed == 100
+
+
 def test_scheduler_isolates_bad_submission():
     """A malformed submit fails only its own client with an engine error;
     concurrent healthy requests complete untouched (r5 review: one bad
