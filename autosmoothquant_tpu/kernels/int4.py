@@ -327,7 +327,7 @@ def int4_matmul(x: jnp.ndarray, packed: jnp.ndarray, scales: jnp.ndarray,
                 activation: Optional[str] = None, out_dtype=None,
                 use_pallas: Optional[bool] = None,
                 interpret: bool = False, layer=None,
-                tok_scale=None) -> jnp.ndarray:
+                tok_scale=None, a8: Optional[bool] = None) -> jnp.ndarray:
     """``x @ dequant(packed, scales) (+ bias)`` with x float [M, K], packed
     uint8 [K'/2, N] split-K offset nibbles, scales f32 [K'/group, N] (group
     inferred from shapes). K' >= K is the zero-padded storage depth chosen
@@ -356,7 +356,11 @@ def int4_matmul(x: jnp.ndarray, packed: jnp.ndarray, scales: jnp.ndarray,
     group = k // scales.shape[1]
     if out_dtype is None:
         out_dtype = x.dtype
-    a8 = m <= _A8_MAX_M
+    if a8 is None:
+        # W4A8 (per-token int8 acts) for decode-shaped M, W4A16 for
+        # prefill; shard_mapped TP passes the GLOBAL decision explicitly —
+        # a per-shard m would flip the route under data sharding
+        a8 = m <= _A8_MAX_M
 
     # decode shapes (M=1..7): pad rows to the 8-sublane tile so the kernel
     # applies; padded rows are zeros and sliced off after
@@ -368,7 +372,7 @@ def int4_matmul(x: jnp.ndarray, packed: jnp.ndarray, scales: jnp.ndarray,
             jnp.concatenate([x, jnp.zeros((pad_m, k), x.dtype)], axis=0),
             packed, scales, bias, activation=activation, out_dtype=out_dtype,
             use_pallas=use_pallas, interpret=interpret, layer=layer,
-            tok_scale=ts_pad)
+            tok_scale=ts_pad, a8=a8)
         return out[:m]
 
     # The Pallas kernel serves DECODE-shaped calls only (M <= 64, the

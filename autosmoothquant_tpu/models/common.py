@@ -105,7 +105,8 @@ class LinearKind:
 
 
 def quant_linear(x: jnp.ndarray, p: dict, cfg: QuantConfig, granularity: str,
-                 kind: str = LinearKind.POST_NORM, out_dtype=None) -> jnp.ndarray:
+                 kind: str = LinearKind.POST_NORM, out_dtype=None,
+                 tp_axis: Optional[str] = None) -> jnp.ndarray:
     """Apply one quantized projection. ``x``: [..., in]; ``p`` holds
     quantized weight + scales produced by convert/quantize.py.
 
@@ -130,7 +131,10 @@ def quant_linear(x: jnp.ndarray, p: dict, cfg: QuantConfig, granularity: str,
         # projections (qkv/gate/up/fc1) are column-parallel, SCALED ones
         # (o/down/fc2) row-parallel — the same split as the float TP specs
         # (shard/sharding.py).
-        tp = "row" if kind == LinearKind.SCALED else "col"
+        # tp_axis overrides the kind-derived default: post-LN OPT uses
+        # SCALED for its column-stored q/k/v/fc1, where "row" would force
+        # a full weight reshard every step (r5 review)
+        tp = tp_axis or ("row" if kind == LinearKind.SCALED else "col")
         out = int4_matmul_tp(x2, p, bias=bias, out_dtype=out_dtype, tp=tp)
         return out.reshape(*lead, -1)
 
@@ -320,10 +324,16 @@ def int4_matmul_tp(x2, p, *, bias, out_dtype, tp):
         packed = packed.reshape((1,) + packed.shape)
         scales = scales.reshape((1,) + scales.shape)
         layer = 0
-    if layer is None:
-        layer = 0
+    # fail fast like the unsharded path: a silent layer-0 default would run
+    # every layer with layer 0's weights under a mesh (r5 review)
+    assert layer is not None, "stacked int4 weights require a layer index"
     nl, k2, n = packed.shape
     m = x2.shape[0]
+    # W4A8-vs-W4A16 routing must follow the GLOBAL m: with x rows sharded
+    # over "data" each shard sees m/dp and would flip to the a8 path on
+    # prefill shapes, diverging from the unsharded numerics (r5 review)
+    from ..kernels.int4 import _A8_MAX_M
+    g_a8 = m <= _A8_MAX_M
     dp = _mesh_axis(mesh, "data")
     dn = "data" if dp > 1 and m % dp == 0 else None
     from jax.sharding import PartitionSpec as P
@@ -335,7 +345,7 @@ def int4_matmul_tp(x2, p, *, bias, out_dtype, tp):
 
         def local(x, pk, sc, l, *b):
             return int4_matmul(x, pk, sc, b[0] if b else None,
-                               out_dtype=out_dtype, layer=l)
+                               out_dtype=out_dtype, layer=l, a8=g_a8)
 
         in_specs = [P(dn, None), P(None, None, "model"),
                     P(None, None, "model"), P()]
@@ -372,7 +382,8 @@ def int4_matmul_tp(x2, p, *, bias, out_dtype, tp):
         shi = jax.lax.dynamic_slice_in_dim(sc, g2 + i * gh, gh, 1)
         out = int4_matmul(jnp.concatenate([xlo, xhi], axis=1), pk,
                           jnp.concatenate([slo, shi], axis=1), None,
-                          out_dtype=jnp.float32, layer=l, tok_scale=t)
+                          out_dtype=jnp.float32, layer=l, tok_scale=t,
+                          a8=g_a8)
         return jax.lax.psum(out, "model")
 
     out = jax.shard_map(
@@ -464,11 +475,11 @@ _QUANT_DTYPES = (jnp.int8, jnp.float8_e4m3fn, jnp.float8_e5m2,
 
 
 def linear(x, p, cfg: Optional[QuantConfig], granularity=PER_TENSOR,
-           kind=LinearKind.POST_NORM, out_dtype=None):
+           kind=LinearKind.POST_NORM, out_dtype=None, tp_axis=None):
     """Dispatch float vs quantized on the weight leaf's dtype."""
     if cfg is None or p["w"].dtype not in _QUANT_DTYPES:
         return float_linear(x, p, out_dtype)
-    return quant_linear(x, p, cfg, granularity, kind, out_dtype)
+    return quant_linear(x, p, cfg, granularity, kind, out_dtype, tp_axis)
 
 
 # ---------------------------------------------------------------------------

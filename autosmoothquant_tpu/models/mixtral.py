@@ -183,8 +183,16 @@ def _moe_int4_sharded(xe, mp, compute_dtype):
     if mesh is None or ep <= 1 or E % ep:
         return None
     from jax.sharding import PartitionSpec as P
-    from ..kernels.int4 import int4_matmul
+    from ..kernels.int4 import _A8_MAX_M, int4_matmul
 
+    # shard the token rows over "data" when divisible — otherwise every
+    # data shard all-gathers all tokens and recomputes the full expert MLP
+    # redundantly (r5 review); the W4A8/W4A16 route follows the GLOBAL row
+    # count so sharded and unsharded numerics agree
+    dp = _mesh_axis(mesh, "data")
+    R = xe.shape[1]
+    dn = "data" if dp > 1 and R % dp == 0 else None
+    g_a8 = R <= _A8_MAX_M
     lidx = jnp.asarray(mp["w1"]["layer"] if stacked else 0, jnp.int32)
 
     def local(xl, l, w1p, s1, w3p, s3, w2p, s2):
@@ -201,22 +209,23 @@ def _moe_int4_sharded(xe, mp, compute_dtype):
         for e in range(El):
             li = (l * El + e) if stacked else e
             g = int4_matmul(xl[e], w1f, s1f, out_dtype=compute_dtype,
-                            layer=li)
+                            layer=li, a8=g_a8)
             u = int4_matmul(xl[e], w3f, s3f, out_dtype=compute_dtype,
-                            layer=li)
+                            layer=li, a8=g_a8)
             act = (jax.nn.silu(g.astype(jnp.float32))
                    * u.astype(jnp.float32)).astype(compute_dtype)
             outs.append(int4_matmul(act, w2f, s2f,
-                                    out_dtype=compute_dtype, layer=li))
+                                    out_dtype=compute_dtype, layer=li,
+                                    a8=g_a8))
         return jnp.stack(outs)
 
     wspec = P(None, "expert", None, None) if stacked \
         else P("expert", None, None)
     return jax.shard_map(
         local, mesh=mesh,
-        in_specs=(P("expert", None, None), P(), wspec, wspec, wspec,
+        in_specs=(P("expert", dn, None), P(), wspec, wspec, wspec,
                   wspec, wspec, wspec),
-        out_specs=P("expert", None, None), check_vma=False,
+        out_specs=P("expert", dn, None), check_vma=False,
     )(xe, lidx, mp["w1"]["w"], mp["w1"]["w_scales"],
       mp["w3"]["w"], mp["w3"]["w_scales"],
       mp["w2"]["w"], mp["w2"]["w_scales"])

@@ -155,9 +155,15 @@ def _layer_forward(h, lp, cfg: OPTConfig, qcfg: Optional[QuantConfig],
     if capture:
         stats["qkv_in_ch_absmax"] = jnp.max(jnp.abs(x.reshape(-1, d)), axis=0)
     gran = qcfg.qkv if qcfg else PER_TENSOR
-    q = linear(x, lp["attn"]["q"], qcfg, gran, qkv_kind, compute_dtype)
-    k = linear(x, lp["attn"]["k"], qcfg, gran, qkv_kind, compute_dtype)
-    v = linear(x, lp["attn"]["v"], qcfg, gran, qkv_kind, compute_dtype)
+    # tp_axis="col": q/k/v are column-stored regardless of kind — post-LN
+    # OPT marks them SCALED, which would otherwise route the int4 TP GEMM
+    # row-parallel against column shards (full reshard per step)
+    q = linear(x, lp["attn"]["q"], qcfg, gran, qkv_kind, compute_dtype,
+               tp_axis="col")
+    k = linear(x, lp["attn"]["k"], qcfg, gran, qkv_kind, compute_dtype,
+               tp_axis="col")
+    v = linear(x, lp["attn"]["v"], qcfg, gran, qkv_kind, compute_dtype,
+               tp_axis="col")
     if capture:
         stats["q_out_absmax"] = jnp.max(jnp.abs(q))
         stats["k_out_absmax"] = jnp.max(jnp.abs(k))
@@ -219,7 +225,7 @@ def _layer_forward(h, lp, cfg: OPTConfig, qcfg: Optional[QuantConfig],
     if capture:
         stats["fc1_in_ch_absmax"] = jnp.max(jnp.abs(x2.reshape(-1, d)), axis=0)
     act = linear(x2, lp["mlp"]["fc1"], qcfg, qcfg.fc1 if qcfg else PER_TENSOR,
-                 fc1_kind, compute_dtype)
+                 fc1_kind, compute_dtype, tp_axis="col")
     if capture:  # pre-ReLU: the Linear module's own output (observer view)
         stats["fc1_out_absmax"] = jnp.max(jnp.abs(act))
     act = jnp.maximum(act, 0)  # OPT uses ReLU

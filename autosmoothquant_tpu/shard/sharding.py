@@ -307,7 +307,11 @@ def _storage_spec(x, s):
 
     dims = tuple(s) if isinstance(s, P) else ()
     if (getattr(x, "dtype", None) == jnp.uint8 and "expert" in dims):
-        return P(*[ax if ax == "expert" else None for ax in dims])
+        # strip only the MODEL axis: "stage" must survive or every stage
+        # replicates ALL layers' packed expert bytes — an S-fold HBM
+        # inflation defeating pipeline placement (r5 review)
+        return P(*[ax if ax in ("expert", "stage") else None
+                   for ax in dims])
     return s
 
 

@@ -74,6 +74,38 @@ def test_int4_tp_data_axis_rows():
                                rtol=1e-5, atol=1e-4)
 
 
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+@pytest.mark.parametrize("tp", ["col", "row"])
+def test_int4_tp_prefill_routing_follows_global_m(monkeypatch, tp):
+    """r5 review regression: with x rows sharded over "data", each shard
+    sees m/dp rows and would flip prefill (W4A16) onto the W4A8 per-token
+    int8 path, diverging from unsharded numerics. The route must follow
+    GLOBAL m — asserted both numerically and via the explicit a8 the
+    wrapper now passes."""
+    import autosmoothquant_tpu.kernels.int4 as K
+
+    seen = []
+    orig = K.int4_matmul
+
+    def spy(*a, **kw):
+        seen.append(kw.get("a8"))
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(K, "int4_matmul", spy)
+    packed, scales = _mk_proj(128, 256)
+    x = _x(256, 128)  # prefill-shaped: GLOBAL m=256 > the a8 cutoff
+    p = {"w": packed, "w_scales": scales, "layer": 0}
+    ref = common.int4_matmul_tp(x, p, bias=None, out_dtype=jnp.float32,
+                                tp=tp)
+    mesh = make_mesh(data=4, model=2, devices=jax.devices()[:8])
+    with jax.sharding.set_mesh(mesh):
+        got = jax.jit(lambda x_: common.int4_matmul_tp(
+            x_, p, bias=None, out_dtype=jnp.float32, tp=tp))(x)
+    assert False in seen  # the sharded inner call pinned W4A16 explicitly
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-4)
+
+
 @pytest.mark.skipif(len(jax.devices()) < 3, reason="needs 3 devices")
 def test_int4_tp_declines_indivisible():
     """N not divisible by the model axis -> plain path (GSPMD fallback),
