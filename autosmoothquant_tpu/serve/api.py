@@ -48,6 +48,9 @@ generators drive the server unmodified):
                 otherwise; same sampling/stop/stream/usage semantics, with
                 chat.completion / chat.completion.chunk envelopes.
   GET  /v1/models  -> the single served model id.
+  POST /tokenize    {"text": str} -> {"tokens": [ids], "count": n}
+  POST /detokenize  {"tokens": [ids]} -> {"text": str}
+                (vLLM-style utility endpoints; 400 without a tokenizer)
 
 Sampling requests ride the engine's per-request parameters (one compiled
 decode step serves a mixed greedy/sampled batch, serve/batching.py).
@@ -815,6 +818,32 @@ def _make_handler(api: ServingAPI, model_id: str = "autosmoothquant-tpu"):
                     self._send(500, {"error": {
                         "message": f"{type(e).__name__}: {e}",
                         "type": "server_error", "param": None, "code": None}})
+                return
+            if self.path in ("/tokenize", "/detokenize"):
+                try:
+                    n = int(self.headers.get("Content-Length", 0))
+                    req = json.loads(self.rfile.read(n) or b"{}")
+                    if api.tokenizer is None:
+                        raise ValueError("no tokenizer configured")
+                    if self.path == "/tokenize":
+                        if not isinstance(req.get("text"), str):
+                            raise ValueError("tokenize needs {'text': str}")
+                        toks = [int(t) for t in
+                                api.tokenizer(req["text"]).input_ids]
+                        self._send(200, {"tokens": toks,
+                                         "count": len(toks)})
+                    else:
+                        toks = req.get("tokens")
+                        if not (isinstance(toks, list) and all(
+                                isinstance(t, int) for t in toks)):
+                            raise ValueError(
+                                "detokenize needs {'tokens': [ids]}")
+                        self._send(200, {
+                            "text": api.tokenizer.decode(toks)})
+                except (ValueError, json.JSONDecodeError) as e:
+                    self._send(400, {"error": f"{type(e).__name__}: {e}"})
+                except Exception:
+                    self._send(500, {"error": "tokenizer failure"})
                 return
             if self.path == "/prefix":
                 # status mapping: 400 = request validation, 429 = prefix

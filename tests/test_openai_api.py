@@ -388,6 +388,24 @@ def test_chat_streaming(tok_server):
     assert chunks[-1]["choices"][0]["finish_reason"] in ("length", "stop")
 
 
+def test_tokenize_detokenize_endpoints(tok_server):
+    api, port = tok_server
+    status, out = _post(port, "/tokenize", {"text": "hello"})
+    assert status == 200 and out["count"] == 5
+    status, back = _post(port, "/detokenize", {"tokens": out["tokens"]})
+    assert status == 200 and back["text"] == "hello"
+    status, _ = _post(port, "/tokenize", {"text": 7})
+    assert status == 400
+    status, _ = _post(port, "/detokenize", {"tokens": "x"})
+    assert status == 400
+
+
+def test_tokenize_requires_tokenizer(server):
+    _, port = server
+    status, out = _post(port, "/tokenize", {"text": "hi"})
+    assert status == 400 and "tokenizer" in out["error"]
+
+
 def test_chat_errors(server):
     """Chat needs a tokenizer (the plain module server has none) and
     validates the messages shape."""
